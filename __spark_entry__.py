@@ -1,38 +1,300 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Spark queries live in geospark/ (SURVEY.md §2 operator inventory);
+each entry here pairs a DataFrame plan with a DuckDB oracle that
+evaluates the *same formulas* (generated term-by-term by
+geospark.geodata) over the same parquet tables. Coordinates are
+derived deterministically from event ids with pure integer/rational
+arithmetic so both engines see bit-identical doubles.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geospark import geodata as G
+from geospark.cells import tile_rollup, with_cell, with_tile
+from geospark.functions import kernels as K
+from geospark.joins import box_query, knn_join, pip_join, radius_join
+
+SF0001 = "/root/testdata/sf0.001"
+
+# demo box chosen off the 0.01° event lattice (strict vs non-strict agree)
+BOX = (10.005, -20.005, 60.015, 40.015)  # lat_min, lng_min, lat_max, lng_max
+RADIUS_M = 750_000.0
+KNN_K = 20
+TILE_Z = 8
+ROLLUP_Z = 5
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events->points -> PIP join vs 3-area polygon layer ->
+    webmercator tile assignment -> per-(area, tile) counts."""
+    pts = G.events_points(spark, SF0001)
+    hits = pip_join(pts, G.demo_layer())
+    tiled = with_tile(hits, TILE_Z)
+    return (
+        tiled.groupBy("area_id", "tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+        .orderBy("area_id", "tile_x", "tile_y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = G.events_points(spark, sf_dir)
+    return (
+        with_tile(pts, TILE_Z)
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+
+
+def _q_cell_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = G.events_points(spark, sf_dir)
+    return (
+        pts.withColumn("cell", K.cell_at_zoom(F.col("lat"), F.col("lng"), TILE_Z))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def _q_bbox_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = G.events_points(spark, sf_dir)
+    return pts.groupBy("event_type").agg(
+        F.min("lat").alias("min_lat"),
+        F.min("lng").alias("min_lng"),
+        F.max("lat").alias("max_lat"),
+        F.max("lng").alias("max_lng"),
+        F.count("*").alias("n_points"),
+    )
+
+
+def _q_haversine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qlat, qlng = G.DEMO_CENTERS[0][1], G.DEMO_CENTERS[0][2]
+    pts = G.events_points(spark, sf_dir)
+    d = K.distance(F.lit(qlat), F.lit(qlng), F.col("lat"), F.col("lng"))
+    return (
+        pts.withColumn("dist_m", d)
+        .orderBy("dist_m", "event_id")
+        .limit(200)
+        .select("event_id", F.floor("dist_m").alias("dist_floor_m"))
+    )
+
+
+def _q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = G.events_points(spark, sf_dir).select("event_id", "lat", "lng")
+    out = radius_join(pts, G.DEMO_CENTERS, max_m=RADIUS_M)
+    return out.select(
+        "query_id", "event_id", F.floor("dist_m").alias("dist_floor_m")
+    )
+
+
+def _q_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = G.events_points(spark, sf_dir).select("event_id", "lat", "lng")
+    return box_query(pts, *BOX)
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = G.events_points(spark, sf_dir).select("event_id", "lat", "lng")
+    out = knn_join(pts, G.DEMO_CENTERS, k=KNN_K, id_col="event_id")
+    return out.select(
+        "query_id", "event_id", F.floor("dist_m").alias("dist_floor_m")
+    )
+
+
+def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = G.events_points(spark, sf_dir).select("event_id", "lat", "lng")
+    return pip_join(pts, G.demo_layer()).select("area_id", "event_id")
+
+
+def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = G.events_points(spark, sf_dir)
+    z8 = (
+        with_tile(pts, TILE_Z)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_points"))
+    )
+    return tile_rollup(
+        z8, [F.sum("n_points").alias("n_points")], to_zoom=ROLLUP_Z, from_zoom=TILE_Z
+    ).select("tile_x", "tile_y", "n_points")
+
+
+def _q_bearing_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = G.events_points(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    seq = pts.withColumn("p_lat", F.lag("lat").over(w)).withColumn(
+        "p_lng", F.lag("lng").over(w)
+    )
+    b = K.bearing(F.col("p_lat"), F.col("p_lng"), F.col("lat"), F.col("lng"))
+    return (
+        seq.filter(F.col("p_lat").isNotNull())
+        .select("event_id", F.round(b, 4).alias("bearing_r"))
+    )
+
+
+def _q_box_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = G.events_points(spark, sf_dir)
+    a, b, c, d = K.box_extend_by_meters(
+        F.col("lat"), F.col("lng"), F.col("lat"), F.col("lng"), F.lit(50_000.0)
+    )
+    return pts.select(
+        "event_id",
+        F.round(a, 4).alias("bmin_lat"),
+        F.round(b, 4).alias("bmin_lng"),
+        F.round(c, 4).alias("bmax_lat"),
+        F.round(d, 4).alias("bmax_lng"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign": _q_tile_assign,
+        "cell_morton": _q_cell_morton,
+        "bbox_agg": _q_bbox_agg,
+        "haversine_topk": _q_haversine_topk,
+        "radius_join": _q_radius_join,
+        "box_query": _q_box_query,
+        "knn": _q_knn,
+        "pip_join": _q_pip_join,
+        "tile_rollup": _q_tile_rollup,
+        "bearing_seq": _q_bearing_seq,
+        "box_buffer": _q_box_buffer,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same formulas, generated by geospark.geodata)
+# ---------------------------------------------------------------------------
+def _centers_values() -> str:
+    rows = ", ".join(
+        f"({qid}, {repr(lat)}, {repr(lng)})" for qid, lat, lng in G.DEMO_CENTERS
+    )
+    return f"(VALUES {rows}) AS c(query_id, q_lat, q_lng)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = G.EVENTS_POINTS_SQL
+    hav = G.haversine_sql("q_lat", "q_lng", "lat", "lng")
+    hav0 = G.haversine_sql(
+        repr(G.DEMO_CENTERS[0][1]), repr(G.DEMO_CENTERS[0][2]), "lat", "lng"
+    )
+    tx = G.tile_x_sql("lng", TILE_Z)
+    ty = G.tile_y_sql("lat", TILE_Z)
+    lat_min, lng_min, lat_max, lng_max = BOX
+
+    pip_union = "\nUNION ALL\n".join(
+        f"SELECT {aid} AS area_id, event_id FROM pts WHERE {sql}"
+        for aid, sql in G.demo_layer_pip_sql("lat", "lng")
+    )
+
+    prev = "PARTITION BY event_type ORDER BY event_id"
+    bearing = G.bearing_sql("p_lat", "p_lng", "lat", "lng")
+
+    return {
+        "tile_assign": f"""
+            WITH pts AS ({pts})
+            SELECT {tx} AS tile_x, {ty} AS tile_y,
+                   count(*) AS n_points,
+                   min(event_id) AS min_event, max(event_id) AS max_event
+            FROM pts GROUP BY 1, 2
+        """,
+        "cell_morton": f"""
+            WITH pts AS ({pts})
+            SELECT {G.cell_sql('lat', 'lng', TILE_Z)} AS cell,
+                   count(*) AS n_points
+            FROM pts GROUP BY 1
+        """,
+        "bbox_agg": f"""
+            WITH pts AS ({pts})
+            SELECT event_type,
+                   min(lat) AS min_lat, min(lng) AS min_lng,
+                   max(lat) AS max_lat, max(lng) AS max_lng,
+                   count(*) AS n_points
+            FROM pts GROUP BY event_type
+        """,
+        "haversine_topk": f"""
+            WITH pts AS ({pts})
+            SELECT event_id,
+                   CAST(floor({hav0}) AS BIGINT) AS dist_floor_m
+            FROM pts ORDER BY {hav0}, event_id LIMIT 200
+        """,
+        "radius_join": f"""
+            WITH pts AS ({pts})
+            SELECT query_id, event_id,
+                   CAST(floor({hav}) AS BIGINT) AS dist_floor_m
+            FROM pts CROSS JOIN {_centers_values()}
+            WHERE {hav} < {repr(RADIUS_M)} AND {hav} >= 0.0
+        """,
+        "box_query": f"""
+            WITH pts AS ({pts})
+            SELECT event_id, lat, lng FROM pts
+            WHERE lat > {repr(lat_min)} AND lat < {repr(lat_max)}
+              AND lng > {repr(lng_min)} AND lng < {repr(lng_max)}
+        """,
+        "knn": f"""
+            WITH pts AS ({pts}),
+            ranked AS (
+                SELECT query_id, event_id, {hav} AS dist,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY {hav}, event_id
+                       ) AS rn
+                FROM pts CROSS JOIN {_centers_values()}
+            )
+            SELECT query_id, event_id,
+                   CAST(floor(dist) AS BIGINT) AS dist_floor_m
+            FROM ranked WHERE rn <= {KNN_K}
+        """,
+        "pip_join": f"""
+            WITH pts AS ({pts})
+            {pip_union}
+        """,
+        "tile_rollup": f"""
+            WITH pts AS ({pts}),
+            z8 AS (
+                SELECT {tx} AS tile_x, {ty} AS tile_y, count(*) AS n_points
+                FROM pts GROUP BY 1, 2
+            )
+            SELECT tile_x >> {TILE_Z - ROLLUP_Z} AS tile_x,
+                   tile_y >> {TILE_Z - ROLLUP_Z} AS tile_y,
+                   sum(n_points) AS n_points
+            FROM z8 GROUP BY 1, 2
+        """,
+        "bearing_seq": f"""
+            WITH pts AS ({pts}),
+            seq AS (
+                SELECT event_id, lat, lng,
+                       lag(lat) OVER ({prev}) AS p_lat,
+                       lag(lng) OVER ({prev}) AS p_lng
+                FROM pts
+            )
+            SELECT event_id, round({bearing}, 4) AS bearing_r
+            FROM seq WHERE p_lat IS NOT NULL
+        """,
+        "box_buffer": f"""
+            WITH pts AS ({pts})
+            SELECT event_id,
+                   round(lat - 50000.0 / 111000.0, 4) AS bmin_lat,
+                   round(lng - abs(50000.0 / (111200.0 * cos(
+                       (lat - 50000.0 / 111000.0) * {repr(K.PI / 180.0)}))), 4
+                   ) AS bmin_lng,
+                   round(lat + 50000.0 / 111000.0, 4) AS bmax_lat,
+                   round(lng + abs(50000.0 / (111200.0 * cos(
+                       (lat + 50000.0 / 111000.0) * {repr(K.PI / 180.0)}))), 4
+                   ) AS bmax_lng
+            FROM pts
+        """,
+    }

@@ -1,0 +1,134 @@
+"""Cell & tile assignment over point DataFrames, plus tile-range
+relations (reference: tile.h / src/tile.cc; SURVEY §2.2 P11-P15).
+
+The quadkey Morton cell (S10, ``src/latlng.cc:75-96``) is the engine's
+spatial index: cell-keyed layout + hash joins replace the reference's
+R-trees. Everything here is pure Column expressions inside whole-stage
+codegen — zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospark.functions import kernels as K
+
+CELL_ZOOM = 16  # tile_hash_32's fixed zoom (src/latlng.cc:78)
+
+
+def with_cell(df: DataFrame, lat: str = "lat", lng: str = "lng",
+              col: str = "cell") -> DataFrame:
+    """Append the z=16 quadkey Morton cell (S10)."""
+    return df.withColumn(col, K.tile_hash_32(F.col(lat), F.col(lng)))
+
+
+def with_tile(df: DataFrame, zoom: int, lat: str = "lat", lng: str = "lng",
+              tile_size: int = 4096, prefix: str = "tile_") -> DataFrame:
+    """Append tile_x / tile_y / zoom columns (P3 + tile.h:162-172)."""
+    return (
+        df.withColumn(prefix + "x", K.latlng_to_tile_x(F.col(lng), zoom, tile_size))
+        .withColumn(prefix + "y", K.latlng_to_tile_y(F.col(lat), zoom, tile_size))
+        .withColumn("zoom", F.lit(zoom))
+    )
+
+
+def with_tile_bounds(df: DataFrame, zoom: int, tx: str = "tile_x",
+                     ty: str = "tile_y", tile_size: int = 4096) -> DataFrame:
+    """Append the merc AABB of each tile (P7, webmercator.h:184-198)."""
+    x1, y1, x2, y2 = K.tile_bounds_merc(F.col(tx), F.col(ty), zoom, tile_size)
+    return (
+        df.withColumn("bounds_min_x", x1)
+        .withColumn("bounds_min_y", y1)
+        .withColumn("bounds_max_x", x2)
+        .withColumn("bounds_max_y", y2)
+    )
+
+
+def cell_of(lat, lng, zoom: int = CELL_ZOOM) -> Column:
+    """Morton cell at arbitrary zoom <= 16 as a Column."""
+    if zoom == CELL_ZOOM:
+        return K.tile_hash_32(lat, lng)
+    return K.cell_at_zoom(lat, lng, zoom)
+
+
+# ---------------------------------------------------------------------------
+# Tile ranges as *relations* (P11-P15): the reference's lazy iterators
+# become generated DataFrames — `sequence()` + `explode` produce the
+# rectangle lazily on executors, so a whole-level range at z=20 is a
+# plan, not a driver-side list.
+# ---------------------------------------------------------------------------
+def tile_range(spark: SparkSession, x1: int, y1: int, x2: int, y2: int,
+               z: int) -> DataFrame:
+    """Inclusive tile rectangle at zoom z, row-major y-then-x order
+    (src/tile.cc:44-52; iterator order tile.h:45-137)."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(F.sequence(F.lit(int(y1)), F.lit(int(y2)))).alias("tile_y")
+        )
+        .select(
+            "tile_y",
+            F.explode(F.sequence(F.lit(int(x1)), F.lit(int(x2)))).alias("tile_x"),
+        )
+        .select("tile_x", "tile_y", F.lit(int(z)).alias("zoom"))
+    )
+
+
+def tile_range_of_box(spark: SparkSession, lat_min: float, lng_min: float,
+                      lat_max: float, lng_max: float, z: int,
+                      tile_size: int = 4096) -> DataFrame:
+    """Geo-rect -> tile rectangle at z (P12, tile.h:162-172)."""
+    from geospark.functions import numpy_kernels as NK
+
+    px1, py1 = NK.latlng_to_pixel(lat_max, lng_min, z, tile_size)  # top-left
+    px2, py2 = NK.latlng_to_pixel(lat_min, lng_max, z, tile_size)  # bottom-right
+    return tile_range(
+        spark,
+        int(px1) // tile_size,
+        int(py1) // tile_size,
+        int(px2) // tile_size,
+        int(py2) // tile_size,
+        z,
+    )
+
+
+def tile_pyramid(spark: SparkSession, max_zoom: int = 20) -> DataFrame:
+    """All tiles for z in [0, max_zoom] (P15, tile.h:174-177): a lazy
+    generated relation — 2^(2z) rows per level, never driver-side."""
+    return (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(int(max_zoom)))).alias("zoom"))
+        .select(
+            "zoom",
+            F.explode(
+                F.sequence(F.lit(0), F.expr("shiftleft(1, zoom) - 1"))
+            ).alias("tile_y"),
+        )
+        .select(
+            "zoom",
+            "tile_y",
+            F.explode(
+                F.sequence(F.lit(0), F.expr("shiftleft(1, zoom) - 1"))
+            ).alias("tile_x"),
+        )
+        .select("tile_x", "tile_y", "zoom")
+    )
+
+
+def tile_rollup(tiles: DataFrame, agg_exprs: list[Column], to_zoom: int,
+                from_zoom: int, tx: str = "tile_x", ty: str = "tile_y") -> DataFrame:
+    """Roll a per-tile aggregate up the pyramid (P9 parent chaining):
+    shiftright the tile coords by Δz and re-aggregate. Map-side partial
+    aggregation makes this one cheap shuffle per rollup level."""
+    dz = from_zoom - to_zoom
+    if dz < 0:
+        raise ValueError("to_zoom must be <= from_zoom")
+    return (
+        tiles.groupBy(
+            K.tile_parent_x(F.col(tx), dz).alias(tx),
+            K.tile_parent_y(F.col(ty), dz).alias(ty),
+        )
+        .agg(*agg_exprs)
+        .withColumn("zoom", F.lit(int(to_zoom)))
+    )

@@ -1,0 +1,221 @@
+"""Deterministic geo view over the driver's testdata + SQL generators.
+
+The driver's correctness gate compares ``queries()`` (Spark) against
+``oracle_sql()`` (DuckDB) on the same parquet tables. The testdata has
+no coordinates, so both sides derive them with the SAME pure-integer
+arithmetic (bit-identical IEEE doubles in any engine):
+
+    lat = ((event_id * 7919)   % 16000) / 100.0 - 80.0    in [-80, 80)
+    lng = ((event_id * 104729) % 36000) / 100.0 - 180.0   in [-180, 180)
+
+This module also generates ANSI-SQL equivalents of the engine's
+Column kernels (web-mercator tile assignment with the x-truncate /
+y-round asymmetry, Morton cell spread, haversine, ray-cast PIP) so
+the DuckDB oracle evaluates the *same formulas*, term by term.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospark.functions import kernels as K
+
+# --- shared constants, inlined as exact repr() literals in SQL -------------
+MERC_R = repr(K.MERC_EARTH_RADIUS)          # 6378137.0
+SHIFT = repr(K.MERC_ORIGIN_SHIFT)           # 20037508.342789244
+MAXLAT = repr(K.MERC_MAX_LATITUDE)
+EARTH_R = repr(K.EARTH_RADIUS_M)
+
+
+def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        (((F.col("event_id") * 7919) % 16000) / 100.0 - 80.0).alias("lat"),
+        (((F.col("event_id") * 104729) % 36000) / 100.0 - 180.0).alias("lng"),
+        "event_type",
+        "user_id",
+        "ts",
+        "value",
+    )
+
+
+EVENTS_POINTS_SQL = """
+SELECT event_id,
+       ((event_id * 7919) % 16000) / 100.0 - 80.0 AS lat,
+       ((event_id * 104729) % 36000) / 100.0 - 180.0 AS lng,
+       event_type, user_id, ts, value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL twins of the Column kernels (formula-identical, constants inlined)
+# ---------------------------------------------------------------------------
+def merc_x_sql(lng: str) -> str:
+    return f"({MERC_R} * radians({lng}))"
+
+
+def merc_y_sql(lat: str) -> str:
+    clamped = f"greatest(-{MAXLAT}, least({MAXLAT}, {lat}))"
+    s = f"sin(radians({clamped}))"
+    return f"({MERC_R} * ln((1.0 + {s}) / (1.0 - {s})) / 2.0)"
+
+
+def pixel_x_sql(lng: str, z: int, tile_size: int = 4096) -> str:
+    res = repr(K.resolution(z, tile_size))
+    return f"floor(({merc_x_sql(lng)} + {SHIFT}) / {res})"
+
+
+def pixel_y_sql(lat: str, z: int, tile_size: int = 4096) -> str:
+    res = repr(K.resolution(z, tile_size))
+    ms = repr(float(K.map_size(z, tile_size)))
+    return f"floor(({ms} - (({merc_y_sql(lat)} + {SHIFT}) / {res})) + 0.5)"
+
+
+def tile_x_sql(lng: str, z: int, tile_size: int = 4096) -> str:
+    return f"CAST(floor({pixel_x_sql(lng, z, tile_size)} / {tile_size}) AS BIGINT)"
+
+
+def tile_y_sql(lat: str, z: int, tile_size: int = 4096) -> str:
+    return f"CAST(floor({pixel_y_sql(lat, z, tile_size)} / {tile_size}) AS BIGINT)"
+
+
+def _spread16_sql(v: str) -> str:
+    """Morton bit-spread (matches kernels._morton_spread_16)."""
+    e = f"(({v}) & 65535)"
+    e = f"((({e} | ({e} << 8)) & 16711935))"
+    e = f"((({e} | ({e} << 4)) & 252645135))"
+    e = f"((({e} | ({e} << 2)) & 858993459))"
+    e = f"((({e} | ({e} << 1)) & 1431655765))"
+    return e
+
+
+def cell_sql(lat: str, lng: str, zoom: int) -> str:
+    """tile_hash_32 prefix cell at `zoom` (S10, src/latlng.cc:75-96)."""
+    px = f"CAST({pixel_x_sql(lng, 16, 1)} AS BIGINT)"
+    py = f"CAST({pixel_y_sql(lat, 16, 1)} AS BIGINT)"
+    full = f"({_spread16_sql(px)} | ({_spread16_sql(py)} << 1))"
+    if zoom == 16:
+        return full
+    return f"({full} >> {2 * (16 - zoom)})"
+
+
+def haversine_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
+    """S1 (src/latlng.cc:29-31), formula-identical to kernels.distance."""
+    dlat = f"(radians(({lat2}) - ({lat1})) / 2.0)"
+    dlng = f"(radians(({lng2}) - ({lng1})) / 2.0)"
+    a = (
+        f"(sin({dlat}) * sin({dlat}) + cos(radians({lat1})) * "
+        f"cos(radians({lat2})) * sin({dlng}) * sin({dlng}))"
+    )
+    return f"(2.0 * {EARTH_R} * asin(least(1.0, sqrt({a}))))"
+
+
+def bearing_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
+    """S5 (src/latlng.cc:44-54), formula-identical to kernels.bearing."""
+    dlng = f"(radians({lng2}) - radians({lng1}))"
+    cos2 = f"cos(radians({lat2}))"
+    b = (
+        f"atan2(sin({dlng}) * {cos2}, "
+        f"cos(radians({lat1})) * sin(radians({lat2})) - "
+        f"sin(radians({lat1})) * {cos2} * cos({dlng}))"
+    )
+    two_pi = repr(2.0 * K.PI)
+    return f"degrees(fmod(({b}) + {two_pi}, {two_pi}))"
+
+
+def ring_pip_sql(lat: str, lng: str, ring: np.ndarray) -> str:
+    """Unrolled even-odd ray-cast parity for a fixed ring — the exact
+    arithmetic of joins._ring_contains, as chained boolean XOR (<>).
+    Horizontal edges are skipped exactly as the UDF does."""
+    ring = np.asarray(ring, np.float64)
+    ys, xs = ring[:, 0], ring[:, 1]
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        y1, x1 = repr(ys[i]), repr(xs[i])
+        y2, x2 = repr(ys[(i + 1) % n]), repr(xs[(i + 1) % n])
+        if ys[i] == ys[(i + 1) % n]:
+            continue
+        xint = f"(({x2} - {x1}) * (({lat}) - {y1}) / ({y2} - {y1}) + {x1})"
+        terms.append(
+            f"CAST(((({y1} > ({lat})) <> ({y2} > ({lat}))) "
+            f"AND (({lng}) < {xint})) AS INT)"
+        )
+    if not terms:
+        return "FALSE"
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def area_pip_sql(lat: str, lng: str, outers: list[np.ndarray],
+                 inners: list[list[np.ndarray]] | None = None) -> str:
+    """Q15 semantics: OR over (outer AND NOT any-hole)."""
+    inners = inners or [[] for _ in outers]
+    parts = []
+    for outer, holes in zip(outers, inners):
+        expr = ring_pip_sql(lat, lng, outer)
+        for h in holes:
+            expr = f"({expr} AND NOT {ring_pip_sql(lat, lng, h)})"
+        parts.append(expr)
+    return "(" + " OR ".join(parts) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Shared demo fixtures: polygon layer + query centers
+# ---------------------------------------------------------------------------
+# Vertices intentionally avoid the events 0.01° lattice so no point
+# ever sits exactly on an edge (strict vs non-strict agree).
+DEMO_RINGS: dict[int, dict] = {
+    1: {  # Europe-ish pentagon with a hole
+        "outers": [np.array([
+            (35.123456, -10.234567), (60.654321, -5.765432),
+            (70.111111, 20.222222), (55.333333, 40.444444),
+            (36.555555, 25.666666),
+        ])],
+        "inners": [[np.array([
+            (45.123457, 5.234561), (52.987655, 10.876543), (46.543211, 20.135791),
+        ])]],
+    },
+    2: {  # North-America quad
+        "outers": [np.array([
+            (25.135791, -125.246802), (55.975311, -130.864197),
+            (60.123456, -60.654321), (28.765432, -70.987654),
+        ])],
+        "inners": [[]],
+    },
+    3: {  # Oceania triangle
+        "outers": [np.array([
+            (-45.111213, 110.141516), (-10.171819, 120.202122),
+            (-30.232425, 155.262728),
+        ])],
+        "inners": [[]],
+    },
+}
+
+# reference fixture cities (test/point_rtree_test.cc, latlng_test.cc)
+DEMO_CENTERS: list[tuple[int, float, float]] = [
+    (1, 49.8756276, 8.6577833),    # Darmstadt Mensa
+    (2, 51.503872, -0.127109),     # London
+    (3, 40.712728, -74.006015),    # New York
+    (4, -33.867487, 151.206990),   # Sydney
+]
+
+
+def demo_layer(cover_zoom: int = 6):
+    from geospark.joins import Area, PolygonLayer
+
+    areas = [
+        Area(aid, spec["outers"], spec["inners"]) for aid, spec in DEMO_RINGS.items()
+    ]
+    return PolygonLayer(areas, cover_zoom=cover_zoom)
+
+
+def demo_layer_pip_sql(lat: str, lng: str) -> list[tuple[int, str]]:
+    """(area_id, containment-SQL) for every demo area."""
+    return [
+        (aid, area_pip_sql(lat, lng, spec["outers"], spec["inners"]))
+        for aid, spec in DEMO_RINGS.items()
+    ]

@@ -1,0 +1,401 @@
+"""Spatial joins: point-in-polygon, radius, box, kNN (SURVEY §2.6).
+
+The reference answers these with in-memory R-trees
+(``src/point_rtree.cc``, ``area_db.h``). Here the *data layout is the
+index*: points carry a quadkey Morton cell (S10), polygon layers are
+pre-processed into broadcastable cell-cover tables, and every query is
+a two-phase **filter-refine** plan —
+
+  1. cheap cell equi-join / bbox Column predicate (prunes 99%+, stays
+     in whole-stage codegen, broadcast when the build side is small);
+  2. exact refine: haversine Column expr (radius/kNN) or a vectorized
+     numpy ray-cast inside an Arrow-batched pandas UDF (PIP).
+
+At 100 TB the phase-1 join is a broadcast hash join on ``cell`` (no
+shuffle of the big side); phase 2 is a narrow map. Skewed hot cells
+are handled by AQE skew-join + optional salting (geospark.plans.skew).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from geospark.functions import kernels as K
+from geospark.functions import numpy_kernels as NK
+
+
+# ---------------------------------------------------------------------------
+# Morton helpers (numpy side, matching kernels.tile_hash_32 exactly)
+# ---------------------------------------------------------------------------
+def _spread16(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def morton(tx: np.ndarray, ty: np.ndarray) -> np.ndarray:
+    """Interleave tile coords -> Morton cell (same bit layout as S10:
+    x in even bits, y in odd bits, finest zoom in the low bits)."""
+    return (_spread16(np.asarray(tx)) | (_spread16(np.asarray(ty)) << np.uint64(1))).astype(np.int64)
+
+
+def cell_of_latlng(lat, lng, zoom: int) -> np.ndarray:
+    """numpy twin of kernels.cell_at_zoom (S10 prefix)."""
+    full = NK.tile_hash_32(lat, lng)
+    return np.asarray(full, np.int64) >> np.int64(2 * (16 - zoom))
+
+
+def cell_tile_of_latlng(lat, lng, zoom: int) -> tuple[np.ndarray, np.ndarray]:
+    """Tile coords in *cell space* at ``zoom``: the z=16 webmercator<1>
+    pixel (x truncates, y rounds — S10's convention) shifted right by
+    the zoom delta. This is exactly the (x, y) whose Morton code equals
+    ``kernels.cell_at_zoom`` — covers MUST use this mapping, not the
+    tile_size=4096 tile math, or boundary points miss their cover cell.
+    """
+    px16, py16 = NK.latlng_to_pixel(lat, lng, 16, tile_size=1)
+    d = 16 - zoom
+    return np.asarray(px16, np.int64) >> d, np.asarray(py16, np.int64) >> d
+
+
+# ---------------------------------------------------------------------------
+# Polygon layer (area_db analogue, SURVEY Q12-Q15)
+# ---------------------------------------------------------------------------
+@dataclass
+class Area:
+    """One multipolygon area: outer rings + per-outer inner rings.
+
+    Ring arrays are (n, 2) float64 [lat, lng] — mirrors the reference's
+    nested fixed_latlng vectors (area_db.h:42-43) in columnar numpy.
+    """
+
+    area_id: int
+    outers: list[np.ndarray]
+    inners: list[list[np.ndarray]] = field(default_factory=list)
+
+    def __post_init__(self):
+        self.outers = [np.asarray(r, np.float64) for r in self.outers]
+        if not self.inners:
+            self.inners = [[] for _ in self.outers]
+        self.inners = [[np.asarray(r, np.float64) for r in hs] for hs in self.inners]
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        allpts = np.vstack(self.outers)
+        return (
+            float(allpts[:, 0].min()),
+            float(allpts[:, 1].min()),
+            float(allpts[:, 0].max()),
+            float(allpts[:, 1].max()),
+        )
+
+
+def _ring_contains(ring: np.ndarray, lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray crossing: points (lat, lng) vs one ring.
+
+    Planar in lat/lng space — the exact-refine analogue of tg's PIP
+    (area_db.h:209-214); see SURVEY §7 'reference quirks' for the
+    spherical-vs-planar note (identical on all test fixtures).
+    Boundary behavior: half-open edges (standard crossing parity).
+    """
+    ys, xs = ring[:, 0], ring[:, 1]
+    y2, x2 = np.roll(ys, -1), np.roll(xs, -1)
+    inside = np.zeros(lat.shape, dtype=bool)
+    for i in range(len(ring)):
+        y1i, x1i, y2i, x2i = ys[i], xs[i], y2[i], x2[i]
+        if y1i == y2i:
+            continue
+        crosses = (y1i > lat) != (y2i > lat)
+        if not crosses.any():
+            continue
+        xint = (x2i - x1i) * (lat - y1i) / (y2i - y1i) + x1i
+        inside ^= crosses & (lng < xint)
+    return inside
+
+
+def area_contains(area: Area, lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
+    """Exact point-in-multipolygon, holes honored (Q15 semantics)."""
+    lat = np.asarray(lat, np.float64)
+    lng = np.asarray(lng, np.float64)
+    result = np.zeros(lat.shape, dtype=bool)
+    for outer, holes in zip(area.outers, area.inners):
+        in_outer = _ring_contains(outer, lat, lng)
+        if not in_outer.any():
+            continue
+        for h in holes:
+            in_outer &= ~_ring_contains(h, lat, lng)
+        result |= in_outer
+    return result
+
+
+class PolygonLayer:
+    """A small-to-medium polygon layer, prepared for broadcast PIP
+    joins: per-area bbox (Q9 agg) + cell cover at a chosen zoom (Q13
+    analogue of the area_db build). The layer itself ships to
+    executors via closure capture (Spark broadcasts task binaries);
+    for layers too big to broadcast, normalize to a DataFrame and use
+    a shuffle join on cell — same plan shape, bigger build side.
+    """
+
+    def __init__(self, areas: list[Area], cover_zoom: int = 8):
+        self.areas = areas
+        self.cover_zoom = int(cover_zoom)
+        self.by_id = {a.area_id: a for a in areas}
+
+    def cover(self) -> list[tuple[int, int]]:
+        """(cell, area_id) pairs covering each area's bbox at
+        cover_zoom — the broadcast build side of the PIP join."""
+        z = self.cover_zoom
+        out: list[tuple[int, int]] = []
+        for a in self.areas:
+            lat_min, lng_min, lat_max, lng_max = a.bbox()
+            tx1, ty1 = cell_tile_of_latlng(lat_max, lng_min, z)  # NW -> min px, min py
+            tx2, ty2 = cell_tile_of_latlng(lat_min, lng_max, z)  # SE
+            for ty in range(int(ty1), int(ty2) + 1):
+                for tx in range(int(tx1), int(tx2) + 1):
+                    out.append((int(morton(np.array([tx]), np.array([ty]))[0]), a.area_id))
+        return out
+
+    def cover_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.cover(), "cell_cov long, area_id long")
+
+
+def pip_join(points: DataFrame, layer: PolygonLayer,
+             lat: str = "lat", lng: str = "lng") -> DataFrame:
+    """Flagship PIP join (Q10/Q14/Q15): points ⨝ broadcast(cell cover)
+    on the cover-zoom cell, then exact ray-cast refine in an
+    Arrow-batched pandas UDF. Returns the input columns + ``area_id``.
+
+    Plan shape at scale: broadcast hash join (no shuffle of points) →
+    narrow vectorized refine → output. Hot city cells are split by AQE
+    skew-join; explicit salting unnecessary because the build side is
+    broadcast (no shuffle to skew).
+    """
+    spark = points.sparkSession
+    z = layer.cover_zoom
+    cand = points.withColumn("_cell_cov", K.cell_at_zoom(F.col(lat), F.col(lng), z)).join(
+        F.broadcast(layer.cover_df(spark)),
+        F.col("_cell_cov") == F.col("cell_cov"),
+        "inner",
+    ).drop("_cell_cov", "cell_cov")
+
+    areas = {a.area_id: Area(a.area_id, a.outers, a.inners) for a in layer.areas}
+
+    @pandas_udf("boolean")
+    def _is_within(lat_s: pd.Series, lng_s: pd.Series, aid_s: pd.Series) -> pd.Series:
+        out = np.zeros(len(lat_s), dtype=bool)
+        lat_v = lat_s.to_numpy(np.float64)
+        lng_v = lng_s.to_numpy(np.float64)
+        aid_v = aid_s.to_numpy(np.int64)
+        for aid in np.unique(aid_v):
+            m = aid_v == aid
+            out[m] = area_contains(areas[int(aid)], lat_v[m], lng_v[m])
+        return pd.Series(out)
+
+    return cand.filter(_is_within(F.col(lat), F.col(lng), F.col("area_id")))
+
+
+# ---------------------------------------------------------------------------
+# Radius join (Q2/Q3)
+# ---------------------------------------------------------------------------
+def _buffered_bbox(lat: float, lng: float, dist_m: float) -> tuple[float, float, float, float]:
+    """box{center}.extend(dist_m) (box.h:27-29 + :50-70), python twin:
+    constants 111000 / 111200 exactly as the reference."""
+    d_lat = dist_m / 111000.0
+    lat_min, lat_max = lat - d_lat, lat + d_lat
+    min_mpd = 111200.0 * math.cos(lat_min * math.pi / 180.0)
+    max_mpd = 111200.0 * math.cos(lat_max * math.pi / 180.0)
+    lng_min = lng - abs(dist_m / min_mpd)
+    lng_max = lng + abs(dist_m / max_mpd)
+    return lat_min, lng_min, lat_max, lng_max
+
+
+def _cover_cells_of_bbox(lat_min, lng_min, lat_max, lng_max, z: int) -> list[int]:
+    lat_min = max(lat_min, -NK.MERC_MAX_LATITUDE)
+    lat_max = min(lat_max, NK.MERC_MAX_LATITUDE)
+    tx1, ty1 = cell_tile_of_latlng(lat_max, lng_min, z)
+    tx2, ty2 = cell_tile_of_latlng(lat_min, lng_max, z)
+    n = 1 << z
+    cells = []
+    for ty in range(max(0, int(ty1)), min(n - 1, int(ty2)) + 1):
+        for tx in range(max(0, int(tx1)), min(n - 1, int(tx2)) + 1):
+            cells.append(int(morton(np.array([tx]), np.array([ty]))[0]))
+    return cells
+
+
+def _count_cover_cells(lat_min, lng_min, lat_max, lng_max, z: int) -> int:
+    """Cell count of the bbox cover at z WITHOUT enumerating."""
+    lat_min = max(lat_min, -NK.MERC_MAX_LATITUDE)
+    lat_max = min(lat_max, NK.MERC_MAX_LATITUDE)
+    tx1, ty1 = cell_tile_of_latlng(lat_max, lng_min, z)
+    tx2, ty2 = cell_tile_of_latlng(lat_min, lng_max, z)
+    n = 1 << z
+    nx = min(n - 1, int(tx2)) - max(0, int(tx1)) + 1
+    ny = min(n - 1, int(ty2)) - max(0, int(ty1)) + 1
+    return max(0, nx) * max(0, ny)
+
+
+def _pick_cover_zoom(centers: list[tuple[int, float, float]], radius_m: float,
+                     max_cells_per_center: int = 64) -> int:
+    """Finest zoom whose per-center bbox cover stays under the cell
+    budget — keeps the broadcast build side tiny while maximizing
+    pruning selectivity."""
+    for z in range(16, -1, -1):
+        worst = 0
+        for _, lat, lng in centers:
+            bb = _buffered_bbox(lat, lng, radius_m)
+            worst = max(worst, _count_cover_cells(*bb, z))
+        if worst <= max_cells_per_center:
+            return z
+    return 0
+
+
+def radius_join(points: DataFrame, centers: list[tuple[int, float, float]],
+                max_m: float, min_m: float = 0.0,
+                lat: str = "lat", lng: str = "lng",
+                with_distance: bool = True) -> DataFrame:
+    """in_radius(_with_distance) as a join (src/point_rtree.cc:21-68):
+    per-center buffered-bbox cell cover (broadcast) ⨝ points on cell,
+    exact haversine refine with half-open ``[min_m, max_m)`` semantics,
+    ordered by distance. ``centers`` = [(query_id, lat, lng), ...].
+    """
+    spark = points.sparkSession
+    z = _pick_cover_zoom(centers, max_m)
+    rows = []
+    for qid, clat, clng in centers:
+        bb = _buffered_bbox(clat, clng, max_m)
+        for c in _cover_cells_of_bbox(*bb, z):
+            rows.append((int(qid), float(clat), float(clng), int(c)))
+    cover = spark.createDataFrame(
+        rows, "query_id long, q_lat double, q_lng double, q_cell long"
+    )
+    dist = K.distance(F.col("q_lat"), F.col("q_lng"), F.col(lat), F.col(lng))
+    out = (
+        points.withColumn("_cell_q", K.cell_at_zoom(F.col(lat), F.col(lng), z))
+        .join(F.broadcast(cover), F.col("_cell_q") == F.col("q_cell"), "inner")
+        .drop("_cell_q", "q_cell")
+        .withColumn("dist_m", dist)
+        .filter((F.col("dist_m") < max_m) & (F.col("dist_m") >= min_m))
+        .orderBy("query_id", "dist_m")
+    )
+    if not with_distance:
+        out = out.drop("dist_m")
+    return out.drop("q_lat", "q_lng")
+
+
+# ---------------------------------------------------------------------------
+# Box query (Q5/Q7)
+# ---------------------------------------------------------------------------
+def box_query(points: DataFrame, lat_min: float, lng_min: float,
+              lat_max: float, lng_max: float,
+              lat: str = "lat", lng: str = "lng",
+              strict: bool = True) -> DataFrame:
+    """point_rtree::within(box) (src/point_rtree.cc:70-78): pure Column
+    predicate; STRICT inequalities per box::contains(latlng)
+    (box.h:72-75). On a cell-sorted table the lat/lng min-max column
+    stats give parquet row-group pruning for free.
+    """
+    pred = K.box_contains_point(
+        F.lit(lat_min), F.lit(lng_min), F.lit(lat_max), F.lit(lng_max),
+        F.col(lat), F.col(lng),
+    )
+    if not strict:
+        pred = (
+            (F.col(lat) >= lat_min) & (F.col(lat) <= lat_max)
+            & (F.col(lng) >= lng_min) & (F.col(lng) <= lng_max)
+        )
+    return points.filter(pred)
+
+
+# ---------------------------------------------------------------------------
+# kNN join (Q4) — guaranteed-exact two-phase plan
+# ---------------------------------------------------------------------------
+def knn_join(points: DataFrame, centers: list[tuple[int, float, float]], k: int,
+             lat: str = "lat", lng: str = "lng", id_col: str = "point_id",
+             start_zoom: int = 12) -> DataFrame:
+    """point_rtree::nearest(c, k) (src/point_rtree.cc:38-48) as a
+    distributed two-phase plan:
+
+    phase 1 (candidate radius discovery): join each center's 3×3 cell
+    neighborhood at a zoom that yields ≥ k candidates (coarsening on
+    miss — a short driver loop over *counts only*, no data collect);
+    the kth candidate distance is an upper bound d_k on the true kth
+    neighbor distance.
+
+    phase 2 (guaranteed exact): radius join with max = d_k (+ε), then
+    window top-k by exact haversine. Correct because the true k
+    nearest all lie within d_k of the center.
+    """
+    spark = points.sparkSession
+    # deterministic tie-break: exact-equal distances resolve by id
+    w = Window.partitionBy("query_id").orderBy("dist_m", id_col)
+    pts = points
+
+    # --- phase 1: find a per-center upper bound on the kth distance
+    remaining = list(centers)
+    dk_by_qid: dict[int, float] = {}
+    z = start_zoom
+    while remaining and z >= 0:
+        seen: set[tuple[int, int]] = set()
+        rows = []
+        for qid, clat, clng in remaining:
+            ctx, cty = cell_tile_of_latlng(clat, clng, z)
+            n = 1 << z
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    tx, ty = (int(ctx) + dx) % n, int(cty) + dy
+                    if not (0 <= ty < n):
+                        continue
+                    c = int(morton(np.array([tx]), np.array([ty]))[0])
+                    if (int(qid), c) in seen:  # 3x3 wraps onto itself at coarse z
+                        continue
+                    seen.add((int(qid), c))
+                    rows.append((int(qid), float(clat), float(clng), c))
+        cover = spark.createDataFrame(
+            rows, "query_id long, q_lat double, q_lng double, q_cell long"
+        )
+        cand = (
+            pts.withColumn("_c", K.cell_at_zoom(F.col(lat), F.col(lng), z))
+            .join(F.broadcast(cover), F.col("_c") == F.col("q_cell"))
+            .withColumn("dist_m", K.distance(F.col("q_lat"), F.col("q_lng"),
+                                             F.col(lat), F.col(lng)))
+        )
+        kth = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n"), F.max("dist_m").alias("dk"))
+            .collect()
+        )
+        got = {r["query_id"]: (r["n"], r["dk"]) for r in kth}
+        still = []
+        for qid, clat, clng in remaining:
+            n_found, dk = got.get(qid, (0, None))
+            if n_found >= k:
+                dk_by_qid[qid] = float(dk)
+            else:
+                still.append((qid, clat, clng))
+        remaining = still
+        z -= 2  # coarsen 4x per miss
+
+    if remaining:  # fewer than k points near these centers anywhere:
+        for qid, _, _ in remaining:
+            dk_by_qid[qid] = 2.1e7  # > half earth circumference: full scan
+
+    # --- phase 2: exact radius join at d_k, top-k re-rank
+    max_r = max(dk_by_qid.values()) * (1.0 + 1e-9) + 1e-6
+    cand = radius_join(pts, centers, max_m=max_r, lat=lat, lng=lng)
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", "dist_m")
+    )

@@ -1,0 +1,154 @@
+"""Deterministic synthesis of the Common-Crawl-style ``pages`` table.
+
+The engine's input (BASELINE.json input_hint) is an Iceberg/parquet
+table ``pages(url string, warc_ts timestamp, html binary, text string,
+lang string)``. No external data exists in the sandbox, so this module
+synthesizes it **deterministically and distributedly**: generation runs
+as ``mapInArrow`` over ``spark.range(n)`` so a 10^12-row synthesis is
+just a bigger range — no driver-side materialization, no seed-order
+dependence (every value is a pure function of the page id via a
+splitmix64-style integer hash, stable under any partitioning).
+
+City skew: page coordinates are drawn from a Zipf-ish distribution
+over ~512 synthetic "cities" (a handful of hot cells) to exercise the
+salting / AQE-skew machinery the north rule demands.
+
+The ``text`` column embeds geo-entity mentions in a fixed format
+(``coord: %.6f, %.6f``); `geospark.extract` parses them back out.
+The pair (this generator, that extractor) plays the role of the
+reference extractor for the byte-identical-text-per-url invariant.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+_LANGS = np.array(["en", "de", "fr", "es", "it", "pt", "nl", "pl"])
+_N_CITIES = 512
+_WARC_EPOCH_S = 1735689600  # 2025-01-01T00:00:00Z
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Stateless 64-bit mix (public splitmix64 constants)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _u01(h: np.ndarray) -> np.ndarray:
+    """uint64 hash -> uniform double in [0, 1)."""
+    return (h >> np.uint64(11)).astype(np.float64) * (1.0 / (1 << 53))
+
+
+def _city_centers() -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic city centers: lat in [-60, 70], lng in [-180, 180)."""
+    ids = np.arange(_N_CITIES, dtype=np.uint64)
+    lat = _u01(_splitmix64(ids * np.uint64(3) + np.uint64(1))) * 130.0 - 60.0
+    lng = _u01(_splitmix64(ids * np.uint64(3) + np.uint64(2))) * 360.0 - 180.0
+    return lat, lng
+
+
+_CITY_LAT, _CITY_LNG = _city_centers()
+
+
+def _zipf_city(h: np.ndarray) -> np.ndarray:
+    """Map a hash to a city index with a Zipf-ish (s≈1) skew.
+
+    City rank r is chosen so that P(r) ∝ 1/(r+1): invert the CDF of the
+    harmonic distribution via u -> exp(u * ln(N)) - 1.
+    """
+    u = _u01(h)
+    r = np.exp(u * np.log(float(_N_CITIES))) - 1.0
+    return np.clip(r.astype(np.int64), 0, _N_CITIES - 1)
+
+
+def synth_pages_batch(ids: np.ndarray) -> pa.RecordBatch:
+    """Pure function page-id array -> Arrow batch of pages rows."""
+    ids = ids.astype(np.uint64)
+    n = ids.size
+    h_base = _splitmix64(ids)
+    n_points = (_splitmix64(ids + np.uint64(11)) % np.uint64(4)).astype(np.int64)
+
+    # per-page point coordinates (up to 3), city-skewed with jitter
+    texts: list[str] = []
+    max_pts = 3
+    pt_lat = np.zeros((n, max_pts))
+    pt_lng = np.zeros((n, max_pts))
+    for j in range(max_pts):
+        hj = _splitmix64(ids * np.uint64(7) + np.uint64(100 + j))
+        city = _zipf_city(hj)
+        jit_lat = (_u01(_splitmix64(hj + np.uint64(1))) - 0.5) * 0.2
+        jit_lng = (_u01(_splitmix64(hj + np.uint64(2))) - 0.5) * 0.2
+        pt_lat[:, j] = np.clip(_CITY_LAT[city] + jit_lat, -85.0, 85.0)
+        pt_lng[:, j] = _CITY_LNG[city] + jit_lng
+        pt_lng[:, j] = np.where(pt_lng[:, j] >= 180.0, pt_lng[:, j] - 360.0, pt_lng[:, j])
+        pt_lng[:, j] = np.where(pt_lng[:, j] < -180.0, pt_lng[:, j] + 360.0, pt_lng[:, j])
+
+    langs = _LANGS[(h_base % np.uint64(len(_LANGS))).astype(np.int64)]
+    ts = (_WARC_EPOCH_S + (h_base % np.uint64(86400 * 30)).astype(np.int64)).astype(
+        "datetime64[s]"
+    )
+
+    urls = [f"https://site{int(i) % 1000}.example.com/page/{int(i)}" for i in ids]
+    for r in range(n):
+        k = int(n_points[r])
+        parts = [f"Synthetic page {int(ids[r])} lang={langs[r]}."]
+        for j in range(k):
+            parts.append(f"coord: {pt_lat[r, j]:.6f}, {pt_lng[r, j]:.6f}")
+        parts.append("End of document.")
+        texts.append(" ".join(parts))
+
+    htmls = [
+        b"<html><head><title>p</title></head><body><p>" + t.encode("utf-8")
+        + b"</p></body></html>"
+        for t in texts
+    ]
+    return pa.record_batch(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(ts, pa.timestamp("us")),
+            pa.array(htmls, pa.binary()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        names=["url", "warc_ts", "html", "text", "lang"],
+    )
+
+
+def synth_pages(spark: SparkSession, n_pages: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic pages table.
+
+    Scales to any ``n_pages``: generation is embarrassingly parallel
+    over ``spark.range`` partitions; no shuffle, no driver data.
+    """
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(0).to_numpy()
+            yield synth_pages_batch(ids)
+
+    rng = spark.range(0, n_pages, numPartitions=partitions) if partitions else spark.range(n_pages)
+    return rng.mapInArrow(gen, PAGES_SCHEMA)
+
+
+def extract_text_from_html(html: bytes) -> bytes:
+    """The 'reference extractor': deterministic text from html bytes.
+
+    Byte-identical per url by construction (pure function of the
+    page's html). Mirrors what a production pipeline would do with a
+    real HTML parser; here the synthetic html wraps text in one <p>.
+    """
+    start = html.find(b"<p>")
+    end = html.rfind(b"</p>")
+    if start == -1 or end == -1:
+        return b""
+    return html[start + 3 : end]

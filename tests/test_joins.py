@@ -1,0 +1,110 @@
+"""Spatial joins vs the reference's own unit-test fixtures
+(test/point_rtree_test.cc, test/box_test.cc) + PIP semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geospark.functions import numpy_kernels as NK
+from geospark.joins import (
+    Area,
+    PolygonLayer,
+    area_contains,
+    box_query,
+    knn_join,
+    pip_join,
+    radius_join,
+)
+
+# Darmstadt POIs (test/point_rtree_test.cc:10-16)
+HBF = (49.8726016, 8.6310396)
+LUISENPLATZ = (49.8728246, 8.6512529)
+ALGO = (49.8780513, 8.6547033)
+MENSA = (49.8756276, 8.6577833)
+
+
+def _points_df(spark):
+    rows = [
+        (0, *HBF),
+        (1, *LUISENPLATZ),
+        (2, *ALGO),
+    ]
+    return spark.createDataFrame(rows, "point_id long, lat double, lng double")
+
+
+def test_radius_join_darmstadt(spark):
+    pts = _points_df(spark)
+    centers = [(0, *MENSA)]
+
+    # in_radius(450) -> {Algo} (point_rtree_test.cc:24-27)
+    r = radius_join(pts, centers, max_m=450.0).collect()
+    assert [x["point_id"] for x in r] == [2]
+
+    # in_radius(450, 1000) -> {Luisenplatz} (point_rtree_test.cc:29-33)
+    r = radius_join(pts, centers, max_m=1000.0, min_m=450.0).collect()
+    assert [x["point_id"] for x in r] == [1]
+
+    # in_radius_with_distance(10000) -> distance-ordered [Algo, Luisenplatz, Hbf]
+    r = radius_join(pts, centers, max_m=10000.0).collect()
+    assert [x["point_id"] for x in r] == [2, 1, 0]
+    # distances match the exact haversine kernel
+    for row in r:
+        lat, lng = {0: HBF, 1: LUISENPLATZ, 2: ALGO}[row["point_id"]]
+        expect = float(NK.distance(MENSA[0], MENSA[1], lat, lng))
+        assert abs(row["dist_m"] - expect) < 1e-6
+
+
+def test_knn_join_darmstadt(spark):
+    pts = _points_df(spark)
+    r = knn_join(pts, [(0, *MENSA)], k=2).collect()
+    assert [x["point_id"] for x in r] == [2, 1]
+    r = knn_join(pts, [(0, *MENSA)], k=5).collect()  # k > n: all 3
+    assert [x["point_id"] for x in r] == [2, 1, 0]
+
+
+def test_box_query_strict(spark):
+    # box::contains is STRICT (box.h:72-75): boundary points excluded
+    rows = [(0, 1.0, 1.0), (1, 0.0, 0.5), (2, 0.5, 0.5)]
+    pts = spark.createDataFrame(rows, "point_id long, lat double, lng double")
+    got = box_query(pts, 0.0, 0.0, 1.0, 1.0).collect()
+    assert [x["point_id"] for x in got] == [2]
+    got = box_query(pts, 0.0, 0.0, 1.0, 1.0, strict=False).collect()
+    assert sorted(x["point_id"] for x in got) == [0, 1, 2]
+
+
+def test_area_contains_with_hole():
+    outer = np.array([(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)])
+    hole = np.array([(4.0, 4.0), (4.0, 6.0), (6.0, 6.0), (6.0, 4.0)])
+    area = Area(1, [outer], [[hole]])
+    lat = np.array([5.0, 2.0, 5.0, 11.0])
+    lng = np.array([5.0, 2.0, 4.5, 5.0])
+    got = area_contains(area, lat, lng)
+    assert got.tolist() == [False, True, False, False]
+
+
+def test_pip_join_spark(spark):
+    outer = np.array([(0.1, 0.1), (0.1, 9.9), (9.9, 9.9), (9.9, 0.1)])
+    layer = PolygonLayer([Area(7, [outer])], cover_zoom=6)
+    rows = [(0, 5.0, 5.0), (1, 20.0, 20.0), (2, 0.2, 9.8), (3, -5.0, 5.0)]
+    pts = spark.createDataFrame(rows, "point_id long, lat double, lng double")
+    got = pip_join(pts, layer).select("point_id", "area_id").collect()
+    assert sorted((x["point_id"], x["area_id"]) for x in got) == [(0, 7), (2, 7)]
+
+
+def test_pip_join_multipolygon_with_hole(spark):
+    a = Area(
+        1,
+        outers=[
+            np.array([(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]),
+            np.array([(20.0, 20.0), (20.0, 30.0), (30.0, 30.0), (30.0, 20.0)]),
+        ],
+        inners=[
+            [np.array([(4.0, 4.0), (4.0, 6.0), (6.0, 6.0), (6.0, 4.0)])],
+            [],
+        ],
+    )
+    layer = PolygonLayer([a], cover_zoom=5)
+    rows = [(0, 5.0, 5.0), (1, 2.0, 2.0), (2, 25.0, 25.0), (3, 15.0, 15.0)]
+    pts = spark.createDataFrame(rows, "point_id long, lat double, lng double")
+    got = pip_join(pts, layer).select("point_id").collect()
+    assert sorted(x["point_id"] for x in got) == [1, 2]
