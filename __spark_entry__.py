@@ -160,8 +160,140 @@ def _q_box_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_polyline_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 via the engine's array-expression length operator: build the
+    per-user trajectory (deterministic (ts, event_id) order), then
+    aggregate-fold haversine segments JVM-side."""
+    from geospark import lines as L
+
+    pts = G.events_points(spark, sf_dir)
+    traj = (
+        pts.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "lat", "lng"))
+            ).alias("seq")
+        )
+        .withColumn(
+            "line", F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))")
+        )
+    )
+    return traj.select(
+        "user_id",
+        F.size("line").alias("n_points"),
+        F.floor(L.length("line")).alias("len_floor_m"),
+    )
+
+
+def _q_destination_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = G.events_points(spark, sf_dir)
+    dist = (F.col("event_id") % 900) * 1000.0 + 500.0
+    brg = (F.col("event_id") % 360) + 0.5
+    dlat, dlng = K.destination_point(F.col("lat"), F.col("lng"), dist, brg)
+    return pts.select(
+        "event_id",
+        F.round(dlat, 5).alias("dest_lat"),
+        F.round(dlng, 5).alias("dest_lng"),
+    )
+
+
+def _q_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = G.events_points(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    seq = pts.withColumn("p_lat", F.lag("lat").over(w)).withColumn(
+        "p_lng", F.lag("lng").over(w)
+    )
+    mlat, mlng = K.midpoint(
+        F.col("p_lat"), F.col("p_lng"), F.col("lat"), F.col("lng")
+    )
+    return (
+        seq.filter(F.col("p_lat").isNotNull())
+        .select(
+            "event_id",
+            F.round(mlat, 5).alias("mid_lat"),
+            F.round(mlng, 5).alias("mid_lng"),
+        )
+    )
+
+
+def _q_simplify_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: 21-level DP masks over per-user trajectories."""
+    from geospark import lines as L
+
+    pts = G.events_points(spark, sf_dir)
+    traj = (
+        pts.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "lat", "lng"))
+            ).alias("seq")
+        )
+        .withColumn(
+            "line", F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))")
+        )
+        .filter(F.size("line") >= 2)
+        .withColumn("mask", L.make_simplify_mask_udf()(F.col("line")))
+    )
+    z0 = L.apply_simplify_mask_udf(0)(F.col("mask"), F.col("line"))
+    z10 = L.apply_simplify_mask_udf(10)(F.col("mask"), F.col("line"))
+    return traj.select(
+        "user_id",
+        F.size("line").alias("n_points"),
+        F.size(z0).alias("n_z0"),
+        F.size(z10).alias("n_z10"),
+        F.length("mask").alias("mask_bytes"),
+    )
+
+
+def _q_polyline_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Google polyline encode/decode roundtrip stats."""
+    from geospark import lines as L
+
+    pts = G.events_points(spark, sf_dir)
+    traj = (
+        pts.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "lat", "lng"))
+            ).alias("seq")
+        )
+        .withColumn(
+            "line", F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))")
+        )
+        .withColumn("enc", L.encode_polyline_udf(5)(F.col("line")))
+        .withColumn("dec", L.decode_polyline_udf(5)(F.col("enc")))
+    )
+    return traj.select(
+        "user_id",
+        F.length("enc").alias("enc_len"),
+        F.size("dec").alias("n_roundtrip"),
+        F.size("line").alias("n_points"),
+    )
+
+
+def _q_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: two-stage geo clustering (C1), 100 km threshold."""
+    from geospark.cluster import cluster_nearby
+
+    pts = G.events_points(spark, sf_dir).select(
+        F.col("event_id").alias("point_id"), "lat", "lng"
+    )
+    labels = cluster_nearby(pts, 100_000.0)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "polyline_length": _q_polyline_length,
+        "destination_point": _q_destination_point,
+        "midpoint": _q_midpoint,
+        "simplify_mask": _q_simplify_mask,
+        "polyline_codec": _q_polyline_codec,
+        "cluster": _q_cluster,
         "tile_assign": _q_tile_assign,
         "cell_morton": _q_cell_morton,
         "bbox_agg": _q_bbox_agg,
@@ -203,8 +335,47 @@ def oracle_sql() -> dict[str, str]:
 
     prev = "PARTITION BY event_type ORDER BY event_id"
     bearing = G.bearing_sql("p_lat", "p_lng", "lat", "lng")
+    seg_hav = G.haversine_sql("p_lat", "p_lng", "lat", "lng")
+    dest_lat, dest_lng = G.destination_sql(
+        "lat", "lng", "(event_id % 900) * 1000.0 + 500.0", "(event_id % 360) + 0.5"
+    )
+    mid_lat, mid_lng = G.midpoint_sql("p_lat", "p_lng", "lat", "lng")
 
     return {
+        "polyline_length": f"""
+            WITH pts AS ({pts}),
+            seq AS (
+                SELECT user_id, lat, lng,
+                       lag(lat) OVER w AS p_lat, lag(lng) OVER w AS p_lng
+                FROM pts
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, count(*) AS n_points,
+                   CAST(floor(coalesce(sum(
+                       CASE WHEN p_lat IS NULL THEN NULL ELSE {seg_hav} END
+                   ), 0.0)) AS BIGINT) AS len_floor_m
+            FROM seq GROUP BY user_id
+        """,
+        "destination_point": f"""
+            WITH pts AS ({pts})
+            SELECT event_id,
+                   round({dest_lat}, 5) AS dest_lat,
+                   round({dest_lng}, 5) AS dest_lng
+            FROM pts
+        """,
+        "midpoint": f"""
+            WITH pts AS ({pts}),
+            seq AS (
+                SELECT event_id, lat, lng,
+                       lag(lat) OVER ({prev}) AS p_lat,
+                       lag(lng) OVER ({prev}) AS p_lng
+                FROM pts
+            )
+            SELECT event_id,
+                   round({mid_lat}, 5) AS mid_lat,
+                   round({mid_lng}, 5) AS mid_lng
+            FROM seq WHERE p_lat IS NOT NULL
+        """,
         "tile_assign": f"""
             WITH pts AS ({pts})
             SELECT {tx} AS tile_x, {ty} AS tile_y,

@@ -340,24 +340,25 @@ NO_CLUSTER = np.uint32(0xFFFFFFFF)
 
 
 def gc_distance_f(a_lat, a_lng, b_lat, b_lng):
-    """float32 haversine (src/cluster_nearby.cc:32-40)."""
-    f = np.float32
-    k_pi = f(math.pi)
-    to_rad = lambda d: f(d) * k_pi / f(180.0)  # noqa: E731
-    u = np.sin((to_rad(b_lat) - to_rad(a_lat)) / f(2))
-    v = np.sin((to_rad(b_lng) - to_rad(a_lng)) / f(2))
-    return f(2.0) * f(6371000.0) * np.arcsin(
+    """float32 haversine (src/cluster_nearby.cc:32-40).
+    Array-safe: inputs may be scalars or ndarrays."""
+    k_pi = np.float32(math.pi)
+    to_rad = lambda d: np.asarray(d, np.float32) * k_pi / np.float32(180.0)  # noqa: E731
+    u = np.sin((to_rad(b_lat) - to_rad(a_lat)) / np.float32(2))
+    v = np.sin((to_rad(b_lng) - to_rad(a_lng)) / np.float32(2))
+    return np.float32(2.0) * np.float32(6371000.0) * np.arcsin(
         np.sqrt(u * u + np.cos(to_rad(a_lat)) * np.cos(to_rad(b_lat)) * v * v)
     )
 
 
 def compute_bounding_box_f(lat, lng, dist):
-    """float32 box around center (src/cluster_nearby.cc:42-56)."""
-    f = np.float32
-    k_pi = f(math.pi)
-    r = f(6371000.0)
-    offset_lat = (f(dist) / r) * f(180.0) / k_pi
-    offset_lng = (f(dist) / (r * np.cos(f(lat) * k_pi / f(180.0)))) * f(180.0) / k_pi
+    """float32 box around center (src/cluster_nearby.cc:42-56).
+    Array-safe: lat/lng/dist may be scalars or ndarrays."""
+    f = lambda v: np.asarray(v, dtype=np.float32)  # noqa: E731
+    k_pi = np.float32(math.pi)
+    r = np.float32(6371000.0)
+    offset_lat = (f(dist) / r) * np.float32(180.0) / k_pi
+    offset_lng = (f(dist) / (r * np.cos(f(lat) * k_pi / np.float32(180.0)))) * np.float32(180.0) / k_pi
     return f(lat) + offset_lat, f(lat) - offset_lat, f(lng) + offset_lng, f(lng) - offset_lng
 
 

@@ -127,6 +127,39 @@ def bearing_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
     return f"degrees(fmod(({b}) + {two_pi}, {two_pi}))"
 
 
+def destination_sql(lat: str, lng: str, dist_m: str, bearing_deg: str) -> tuple[str, str]:
+    """S7 destination_point (src/latlng.cc:197-221), formula-identical
+    to kernels.destination_point. Returns (lat_expr, lng_expr)."""
+    lat_r = f"radians({lat})"
+    b_r = f"radians({bearing_deg})"
+    ang = f"(({dist_m}) / {EARTH_R})"
+    lat_dest = (
+        f"asin(sin({lat_r}) * cos({ang}) + "
+        f"cos({lat_r}) * sin({ang}) * cos({b_r}))"
+    )
+    lng_dest = (
+        f"(radians({lng}) + atan2(sin({b_r}) * sin({ang}) * cos({lat_r}), "
+        f"cos({ang}) - sin({lat_r}) * sin({lat_dest})))"
+    )
+    return f"degrees({lat_dest})", f"degrees({lng_dest})"
+
+
+def midpoint_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> tuple[str, str]:
+    """S6 midpoint (src/latlng.cc:57-73) in DEGREES (the reference
+    quirkily returns radians; kernels.midpoint converts — so does this).
+    Returns (lat_expr, lng_expr)."""
+    d_lng = f"radians(({lng2}) - ({lng1}))"
+    a_lat, b_lat = f"radians({lat1})", f"radians({lat2})"
+    b_x = f"(cos({b_lat}) * cos({d_lng}))"
+    b_y = f"(cos({b_lat}) * sin({d_lng}))"
+    mid_lat = (
+        f"atan2(sin({a_lat}) + sin({b_lat}), "
+        f"sqrt((cos({a_lat}) + {b_x}) * (cos({a_lat}) + {b_x}) + {b_y} * {b_y}))"
+    )
+    mid_lng = f"(radians({lng1}) + atan2({b_y}, cos({a_lat}) + {b_x}))"
+    return f"degrees({mid_lat})", f"degrees({mid_lng})"
+
+
 def ring_pip_sql(lat: str, lng: str, ring: np.ndarray) -> str:
     """Unrolled even-odd ray-cast parity for a fixed ring — the exact
     arithmetic of joins._ring_contains, as chained boolean XOR (<>).

@@ -1,0 +1,213 @@
+"""Polyline operators (SURVEY §2.3-2.5: L1-L8, M1-M7, G1-G4).
+
+Lines are ``array<struct<lat:double, lng:double>>`` columns. Everything
+expressible as array/higher-order Column expressions stays JVM-side
+(length, extract, serde, mask application); the iterative
+Douglas-Peucker masks and the Google polyline codec run as
+Arrow-batched pandas UDFs over numpy (geospark.functions.numpy_kernels
+— exact reference semantics incl. the uint64 truncation and llround
+quirks). distance_to_polyline is a relational plan: explode to
+segments -> exact closest-on-segment Column kernel -> window argmin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from geospark.functions import kernels as K
+from geospark.functions import numpy_kernels as NK
+
+LINE_TYPE = "array<struct<lat:double,lng:double>>"
+
+
+def _hav_expr(a_lat: str, a_lng: str, b_lat: str, b_lng: str) -> str:
+    """Haversine as a SQL-expression string (S1, src/latlng.cc:29-31)."""
+    dlat = f"(radians(({b_lat}) - ({a_lat})) / 2.0D)"
+    dlng = f"(radians(({b_lng}) - ({a_lng})) / 2.0D)"
+    a = (
+        f"(sin({dlat}) * sin({dlat}) + cos(radians({a_lat})) * "
+        f"cos(radians({b_lat})) * sin({dlng}) * sin({dlng}))"
+    )
+    return f"(2.0D * {K.EARTH_RADIUS_M}D * asin(least(1.0D, sqrt({a}))))"
+
+
+# ---------------------------------------------------------------------------
+# L1 length — sum of great-circle segment lengths (src/polyline.cc:12-14)
+# Pure higher-order Column expression: zip adjacent points, haversine
+# each segment, aggregate-sum. No shuffle, whole-stage codegen.
+# ---------------------------------------------------------------------------
+def length(line: str) -> Column:
+    """``line`` is the column NAME of an array<struct<lat,lng>>."""
+    seg = (
+        f"zip_with(slice({line}, 1, size({line}) - 1), "
+        f"slice({line}, 2, size({line}) - 1), "
+        f"(a, b) -> {_hav_expr('a.lat', 'a.lng', 'b.lat', 'b.lng')})"
+    )
+    return F.expr(f"aggregate({seg}, cast(0.0 as double), (acc, x) -> acc + x)")
+
+
+# L4 extract — sub-polyline by index range, reversible (src/polyline.cc:22-30)
+def extract(line: str, from_idx, to_idx) -> Column:
+    f_, t_ = F.lit(from_idx) if isinstance(from_idx, int) else from_idx, (
+        F.lit(to_idx) if isinstance(to_idx, int) else to_idx
+    )
+    fwd = F.slice(F.col(line), f_ + 1, t_ - f_ + 1)
+    bwd = F.reverse(F.slice(F.col(line), t_ + 1, f_ - t_ + 1))
+    return F.when(f_ <= t_, fwd).otherwise(bwd)
+
+
+# L5 serialize / deserialize — line <-> flat [lat0, lng0, lat1, ...]
+# (polyline.h:43-66), pure array exprs.
+def serialize(line: str) -> Column:
+    return F.expr(f"flatten(transform({line}, p -> array(p.lat, p.lng)))")
+
+
+def deserialize(flat: str) -> Column:
+    return F.expr(
+        f"transform(sequence(0, size({flat}) div 2 - 1), "
+        f"i -> struct({flat}[i * 2] AS lat, {flat}[i * 2 + 1] AS lng))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3/M5 simplify masks — Arrow-batched UDFs over the numpy DP kernels
+# ---------------------------------------------------------------------------
+def make_simplify_mask_udf():
+    """line -> serialized 21-level keep-mask (simplify_mask.h:112-218,
+    exact byte layout: u32 lvls, u32 size, LSB-first bits).
+    Factory (pandas_udf needs an active session to parse the type)."""
+
+    @pandas_udf("binary")
+    def _mask(lines: pd.Series) -> pd.Series:
+        out = []
+        for line in lines:
+            if line is None or len(line) == 0:
+                out.append(None)
+                continue
+            lats = np.array([p["lat"] for p in line])
+            lngs = np.array([p["lng"] for p in line])
+            masks = NK.make_simplify_mask(lats, lngs)
+            out.append(NK.serialize_simplify_mask(masks))
+        return pd.Series(out)
+
+    return _mask
+
+
+def apply_simplify_mask_udf(level: int):
+    """mask binary + line -> simplified line at `level` (M6/M4)."""
+
+    @pandas_udf(LINE_TYPE)
+    def _apply(masks: pd.Series, lines: pd.Series) -> pd.Series:
+        out = []
+        for mask_b, line in zip(masks, lines):
+            if mask_b is None or line is None:
+                out.append(None)
+                continue
+            keep = NK.read_simplify_mask(bytes(mask_b), level)
+            out.append([p for i, p in enumerate(line) if keep[i]])
+        return pd.Series(out)
+
+    return _apply
+
+
+def simplify_udf(max_distance_deg: float):
+    """L2 one-shot Douglas-Peucker with a degree tolerance
+    (src/polyline.cc:16-20, boost::geometry::simplify semantics)."""
+
+    @pandas_udf(LINE_TYPE)
+    def _simplify(lines: pd.Series) -> pd.Series:
+        out = []
+        for line in lines:
+            if line is None or len(line) < 2:
+                out.append(line)
+                continue
+            lats = np.array([p["lat"] for p in line])
+            lngs = np.array([p["lng"] for p in line])
+            keep = NK.simplify_dp_latlng(lats, lngs, max_distance_deg)
+            out.append([p for i, p in enumerate(line) if keep[i]])
+        return pd.Series(out)
+
+    return _simplify
+
+
+# ---------------------------------------------------------------------------
+# G1-G4 Google polyline codec
+# ---------------------------------------------------------------------------
+def encode_polyline_udf(precision: int = 5):
+    @pandas_udf("string")
+    def _enc(lines: pd.Series) -> pd.Series:
+        out = []
+        for line in lines:
+            if line is None:
+                out.append(None)
+                continue
+            lats = [p["lat"] for p in line]
+            lngs = [p["lng"] for p in line]
+            out.append(NK.encode_polyline(lats, lngs, precision))
+        return pd.Series(out)
+
+    return _enc
+
+
+def decode_polyline_udf(precision: int = 5):
+    @pandas_udf(LINE_TYPE)
+    def _dec(strs: pd.Series) -> pd.Series:
+        out = []
+        for s in strs:
+            if s is None:
+                out.append(None)
+                continue
+            lats, lngs = NK.decode_polyline(s, precision)
+            out.append([{"lat": float(a), "lng": float(b)} for a, b in zip(lats, lngs)])
+        return pd.Series(out)
+
+    return _dec
+
+
+# ---------------------------------------------------------------------------
+# L6 distance_to_polyline — relational argmin over segments
+# (polyline.h:79-96): ties keep the FIRST segment (strict <) — the
+# window orders by (dist, seg_idx) so first-wins is preserved.
+# ---------------------------------------------------------------------------
+def distance_to_polyline(pairs: DataFrame, point_lat: str, point_lng: str,
+                         line: str, keys: list[str]) -> DataFrame:
+    """``pairs`` has one row per (point, line) pair; ``keys`` identify
+    the pair. Returns keys + dist_m + seg_idx + closest lat/lng.
+
+    Plan: posexplode line to segments (narrow) -> exact
+    closest_on_segment (S8, pure Column) -> haversine -> window argmin
+    partitioned by the pair keys. One shuffle (the window).
+    """
+    seg = pairs.select(
+        *keys,
+        F.col(point_lat).alias("_x_lat"),
+        F.col(point_lng).alias("_x_lng"),
+        F.posexplode(
+            F.expr(
+                f"zip_with(slice({line}, 1, size({line}) - 1), "
+                f"slice({line}, 2, size({line}) - 1), "
+                f"(a, b) -> struct(a AS f, b AS t))"
+            )
+        ).alias("seg_idx", "_seg"),
+    )
+    c_lat, c_lng = K.closest_on_segment(
+        F.col("_x_lat"), F.col("_x_lng"),
+        F.col("_seg.f.lat"), F.col("_seg.f.lng"),
+        F.col("_seg.t.lat"), F.col("_seg.t.lng"),
+    )
+    seg = seg.withColumn("closest_lat", c_lat).withColumn("closest_lng", c_lng)
+    seg = seg.withColumn(
+        "dist_m",
+        K.distance(F.col("_x_lat"), F.col("_x_lng"),
+                   F.col("closest_lat"), F.col("closest_lng")),
+    )
+    w = Window.partitionBy(*keys).orderBy("dist_m", "seg_idx")
+    return (
+        seg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, "dist_m", "seg_idx", "closest_lat", "closest_lng")
+    )

@@ -1,0 +1,149 @@
+"""Polyline operators as Spark plans vs numpy oracles + reference
+fixtures (test/polyline_test.cc course, polyline_format_test.cc)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geospark import lines as L
+from geospark.functions import numpy_kernels as NK
+
+# 8-point course from test/polyline_test.cc:12-24
+COURSE = [
+    (49.87810348510742, 8.654789924621582),
+    (49.87817764282227, 8.655288696289062),
+    (49.87831115722656, 8.656148910522461),
+    (49.878414154052734, 8.656842231750488),
+    (49.87851333618164, 8.657508850097656),
+    (49.87859344482422, 8.658072471618652),
+    (49.87862014770508, 8.658266067504883),
+    (49.87869262695312, 8.658742904663086),
+]
+
+
+def _line_df(spark, pts=COURSE, line_id=0):
+    data = [(line_id, [{"lat": p[0], "lng": p[1]} for p in pts])]
+    return spark.createDataFrame(data, f"line_id long, line {L.LINE_TYPE}")
+
+
+def test_length(spark):
+    df = _line_df(spark)
+    got = df.select(L.length("line").alias("len_m")).collect()[0]["len_m"]
+    lats = np.array([p[0] for p in COURSE])
+    lngs = np.array([p[1] for p in COURSE])
+    expect = float(np.sum(NK.distance(lats[:-1], lngs[:-1], lats[1:], lngs[1:])))
+    assert abs(got - expect) < 1e-9
+
+
+def test_extract_forward_backward(spark):
+    df = _line_df(spark)
+    fwd = df.select(L.extract("line", 2, 4).alias("sub")).collect()[0]["sub"]
+    assert [(p["lat"], p["lng"]) for p in fwd] == COURSE[2:5]
+    bwd = df.select(L.extract("line", 4, 2).alias("sub")).collect()[0]["sub"]
+    assert [(p["lat"], p["lng"]) for p in bwd] == COURSE[2:5][::-1]
+
+
+def test_serde_roundtrip(spark):
+    df = _line_df(spark)
+    flat = df.select(L.serialize("line").alias("flat"))
+    back = flat.select(L.deserialize("flat").alias("line")).collect()[0]["line"]
+    assert [(p["lat"], p["lng"]) for p in back] == COURSE
+
+
+def test_simplify_mask_udf_matches_numpy(spark):
+    df = _line_df(spark)
+    got = df.select(L.make_simplify_mask_udf()(F.col("line")).alias("m")).collect()[0]["m"]
+    lats = np.array([p[0] for p in COURSE])
+    lngs = np.array([p[1] for p in COURSE])
+    expect = NK.serialize_simplify_mask(NK.make_simplify_mask(lats, lngs))
+    assert bytes(got) == expect
+
+
+def test_apply_mask_roundtrip(spark):
+    df = _line_df(spark).withColumn("m", L.make_simplify_mask_udf()(F.col("line")))
+    out = df.select(L.apply_simplify_mask_udf(0)(F.col("m"), F.col("line")).alias("s"))
+    line0 = out.collect()[0]["s"]
+    assert line0[0]["lat"] == COURSE[0][0]
+    assert line0[-1]["lat"] == COURSE[-1][0]
+    assert 2 <= len(line0) <= len(COURSE)
+    # z20 mask keeps everything on this short course
+    out20 = df.select(L.apply_simplify_mask_udf(20)(F.col("m"), F.col("line")).alias("s"))
+    assert len(out20.collect()[0]["s"]) == len(COURSE)
+
+
+def test_codec_udfs_google_example(spark):
+    pts = [(38.5, -120.2), (40.7, -120.95), (43.252, -126.453)]
+    df = _line_df(spark, pts)
+    enc = df.select(L.encode_polyline_udf(5)(F.col("line")).alias("e")).collect()[0]["e"]
+    assert enc == "_p~iF~ps|U_ulLnnqC_mqNvxq`@"
+    dec = (
+        df.withColumn("e", L.encode_polyline_udf(5)(F.col("line")))
+        .select(L.decode_polyline_udf(5)(F.col("e")).alias("d"))
+        .collect()[0]["d"]
+    )
+    for (lat, lng), p in zip(pts, dec):
+        assert abs(p["lat"] - lat) < 1e-5 and abs(p["lng"] - lng) < 1e-5
+
+
+def test_distance_to_polyline_course(spark):
+    """test/polyline_test.cc:26-88: before/on/after the course."""
+    cases = [
+        # (query point, expected segment idx)
+        ((49.87809944152832, 8.654722213745117), 0),   # before start -> seg 0
+        ((49.87831115722656, 8.656148910522461), 1),   # exactly vertex 2 (end of seg 1)
+        ((49.878695, 8.658742904663086), 6),           # near end
+    ]
+    rows = [
+        (i, q[0], q[1], [{"lat": p[0], "lng": p[1]} for p in COURSE])
+        for i, (q, _) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows, f"pair_id long, qlat double, qlng double, line {L.LINE_TYPE}"
+    )
+    got = {
+        r["pair_id"]: r
+        for r in L.distance_to_polyline(df, "qlat", "qlng", "line", ["pair_id"]).collect()
+    }
+    for i, (q, seg) in enumerate(cases):
+        assert got[i]["seg_idx"] == seg, (i, got[i])
+    # vertex case: distance 0, closest == the vertex
+    assert got[1]["dist_m"] < 1e-6
+
+
+def test_cluster_nearby_spark_matches_reference(spark):
+    """Distributed two-stage clustering == reference single-node
+    algorithm (numpy twin) after canonicalization."""
+    from geospark.cluster import cluster_nearby
+
+    rng = np.random.RandomState(7)
+    # three compact blobs + isolated points
+    blobs = [
+        (49.87, 8.65), (52.52, 13.40), (-33.86, 151.20),
+    ]
+    lats, lngs = [], []
+    for blat, blng in blobs:
+        lats.extend(blat + rng.uniform(-0.003, 0.003, 5))
+        lngs.extend(blng + rng.uniform(-0.003, 0.003, 5))
+    lats.extend([10.0, -60.0])
+    lngs.extend([10.0, -120.0])
+    n = len(lats)
+    df = spark.createDataFrame(
+        [(i, float(lats[i]), float(lngs[i])) for i in range(n)],
+        "point_id long, lat double, lng double",
+    )
+    got = {
+        r["point_id"]: r["cluster_id"]
+        for r in cluster_nearby(df, 1000.0).collect()
+    }
+    ref = NK.cluster_nearby(np.array(lats), np.array(lngs), 1000.0)
+
+    def canon(labels: dict[int, int]) -> dict[int, int]:
+        groups: dict[int, list[int]] = {}
+        for pid, c in labels.items():
+            groups.setdefault(c, []).append(pid)
+        return {pid: min(g) for g in groups.values() for pid in g}
+
+    ref_labels = canon({i: int(ref[i]) for i in range(n)})
+    got_labels = canon(got)
+    assert got_labels == ref_labels
