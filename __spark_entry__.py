@@ -286,8 +286,122 @@ def _q_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data ops: documents + embeddings
+# ---------------------------------------------------------------------------
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+EMB_QUERY_IDS = [3, 57, 111, 222, 404]
+JACCARD_T = 0.1
+MINHASH_T = 0.25
+
+
+def _q_doc_dedup_exact(spark, sf_dir):
+    from geospark.textops import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_doc_token_stats(spark, sf_dir):
+    from geospark.textops import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_doc_quality(spark, sf_dir):
+    from geospark.textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_doc_lang_id(spark, sf_dir):
+    from geospark.textops import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_doc_jaccard_pairs(spark, sf_dir):
+    from geospark.textops import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_T)
+
+
+def _q_doc_minhash_lsh(spark, sf_dir):
+    from geospark.textops import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(_docs(spark, sf_dir), threshold=MINHASH_T)
+
+
+def _q_doc_simhash_pairs(spark, sf_dir):
+    from geospark.textops import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from geospark.textops import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_emb_cosine_topk(spark, sf_dir):
+    from geospark.embeddings import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=10)
+
+
+def _q_emb_ann_lsh(spark, sf_dir):
+    from geospark.embeddings import ann_topk
+
+    # 4 planes -> 16 buckets: ~n/16 candidates per query at this scale
+    return ann_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=10, n_planes=4)
+
+
+def _q_emb_neardup(spark, sf_dir):
+    from geospark.embeddings import embedding_neardup_pairs
+
+    # max pairwise cosine in the synthetic embeddings is ~0.51 — 0.35
+    # marks the top ~0.1% of pairs as "near-dups"
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.35, n_planes=4)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Binary-column pipeline plumbing: docs' utf-8 bytes as payload,
+    Arrow-batched feature extraction (decode stubbed — see
+    geospark.multimodal)."""
+    from geospark.multimodal import extract_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = extract_features(media, decode_fake=True)
+    return out.select(
+        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_jaccard_pairs": _q_doc_jaccard_pairs,
+        "doc_minhash_lsh": _q_doc_minhash_lsh,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_ann_lsh": _q_emb_ann_lsh,
+        "emb_neardup": _q_emb_neardup,
+        "multimodal_features": _q_multimodal_features,
         "polyline_length": _q_polyline_length,
         "destination_point": _q_destination_point,
         "midpoint": _q_midpoint,
@@ -341,7 +455,116 @@ def oracle_sql() -> dict[str, str]:
     )
     mid_lat, mid_lng = G.midpoint_sql("p_lat", "p_lng", "lat", "lng")
 
+    from geospark.textops import BPE_ISH_RE, LANG_MARKERS, STOPWORDS
+
+    stop_pat = "\\b(" + "|".join(STOPWORDS) + ")\\b"
+    lang_counts = ", ".join(
+        f"len(regexp_extract_all(text, '\\b({'|'.join(ws)})\\b')) AS s_{lang}"
+        for lang, ws in sorted(LANG_MARKERS.items())
+    )
+    lang_best = "greatest(" + ", ".join(
+        f"s_{lang}" for lang in sorted(LANG_MARKERS)
+    ) + ")"
+    lang_case = "CASE " + " ".join(
+        f"WHEN s_{lang} = {lang_best} AND {lang_best} > 0 THEN '{lang}'"
+        for lang in sorted(LANG_MARKERS)
+    ) + " ELSE 'unknown' END"
+
+    shingle_cte = """
+        base AS (SELECT doc_id, string_split_regex(text, '\\s+') toks
+                 FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+            FROM base, generate_series(1, 100000) g(i)
+            WHERE i <= len(toks) - 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    """
+
+    emb_ids = ", ".join(str(i) for i in EMB_QUERY_IDS)
+
     return {
+        "doc_dedup_exact": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+                   count(*) OVER (PARTITION BY md5(text)) AS group_size
+            FROM documents
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS n_tokens_re,
+                   length(text) AS n_chars
+            FROM documents
+        """,
+        "doc_quality": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+                       len(regexp_extract_all(text, '{stop_pat}')) AS n_stop,
+                       len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                       length(text) AS n_chars
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(n_stop * 1.0 / n_tok, 6) AS stop_ratio,
+                   round(n_chars * 1.0 / n_tok, 6) AS mean_tok_len,
+                   round(n_alpha * 1.0 / n_chars, 6) AS alpha_ratio,
+                   round(least(1.0, n_stop * 1.0 / n_tok * 4.0) * 0.3
+                       + least(1.0, n_chars * 1.0 / n_tok / 8.0) * 0.3
+                       + n_alpha * 1.0 / n_chars * 0.4, 6) AS quality
+            FROM f
+        """,
+        "doc_lang_id": f"""
+            WITH c AS (SELECT doc_id, {lang_counts} FROM documents)
+            SELECT doc_id, {lang_case} AS lang_pred FROM c
+        """,
+        "doc_jaccard_pairs": f"""
+            WITH {shingle_cte},
+            inter AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       count(*) AS n_inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_id_a, doc_id_b,
+                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_id_a = sa.doc_id
+            JOIN sizes sb ON doc_id_b = sb.doc_id
+            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_T}
+        """,
+        "emb_cosine_topk": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            q AS (SELECT vec_id AS qid, embedding AS qv FROM e
+                  WHERE vec_id IN ({emb_ids})),
+            dots AS (
+                SELECT q.qid AS query_id, e.vec_id,
+                       sum(CAST(x.val AS DOUBLE) * CAST(y.val AS DOUBLE)) AS dp,
+                       sqrt(sum(CAST(x.val AS DOUBLE) * CAST(x.val AS DOUBLE))) AS nq,
+                       sqrt(sum(CAST(y.val AS DOUBLE) * CAST(y.val AS DOUBLE))) AS nv
+                FROM e, q,
+                LATERAL (SELECT unnest(q.qv) val,
+                                generate_subscripts(q.qv, 1) i) x,
+                LATERAL (SELECT unnest(e.embedding) val,
+                                generate_subscripts(e.embedding, 1) i) y
+                WHERE x.i = y.i AND e.vec_id <> q.qid
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, dp / (nq * nv) AS cs,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY dp / (nq * nv) DESC, vec_id
+                       ) AS rn
+                FROM dots
+            )
+            SELECT query_id, vec_id, round(cs, 6) AS cos_sim
+            FROM ranked WHERE rn <= 10
+        """,
         "polyline_length": f"""
             WITH pts AS ({pts}),
             seq AS (

@@ -1,0 +1,331 @@
+"""Training-data text operators over a documents table.
+
+The web-scale pipeline counterpart of the geo engine: deduplication
+(exact, MinHash+LSH, SimHash, exact n-gram Jaccard), language ID,
+quality scoring, token counting, and document fingerprinting — all as
+DataFrame plans over ``documents(doc_id, text, lang, source,
+n_chars)``.
+
+Scale notes (the designs assume 10^12 docs):
+- every operator is a groupBy/join on hashed keys — no driver-side
+  loops, no collects;
+- MinHash/SimHash use Spark's native ``xxhash64`` (JVM, codegen) so
+  signatures cost one scan + one shuffle;
+- the exact-Jaccard verify only runs on LSH candidate pairs (the
+  classic filter-refine shape, same as the spatial joins);
+- banding keys are (band_id, band_signature) so hot buckets spread
+  across partitions; AQE skew-join is the backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+def tokens(docs: DataFrame, text_col: str = "text",
+           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, token) — whitespace tokenization."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = f"split({text_col}, '\\\\s+')"
+    # CASE guards docs shorter than n tokens (sequence() runs
+    # backwards when stop < start)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size({toks}) >= {n} THEN "
+                f"transform(sequence(1, size({toks}) - {n} + 1), "
+                f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+                f"ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — hash groupBy (md5 content key)
+# ---------------------------------------------------------------------------
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_id, group_size): canonical = min doc id with
+    identical text bytes. One shuffle on the md5 key."""
+    w = Window.partitionBy("_h")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("_h"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting & quality scoring — pure Column exprs
+# ---------------------------------------------------------------------------
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """n_tokens (whitespace), n_tokens_re (BPE-ish regex pieces),
+    n_chars — all JVM-side."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_RE)).alias("n_tokens_re"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + score in [0, 1]:
+    stopword ratio, mean token length, alpha ratio."""
+    t = F.col(text_col)
+    n_tok = F.size(F.split(F.trim(t), r"\s+"))
+    stop_pattern = "\\b(" + "|".join(STOPWORDS) + ")\\b"
+    n_stop = F.regexp_count(t, F.lit(stop_pattern))
+    n_alpha = F.regexp_count(t, F.lit("[A-Za-z]"))
+    mean_tok_len = F.length(t) / n_tok
+    stop_ratio = n_stop / n_tok
+    alpha_ratio = n_alpha / F.length(t)
+    score = (
+        F.least(F.lit(1.0), stop_ratio * 4.0) * 0.3
+        + F.least(F.lit(1.0), mean_tok_len / 8.0) * 0.3
+        + alpha_ratio * 0.4
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "ist", "ein"),
+    "fr": ("le", "la", "et", "est", "un"),
+    "es": ("el", "la", "y", "es", "un"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language guess: count marker-word hits per
+    language, argmax with deterministic tie-break (lang asc). All
+    regexp_count Column exprs — one narrow scan."""
+    t = F.col(text_col)
+    scores = [
+        (lang, F.regexp_count(t, F.lit("\\b(" + "|".join(ws) + ")\\b")))
+        for lang, ws in sorted(LANG_MARKERS.items())
+    ]
+    # argmax via greatest + chained when (ties -> first lang asc)
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("unknown")
+    for lang, s in reversed(scores):
+        pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return docs.select(F.col(id_col).alias("doc_id"), pred.alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup — fully relational filter-refine
+# ---------------------------------------------------------------------------
+def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id_a, doc_id_b, jaccard) for pairs with shingle-set Jaccard
+    >= threshold. Shuffle keys: shingle (intersection), doc (sizes)."""
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_id_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_id_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup — the scale path
+# ---------------------------------------------------------------------------
+def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): k minhashes of the shingle set via
+    xxhash64(shingle, seed_i). One scan + one shuffle (the groupBy)."""
+    sh = shingles(docs, n, text_col, id_col)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(sigs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band value:
+    (doc_id_a, doc_id_b) candidate pairs."""
+    r = k // bands
+    band_cols = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("sig"),
+        )
+        for b in range(bands)
+    ])
+    buckets = sigs.select(
+        "doc_id", F.explode(band_cols).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    return (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(docs: DataFrame, threshold: float, k: int = 16,
+                          bands: int = 4, n: int = 3,
+                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """LSH candidates -> exact-Jaccard refine (filter-refine, like the
+    spatial joins: cheap bucket equi-join, exact verify only on
+    candidates)."""
+    cand = lsh_candidates(minhash_signatures(docs, k, n, text_col, id_col), k, bands)
+    sh = shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("a"), cand["doc_id_a"] == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (cand["doc_id_b"] == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_id_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_id_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 64-bit signature + banded hamming join
+# ---------------------------------------------------------------------------
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): 64-bit simhash over whitespace tokens with
+    term-frequency weights. One scan + one shuffle: the 64 bit-sums are
+    64 aggregate expressions in a single groupBy."""
+    tok = tokens(docs, text_col, id_col).groupBy("doc_id", "token").agg(
+        F.count("*").alias("w")
+    )
+    h = F.xxhash64("token")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+        ).alias(f"s_{j}")
+        for j in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming via 4x16-bit banding
+    (pigeonhole guarantees recall for max_hamming <= 3; larger radii
+    keep the same plan as a high-recall heuristic) + bit_count verify."""
+    sig = simhash(docs, text_col, id_col)
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("band"),
+            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+        )
+        for c in range(4)
+    ])
+    buckets = sig.select("doc_id", "simhash", F.explode(chunks).alias("bs")).select(
+        "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.val").alias("val")
+    )
+    return (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint — order-sensitive rolling hash
+# ---------------------------------------------------------------------------
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fingerprint): polynomial rolling hash over the token
+    sequence, folded JVM-side with aggregate(); order-sensitive (unlike
+    the set-based minhash)."""
+    toks = f"split({text_col}, '\\\\s+')"
+    # modulus keeps the fold inside BIGINT under ANSI mode (no
+    # wrap-around multiply); 2^31-1 prime, classic polynomial hash
+    expr = (
+        f"aggregate({toks}, CAST(401862909 AS BIGINT), "
+        f"(acc, t) -> pmod(acc * 31 + pmod(xxhash64(t), 2147483647), 2147483647))"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.expr(expr).alias("fingerprint")
+    )

@@ -1,0 +1,108 @@
+"""Similarity search: brute-force cosine vs numpy oracle; LSH ANN vs a
+numpy replication of the exact same bucket math; multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geospark import embeddings as E
+
+DIM = 8
+
+
+def _emb_df(spark, n=40, dim=DIM):
+    rng = np.random.RandomState(3)
+    base = rng.randn(4, dim)
+    rows = []
+    for i in range(n):
+        v = base[i % 4] + rng.randn(dim) * 0.05  # 4 tight clusters
+        rows.append((i, [float(x) for x in v.astype(np.float32)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), rows
+
+
+def _np_cosine(rows):
+    V = np.array([np.array(v, np.float64) for _, v in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    return Vn @ Vn.T
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, rows = _emb_df(spark)
+    S = _np_cosine(rows)
+    got = E.cosine_topk(df, [0, 5], k=5, vec_col="embedding").collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    for q in (0, 5):
+        sims = [(j, S[q, j]) for j in range(len(rows)) if j != q]
+        sims.sort(key=lambda t: (-t[1], t[0]))
+        expect = [(j, round(s, 6)) for j, s in sims[:5]]
+        assert by_q[q] == expect
+
+
+def test_ann_matches_numpy_bucket_replication(spark):
+    df, rows = _emb_df(spark)
+    S = _np_cosine(rows)
+    n_planes = 4
+    planes = np.array(E._plane_weights(n_planes, DIM))
+    V = np.array([np.array(v, np.float64) for _, v in rows])
+    dots = V @ planes.T
+    buckets = ((dots > 0).astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+
+    got = E.ann_topk(df, [0], k=5, n_planes=n_planes, dim=DIM).collect()
+    cand = [j for j in range(len(rows)) if buckets[j] == buckets[0] and j != 0]
+    cand.sort(key=lambda j: (-S[0, j], j))
+    expect = [(j, round(S[0, j], 6)) for j in cand[:5]]
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == expect
+
+
+def test_embedding_neardup_pairs(spark):
+    df, rows = _emb_df(spark)
+    S = _np_cosine(rows)
+    got = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cos_sim"]
+        for r in E.embedding_neardup_pairs(
+            df, threshold=0.99, n_planes=2, dim=DIM
+        ).collect()
+    }
+    # every reported pair is genuinely >= threshold with the right value
+    for (a, b), cs in got.items():
+        assert round(S[a, b], 6) == cs
+        assert S[a, b] >= 0.99 - 1e-9
+    # same-cluster pairs that share a 2-plane bucket must be found
+    assert len(got) > 0
+
+
+def test_multimodal_feature_plumbing(spark):
+    from geospark.multimodal import (
+        _decode_image_real,
+        extract_features,
+        frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30, partitions=3)
+    feats = extract_features(media, decode_fake=True).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-5  # L1-normalized histogram
+        assert r["n_bytes"] == 512  # 64 x uint64
+
+    frames = frame_sample(media, every_n_bytes=128, max_frames=3).collect()
+    assert len(frames) == 90  # 512 bytes -> 4 chunks, capped at 3 -> 3 x 30
+    assert all(len(r["frame_bytes"]) == 128 for r in frames)
+
+    with pytest.raises(NotImplementedError):
+        _decode_image_real(b"\x89PNG")
+
+
+def test_media_determinism(spark):
+    from geospark.multimodal import synth_media
+
+    a = sorted(synth_media(spark, 20, partitions=2).collect(),
+               key=lambda r: r["media_id"])
+    b = sorted(synth_media(spark, 20, partitions=7).collect(),
+               key=lambda r: r["media_id"])
+    assert [bytes(r["payload"]) for r in a] == [bytes(r["payload"]) for r in b]

@@ -1,0 +1,103 @@
+"""Dedup / text-analysis operators: constructed fixtures + invariants
+against exact recomputation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geospark import textops as T
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),        # near dup
+    (3, "completely different text about spark engines here"),
+    (4, "der schnelle braune fuchs und die faule katze ist"),
+    (5, "a b"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    got = {r["doc_id"]: r for r in T.exact_dedup(_docs_df(spark)).collect()}
+    assert got[0]["canonical_id"] == 0 and got[0]["group_size"] == 2
+    assert got[1]["canonical_id"] == 0 and got[1]["group_size"] == 2
+    assert got[2]["canonical_id"] == 2 and got[2]["group_size"] == 1
+
+
+def test_token_stats(spark):
+    got = {r["doc_id"]: r for r in T.token_stats(_docs_df(spark)).collect()}
+    assert got[0]["n_tokens"] == 9
+    assert got[5]["n_tokens"] == 2
+    assert got[0]["n_chars"] == len(DOCS[0][1])
+
+
+def test_quality_and_lang(spark):
+    q = {r["doc_id"]: r for r in T.quality_score(_docs_df(spark)).collect()}
+    assert 0.0 <= q[0]["quality"] <= 1.0
+    assert q[0]["stop_ratio"] > q[3]["stop_ratio"]  # 'the' x2 vs none
+    lang = {r["doc_id"]: r["lang_pred"] for r in T.lang_id(_docs_df(spark)).collect()}
+    assert lang[0] == "en"
+    assert lang[4] == "de"
+
+
+def test_jaccard_pairs_exact(spark):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in T.jaccard_pairs(_docs_df(spark), threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and 0.4 < pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in T.minhash_neardup_pairs(_docs_df(spark), threshold=0.3).collect()
+    }
+    # identical docs always collide in every band; verified jaccard exact
+    assert got[(0, 1)] == 1.0
+    # every reported pair's jaccard matches the exact operator
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in T.jaccard_pairs(_docs_df(spark), threshold=0.0).collect()
+    }
+    for pair, j in got.items():
+        assert exact[pair] == j
+
+
+def test_simhash_properties(spark):
+    sig = {r["doc_id"]: r["simhash"] for r in T.simhash(_docs_df(spark)).collect()}
+    assert sig[0] == sig[1]  # identical text -> identical signature
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in T.simhash_pairs(_docs_df(spark), max_hamming=16).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    if (0, 2) in pairs:
+        assert pairs[(0, 2)] <= 16
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in T.fingerprint(df).collect()}
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[1]  # same tokens, different order
+
+
+def test_shingles(spark):
+    sh = (
+        T.shingles(_docs_df(spark).filter(F.col("doc_id") == 0), n=3)
+        .collect()
+    )
+    got = {r["shingle"] for r in sh}
+    assert "the quick brown" in got
+    assert "the lazy dog" in got
+    assert len(got) == 7  # 9 tokens -> 7 trigrams, all distinct
