@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geospark import geodata as G
-from geospark.cells import tile_rollup, with_cell, with_tile
+from geospark.cells import tile_rollup, with_tile
 from geospark.functions import kernels as K
 from geospark.joins import box_query, knn_join, pip_join, radius_join
 

@@ -20,7 +20,51 @@ CELL_ZOOM = 16  # tile_hash_32's fixed zoom (src/latlng.cc:78)
 def with_cell(df: DataFrame, lat: str = "lat", lng: str = "lng",
               col: str = "cell") -> DataFrame:
     """Append the z=16 quadkey Morton cell (S10)."""
-    return df.withColumn(col, K.tile_hash_32(F.col(lat), F.col(lng)))
+    return with_cell_at_zoom(df, CELL_ZOOM, lat, lng, col)
+
+
+def with_cell_at_zoom(df: DataFrame, zoom: int, lat: str = "lat",
+                      lng: str = "lng", col: str = "cell") -> DataFrame:
+    """Append the Morton cell at ``zoom`` — STAGED: the z=16 pixel
+    coords materialize as intermediate columns before the bit-spread.
+
+    Why staging matters: the Morton spread references its input ~5x
+    per step; as one Column tree that duplicates the trig-heavy
+    webmercator projection exponentially, and once the expression
+    lands in a join stage it can fall out of codegen/CSE and cost
+    ~100x (measured: 54s -> 0.5s per 12M rows). As named columns,
+    CollapseProject keeps the projection separate (non-cheap expr
+    referenced multiple times) and the spread reads a LongType column.
+    """
+    px = K.merc_to_pixel_x(K.latlng_to_merc_x(F.col(lng)), 16, tile_size=1)
+    py = K.merc_to_pixel_y(K.latlng_to_merc_y(F.col(lat)), 16, tile_size=1)
+    staged = df.withColumn("__px16", px).withColumn("__py16", py)
+    cell = K._morton_spread_16(F.col("__px16")).bitwiseOR(
+        F.shiftleft(K._morton_spread_16(F.col("__py16")), 1)
+    )
+    if zoom < CELL_ZOOM:
+        cell = F.shiftright(cell, 2 * (CELL_ZOOM - zoom))
+    return staged.withColumn(col, cell).drop("__px16", "__py16")
+
+
+def with_linear_cell_at_zoom(df: DataFrame, zoom: int, lat: str = "lat",
+                             lng: str = "lng", col: str = "cell") -> DataFrame:
+    """Append the LINEAR cell id ``ty*2^z + tx`` at ``zoom`` (same
+    tiling as the Morton cell — identical (tx, ty) in z=16-prefix
+    space — just a different bijective numbering).
+
+    This is the id the JOIN plans use: join-key evaluation inside
+    BroadcastHashJoin does no subexpression elimination, so the key
+    expression gets fully inlined per row — the Morton spread
+    references its input ~32x (measured 40s/12M rows inlined in a join
+    key) while this references each pixel coordinate exactly once
+    (~2s/12M). Morton (S10 parity, prefix algebra) stays the public
+    cell; linear is the physical join key."""
+    px = K.merc_to_pixel_x(K.latlng_to_merc_x(F.col(lng)), 16, tile_size=1)
+    py = K.merc_to_pixel_y(K.latlng_to_merc_y(F.col(lat)), 16, tile_size=1)
+    d = CELL_ZOOM - zoom
+    cell = F.shiftleft(F.shiftright(py, d), zoom) + F.shiftright(px, d)
+    return df.withColumn(col, cell)
 
 
 def with_tile(df: DataFrame, zoom: int, lat: str = "lat", lng: str = "lng",

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geospark.functions import numpy_kernels as NK
-from geospark.joins import cell_tile_of_latlng, morton
+from geospark.joins import cell_tile_of_latlng, lin_id
 
 
 def _zoom_for_dist(max_dist_m: float) -> int:
@@ -65,7 +65,7 @@ def _neighbor_cells_expr(zoom: int):
                 for dx in (-1, 0, 1):
                     xx, yy = (int(x) + dx) % n, int(y) + dy
                     if 0 <= yy < n:
-                        cells.add(int(morton(np.array([xx]), np.array([yy]))[0]))
+                        cells.add(lin_id(xx, yy, zoom))
             out.append(sorted(cells))
         return pd.Series(out)
 
@@ -83,11 +83,16 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
     """
     from geospark.functions import kernels as K
 
+    from geospark.cells import with_linear_cell_at_zoom
+
     zoom = _zoom_for_dist(max_dist_m)
-    pts = points.select(
-        F.col(id_col).alias("pid"), F.col(lat).alias("plat"),
-        F.col(lng).alias("plng"),
-    ).withColumn("cell", K.cell_at_zoom(F.col("plat"), F.col("plng"), zoom))
+    pts = with_linear_cell_at_zoom(
+        points.select(
+            F.col(id_col).alias("pid"), F.col(lat).alias("plat"),
+            F.col(lng).alias("plng"),
+        ),
+        zoom, lat="plat", lng="plng", col="cell",
+    )
 
     # edges: a in cell c, b in any of a's 3x3 neighborhood
     neigh = points.select(

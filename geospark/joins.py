@@ -55,6 +55,13 @@ def cell_of_latlng(lat, lng, zoom: int) -> np.ndarray:
     return np.asarray(full, np.int64) >> np.int64(2 * (16 - zoom))
 
 
+def lin_id(tx: int, ty: int, zoom: int) -> int:
+    """Linear cell id ``ty*2^z + tx`` in z16-prefix cell space — the
+    physical join key (see cells.with_linear_cell_at_zoom for why the
+    Morton id is not used as a join key)."""
+    return (int(ty) << zoom) + int(tx)
+
+
 def cell_tile_of_latlng(lat, lng, zoom: int) -> tuple[np.ndarray, np.ndarray]:
     """Tile coords in *cell space* at ``zoom``: the z=16 webmercator<1>
     pixel (x truncates, y rounds — S10's convention) shifted right by
@@ -161,33 +168,87 @@ class PolygonLayer:
             tx2, ty2 = cell_tile_of_latlng(lat_min, lng_max, z)  # SE
             for ty in range(int(ty1), int(ty2) + 1):
                 for tx in range(int(tx1), int(tx2) + 1):
-                    out.append((int(morton(np.array([tx]), np.array([ty]))[0]), a.area_id))
+                    out.append((lin_id(tx, ty, z), a.area_id))
         return out
 
     def cover_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.cover(), "cell_cov long, area_id long")
 
 
+def _ring_contains_expr(ring: np.ndarray, lat: Column, lng: Column) -> Column:
+    """Even-odd ray-cast parity for a FIXED ring as a pure Column
+    expression (identical arithmetic to _ring_contains): the polygon
+    compiles into the plan and runs inside whole-stage codegen — zero
+    Python. Horizontal edges skipped exactly as the numpy twin does."""
+    ys, xs = ring[:, 0], ring[:, 1]
+    n = len(ring)
+    parity: Column | None = None
+    for i in range(n):
+        y1, x1 = float(ys[i]), float(xs[i])
+        y2, x2 = float(ys[(i + 1) % n]), float(xs[(i + 1) % n])
+        if y1 == y2:
+            continue
+        crosses = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        xint = (F.lit(x2 - x1)) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        term = crosses & (lng < xint)
+        parity = term if parity is None else (parity != term)
+    return F.lit(False) if parity is None else parity
+
+
+def area_contains_expr(area: Area, lat: Column, lng: Column) -> Column:
+    """Q15 as a Column expression: OR over (outer AND NOT holes)."""
+    result: Column | None = None
+    for outer, holes in zip(area.outers, area.inners):
+        e = _ring_contains_expr(outer, lat, lng)
+        for h in holes:
+            e = e & ~_ring_contains_expr(h, lat, lng)
+        result = e if result is None else (result | e)
+    return F.lit(False) if result is None else result
+
+
 def pip_join(points: DataFrame, layer: PolygonLayer,
-             lat: str = "lat", lng: str = "lng") -> DataFrame:
+             lat: str = "lat", lng: str = "lng",
+             max_expr_edges: int = 512) -> DataFrame:
     """Flagship PIP join (Q10/Q14/Q15): points ⨝ broadcast(cell cover)
-    on the cover-zoom cell, then exact ray-cast refine in an
-    Arrow-batched pandas UDF. Returns the input columns + ``area_id``.
+    on the cover-zoom cell, then exact ray-cast refine. Returns the
+    input columns + ``area_id``.
+
+    Refine strategy:
+    - small layers (≤ max_expr_edges total ring edges): the ray-cast
+      compiles to a per-area Column expression — the WHOLE join stays
+      inside whole-stage codegen, no JVM→Python hop at all;
+    - bigger layers: vectorized numpy ray-cast in an Arrow-batched
+      pandas UDF (rings ship once via closure, grouped by area inside
+      the batch).
 
     Plan shape at scale: broadcast hash join (no shuffle of points) →
-    narrow vectorized refine → output. Hot city cells are split by AQE
-    skew-join; explicit salting unnecessary because the build side is
-    broadcast (no shuffle to skew).
+    narrow refine → output. Hot city cells are split by AQE skew-join;
+    explicit salting unnecessary because the build side is broadcast
+    (no shuffle to skew).
     """
+    from geospark.cells import with_linear_cell_at_zoom
+
     spark = points.sparkSession
     z = layer.cover_zoom
-    cand = points.withColumn("_cell_cov", K.cell_at_zoom(F.col(lat), F.col(lng), z)).join(
+    cand = with_linear_cell_at_zoom(points, z, lat, lng, "_cell_cov").join(
         F.broadcast(layer.cover_df(spark)),
         F.col("_cell_cov") == F.col("cell_cov"),
         "inner",
     ).drop("_cell_cov", "cell_cov")
 
     areas = {a.area_id: Area(a.area_id, a.outers, a.inners) for a in layer.areas}
+    total_edges = sum(
+        len(r) for a in areas.values() for r in a.outers
+    ) + sum(len(r) for a in areas.values() for hs in a.inners for r in hs)
+
+    if total_edges <= max_expr_edges:
+        pred: Column | None = None
+        for aid, area in areas.items():
+            e = (F.col("area_id") == aid) & area_contains_expr(
+                area, F.col(lat), F.col(lng)
+            )
+            pred = e if pred is None else (pred | e)
+        return cand.filter(pred)
 
     @pandas_udf("boolean")
     def _is_within(lat_s: pd.Series, lng_s: pd.Series, aid_s: pd.Series) -> pd.Series:
@@ -227,7 +288,7 @@ def _cover_cells_of_bbox(lat_min, lng_min, lat_max, lng_max, z: int) -> list[int
     cells = []
     for ty in range(max(0, int(ty1)), min(n - 1, int(ty2)) + 1):
         for tx in range(max(0, int(tx1)), min(n - 1, int(tx2)) + 1):
-            cells.append(int(morton(np.array([tx]), np.array([ty]))[0]))
+            cells.append(lin_id(tx, ty, z))
     return cells
 
 
@@ -277,9 +338,11 @@ def radius_join(points: DataFrame, centers: list[tuple[int, float, float]],
     cover = spark.createDataFrame(
         rows, "query_id long, q_lat double, q_lng double, q_cell long"
     )
+    from geospark.cells import with_linear_cell_at_zoom
+
     dist = K.distance(F.col("q_lat"), F.col("q_lng"), F.col(lat), F.col(lng))
     out = (
-        points.withColumn("_cell_q", K.cell_at_zoom(F.col(lat), F.col(lng), z))
+        with_linear_cell_at_zoom(points, z, lat, lng, "_cell_q")
         .join(F.broadcast(cover), F.col("_cell_q") == F.col("q_cell"), "inner")
         .drop("_cell_q", "q_cell")
         .withColumn("dist_m", dist)
@@ -354,7 +417,7 @@ def knn_join(points: DataFrame, centers: list[tuple[int, float, float]], k: int,
                     tx, ty = (int(ctx) + dx) % n, int(cty) + dy
                     if not (0 <= ty < n):
                         continue
-                    c = int(morton(np.array([tx]), np.array([ty]))[0])
+                    c = lin_id(tx, ty, z)
                     if (int(qid), c) in seen:  # 3x3 wraps onto itself at coarse z
                         continue
                     seen.add((int(qid), c))
@@ -362,8 +425,10 @@ def knn_join(points: DataFrame, centers: list[tuple[int, float, float]], k: int,
         cover = spark.createDataFrame(
             rows, "query_id long, q_lat double, q_lng double, q_cell long"
         )
+        from geospark.cells import with_linear_cell_at_zoom
+
         cand = (
-            pts.withColumn("_c", K.cell_at_zoom(F.col(lat), F.col(lng), z))
+            with_linear_cell_at_zoom(pts, z, lat, lng, "_c")
             .join(F.broadcast(cover), F.col("_c") == F.col("q_cell"))
             .withColumn("dist_m", K.distance(F.col("q_lat"), F.col("q_lng"),
                                              F.col(lat), F.col(lng)))

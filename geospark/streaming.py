@@ -1,0 +1,108 @@
+"""Structured Streaming ingest: pages stream -> points -> windowed
+tile aggregation with watermarked late-data handling.
+
+The reference is a pure batch library (SURVEY §2.8: no streaming);
+this is the engine's extension for continuous crawl ingest. The same
+extraction (mapInArrow) and tile kernels (pure Column exprs) run
+unchanged on streaming DataFrames — only the sink/trigger differ,
+which is exactly the Spark promise the design leans on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geospark.cells import with_tile
+from geospark.extract import extract_points
+from geospark.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream of pages parquet drops (a crawl spool dir)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_tile_counts(pages: DataFrame, zoom: int = 8,
+                          window: str = "10 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """pages stream -> per-(window, tile) point counts.
+
+    Watermark bounds state: tiles for windows older than the watermark
+    are finalized and evicted. Output schema:
+    (window_start, window_end, tile_x, tile_y, n_points)."""
+    pts = extract_points_stream(pages)
+    tiled = with_tile(pts, zoom)
+    return (
+        tiled.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("w"), "tile_x", "tile_y"
+        )
+        .agg(F.count("*").alias("n_points"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tile_x", "tile_y", "n_points",
+        )
+    )
+
+
+def extract_points_stream(pages: DataFrame) -> DataFrame:
+    """Streaming variant of geospark.extract.extract_points that keeps
+    the event-time column (warc_ts) for windowing."""
+    import pyarrow as pa
+
+    from geospark.extract import _COORD_RE
+
+    schema = "url string, warc_ts timestamp, point_id long, lat double, lng double"
+
+    def run(batches):
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            urls = tbl.column("url").to_pylist()
+            tss = tbl.column("warc_ts").to_pylist()
+            texts = tbl.column("text").to_pylist()
+            out = {"url": [], "warc_ts": [], "point_id": [], "lat": [], "lng": []}
+            for url, ts, text in zip(urls, tss, texts):
+                if text is None:
+                    continue
+                for i, m in enumerate(_COORD_RE.finditer(text)):
+                    out["url"].append(url)
+                    out["warc_ts"].append(ts)
+                    out["point_id"].append(i)
+                    out["lat"].append(float(m.group(1)))
+                    out["lng"].append(float(m.group(2)))
+            yield pa.record_batch(
+                [
+                    pa.array(out["url"], pa.string()),
+                    pa.array(out["warc_ts"], pa.timestamp("us")),
+                    pa.array(out["point_id"], pa.int64()),
+                    pa.array(out["lat"], pa.float64()),
+                    pa.array(out["lng"], pa.float64()),
+                ],
+                names=["url", "warc_ts", "point_id", "lat", "lng"],
+            )
+
+    return pages.select("url", "warc_ts", "text").mapInArrow(run, schema)
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str,
+                  checkpoint_dir: str, output_mode: str = "complete") -> "object":
+    """availableNow trigger into a memory sink — processes everything
+    currently in the source then stops; used by tests and backfills.
+    Aggregations use 'complete' here (append would only emit windows
+    already past the watermark); production sinks use 'append' with a
+    real watermark horizon."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,131 @@
+"""Scaling-efficiency evidence for the north rule: run the identical
+flagship pipeline on the identical input at two parallelism levels
+(local[8] = N, local[32] = 4N — the sandbox stand-in for N vs 4N
+executors) and report throughput at both plus efficiency
+(T_4N / T_N) / 4. Results are appended to BENCH.md.
+
+Each config runs in its own subprocess (one JVM per master setting).
+
+Usage: python scripts/scaling_bench.py [n_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from geospark.session import get_spark
+from bench import run_pipeline
+
+cpus = int(sys.argv[1])
+n_pages = int(sys.argv[2])
+spark = get_spark("scaling-bench", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus,
+                  extra_conf={{"spark.ui.enabled": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+# run_pipeline warms the full pipeline untimed first (spawns every
+# python worker), then times steady state
+secs, rows = run_pipeline(spark, n_pages)
+print(json.dumps({{"cpus": cpus, "sec": secs, "rows": rows,
+                   "pages_per_sec": n_pages / secs}}))
+spark.stop()
+"""
+
+
+def run_config(cpus: int, n_pages: int) -> dict:
+    code = CHILD.format(repo=str(REPO))
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(n_pages)],
+        capture_output=True, text=True, timeout=1200, cwd=str(REPO),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"child failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _burn(n):
+    x = 0
+    for i in range(n):
+        x += i * i % 7
+    return x
+
+
+def cpu_ceiling(n_lo: int, n_hi: int) -> float:
+    """The VM's own parallel-scaling ceiling for a pure-CPU busy loop
+    at the same process counts — context for the pipeline number (a
+    virtualized host may throttle aggregate CPU; the pipeline cannot
+    scale better than the hardware does)."""
+    import multiprocessing as mp
+    import time as _t
+
+    burn = _burn
+    total = 120_000_000
+    secs = {}
+    for k in (n_lo, n_hi):
+        with mp.Pool(k) as pool:
+            t0 = _t.time()
+            pool.map(burn, [total // k] * k)
+            secs[k] = _t.time() - t0
+    return (secs[n_lo] / secs[n_hi]) / (n_hi / n_lo)
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_hi = n_base * 4
+    r_lo = run_config(n_base, n_pages)
+    r_hi = run_config(n_hi, n_pages)
+    eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / 4.0
+    ceiling = cpu_ceiling(n_base, n_hi)
+    result = {
+        "n_pages": n_pages,
+        f"local{n_base}": r_lo,
+        f"local{n_hi}": r_hi,
+        "speedup": round(r_hi["pages_per_sec"] / r_lo["pages_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "hw_ceiling_efficiency": round(ceiling, 3),
+        "target": 0.8,
+        "meets_target": eff >= 0.8,
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(result))
+    bench_md = REPO / "BENCH.md"
+    lines = [
+        "",
+        f"## Scaling run {result['ts']} — pipeline: read pages -> extract -> "
+        f"PIP join -> tile agg ({n_pages} pages)",
+        "",
+        "| parallelism | wall s | pages/sec |",
+        "| --- | --- | --- |",
+        f"| local[{n_base}] (N) | {r_lo['sec']:.1f} | {r_lo['pages_per_sec']:.0f} |",
+        f"| local[{n_hi}] (4N) | {r_hi['sec']:.1f} | {r_hi['pages_per_sec']:.0f} |",
+        "",
+        f"**Speedup {n_base}→{n_hi}:** {result['speedup']}x — "
+        f"**scaling efficiency:** {result['scaling_efficiency']} "
+        f"(target ≥ 0.8: {'PASS' if result['meets_target'] else 'MISS'}); "
+        f"VM pure-CPU busy-loop ceiling at the same process counts: "
+        f"{result['hw_ceiling_efficiency']}",
+        "",
+    ]
+    header = (
+        "# BENCH — geospark scaling evidence\n\n"
+        "Same job + same input at two parallelism levels (the sandbox\n"
+        "evidence for the north rule's N vs 4N executor scaling;\n"
+        "efficiency = (throughput@4N / throughput@N) / 4).\n"
+    )
+    if not bench_md.exists():
+        bench_md.write_text(header)
+    with open(bench_md, "a") as fh:
+        fh.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

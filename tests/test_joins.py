@@ -91,6 +91,39 @@ def test_pip_join_spark(spark):
     assert sorted((x["point_id"], x["area_id"]) for x in got) == [(0, 7), (2, 7)]
 
 
+def test_pip_join_expr_and_udf_paths_agree(spark):
+    """The codegen Column-expression refine and the pandas-UDF refine
+    must classify identically (same arithmetic by construction)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    outer = np.array([(0.0, 0.0), (3.0, 10.0), (10.0, 7.0), (8.0, -2.0)])
+    hole = np.array([(3.0, 2.0), (3.0, 5.0), (6.0, 5.0)])
+    layer = PolygonLayer([Area(1, [outer], [[hole]])], cover_zoom=5)
+    rows = [
+        (i, float(rng.uniform(-3, 13)), float(rng.uniform(-5, 13)))
+        for i in range(300)
+    ]
+    pts = spark.createDataFrame(rows, "point_id long, lat double, lng double")
+    via_expr = sorted(
+        r["point_id"]
+        for r in pip_join(pts, layer, max_expr_edges=512).collect()
+    )
+    via_udf = sorted(
+        r["point_id"]
+        for r in pip_join(pts, layer, max_expr_edges=0).collect()
+    )
+    assert via_expr == via_udf
+    # and both match the numpy oracle
+    lat = np.array([r[1] for r in rows])
+    lng = np.array([r[2] for r in rows])
+    expect = sorted(
+        int(rows[i][0])
+        for i in np.nonzero(area_contains(Area(1, [outer], [[hole]]), lat, lng))[0]
+    )
+    assert via_expr == expect
+
+
 def test_pip_join_multipolygon_with_hole(spark):
     a = Area(
         1,
