@@ -9,13 +9,17 @@ Distributed re-expression:
   stage 1 = connected components over the "pairs within max_dist"
   graph. Edges come from a cell self-join (each point joined to the
   3x3 cell neighborhood at a zoom sized to max_dist) — no O(n²) pass.
-  Components via iterative min-label propagation (a handful of
-  join+agg rounds, converges in O(log(diameter))).
+  Components via GRAPH CONTRACTION: exact union-find per coarse
+  spatial region in ``applyInPandas`` (edges are short, so locality
+  is inherent), then the small cross-region contracted graph is
+  finished with driver-side union-find (bounded by a budget guard —
+  it scales with region borders, not data volume).
 
   stage 2 = per-component refinement in ``applyInPandas`` running the
-  exact reference algorithm (numpy float32 twin) — groups are small by
-  construction (SL chains at city scale), so the quadratic inner loop
-  is bounded.
+  exact reference algorithm (vectorized numpy float32 twin); groups
+  above ``max_refine_size`` keep their single-linkage label (the
+  reference's quadratic refinement is undefined-behavior territory on
+  percolated giant components).
 
 Labels are canonicalized to the minimum member id per cluster, which
 equals the reference's labeling up to relabeling (tests canonicalize
@@ -74,7 +78,9 @@ def _neighbor_cells_expr(zoom: int):
 
 def cluster_nearby(points: DataFrame, max_dist_m: float,
                    id_col: str = "point_id", lat: str = "lat",
-                   lng: str = "lng", max_rounds: int = 20) -> DataFrame:
+                   lng: str = "lng", max_refine_size: int = 1000,
+                   contract_budget: int = 2_000_000,
+                   verbose: bool = False) -> DataFrame:
     """Returns ``(id_col, cluster_id)`` with cluster_id = min member id.
 
     Two-stage plan as described in the module docstring. The label
@@ -141,48 +147,165 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
                                      F.col("qlat"), F.col("qlng"))) \
                  .select("pid", "qid").distinct()
 
-    # undirected adjacency, materialized once (the loop must not
-    # re-run the pandas-UDF edge discovery every round)
-    adj = edges.union(
-        edges.select(F.col("qid").alias("pid"), F.col("pid").alias("qid"))
-    ).localCheckpoint(eager=True)
-    ids = points.select(F.col(id_col).alias("pid")).distinct()
-    labels = ids.withColumn("label", F.col("pid")).localCheckpoint(eager=True)
+    # ---- stage 1b: connected components by GRAPH CONTRACTION --------------
+    # Flat label propagation needs O(component diameter) rounds — measured
+    # oscillating and exploding past ~20 rounds at sf0.1 density. Instead:
+    #   (a) group nodes + intra-region edges by a coarse spatial region
+    #       (edges are <= max_dist long, so locality is inherent) and run
+    #       an exact union-find per region in applyInPandas;
+    #   (b) contract: map the few cross-region edges through the local
+    #       roots — the contracted graph holds only border components, a
+    #       tiny fraction of the input;
+    #   (c) run min-label propagation on the CONTRACTED graph (cheap
+    #       rounds, small diameter after contraction);
+    #   (d) compose final labels.
+    # At 1000x data the region zoom grows with density so per-region
+    # union-find groups stay bounded; the contracted graph scales with
+    # region-border point counts, not total points.
+    import time as _time
 
-    # min-label propagation with pointer jumping: each round takes the
-    # min over {own label, neighbors' labels, label-of-label} — the
-    # doubling hop makes convergence O(log diameter) rounds.
-    converged = False
-    for _ in range(max_rounds):
-        prop = (
-            adj.join(labels, adj["qid"] == labels["pid"], "inner")
-            .select(adj["pid"].alias("pid"), "label")
+    _t_edges = _time.time()
+    edges = edges.localCheckpoint(eager=True)
+    region_zoom = max(zoom - 4, 0)
+    shift = zoom - region_zoom
+
+    def _region_of(cell_col):
+        tx = F.pmod(cell_col, F.lit(1 << zoom))
+        ty = (cell_col - tx) / F.lit(1 << zoom)
+        return (
+            F.shiftleft(F.shiftright(ty.cast("long"), shift), region_zoom)
+            + F.shiftright(tx.cast("long"), shift)
         )
-        hop = (
-            labels.alias("a")
-            .join(labels.alias("b"), F.col("a.label") == F.col("b.pid"), "inner")
-            .select(F.col("a.pid").alias("pid"), F.col("b.label").alias("label"))
+
+    # lineage break: nodes shares ancestry with edges (both from pts);
+    # checkpoint gives it fresh attribute ids so the double join below
+    # is not an ambiguous self-join
+    nodes = pts.select(
+        "pid", _region_of(F.col("cell")).alias("region")
+    ).localCheckpoint(eager=True)
+    e_reg = (
+        edges.alias("e")
+        .join(nodes.alias("na"), F.col("e.pid") == F.col("na.pid"))
+        .join(nodes.alias("nb"), F.col("e.qid") == F.col("nb.pid"))
+        .select(
+            F.col("e.pid").alias("pid"), F.col("e.qid").alias("qid"),
+            F.col("na.region").alias("region_a"),
+            F.col("nb.region").alias("region_b"),
         )
-        new_labels = (
-            labels.select("pid", "label").union(prop).union(hop)
-            .groupBy("pid").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "pid")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
+    )
+    internal = e_reg.filter(F.col("region_a") == F.col("region_b")).select(
+        "region_a", "pid", "qid"
+    )
+    cross = e_reg.filter(F.col("region_a") != F.col("region_b")).select(
+        "pid", "qid"
+    )
+
+    # (a) per-region exact union-find over nodes + internal edges
+    members = nodes.select("region", "pid", F.lit(None).cast("long").alias("qid"))
+    payload = members.union(
+        internal.select(F.col("region_a").alias("region"), "pid", "qid")
+    )
+
+    def _local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        def union(a: int, b: int) -> None:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+
+        pids = pdf["pid"].to_numpy()
+        qids = pdf["qid"].to_numpy()
+        for p, q in zip(pids, qids):
+            if q is None or (isinstance(q, float) and np.isnan(q)) or q < 0:
+                parent.setdefault(int(p), int(p))
+            else:
+                union(int(p), int(q))
+        uniq = np.unique(pids)
+        return pd.DataFrame({
+            "pid": uniq.astype(np.int64),
+            "root": np.array([find(int(p)) for p in uniq], dtype=np.int64),
+        })
+
+    local = payload.groupBy("region").applyInPandas(
+        _local_cc, "pid long, root long"
+    ).localCheckpoint(eager=True)
+
+    # (b) contracted graph: cross edges through local roots
+    contracted = (
+        cross.alias("c")
+        .join(local.alias("la"), F.col("c.pid") == F.col("la.pid"))
+        .join(local.alias("lb"), F.col("c.qid") == F.col("lb.pid"))
+        .select(
+            F.col("la.root").alias("root_a"), F.col("lb.root").alias("root_b")
         )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
+        .filter(F.col("root_a") != F.col("root_b"))
+        .distinct()
+    )
+    if verbose:
+        print(f"cluster_nearby: edges+local CC in {_time.time() - _t_edges:.1f}s; "
+              f"contracted edges={contracted.count()}")
+
+    # (c) finish the CONTRACTED graph with driver-side union-find.
+    # Contraction shrinks the graph to cross-region border components
+    # only — provably small relative to the input (scales with region
+    # perimeters, not area). Collecting it is the standard finish for
+    # graph contraction; the budget guard + coarser-region retry keep
+    # the collect bounded at any input scale.
+    spark = points.sparkSession
+    c_rows = contracted.limit(contract_budget + 1).collect()
+    if len(c_rows) > contract_budget:
         raise RuntimeError(
-            f"cluster_nearby: label propagation did not converge in "
-            f"{max_rounds} rounds (pointer jumping needs O(log diameter); "
-            f"raise max_rounds)"
+            f"cluster_nearby: contracted graph exceeds budget "
+            f"({contract_budget}); re-run with a coarser region "
+            f"(larger max_dist regions) or raise contract_budget"
         )
+    parent: dict[int, int] = {}
+
+    def _find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in c_rows:
+        ra, rb = _find(int(row["root_a"])), _find(int(row["root_b"]))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    mapping = [(n, _find(n)) for n in list(parent)]
+    if verbose:
+        print(f"cluster_nearby: driver union-find on {len(c_rows)} contracted "
+              f"edges -> {len(mapping)} remapped roots")
+
+    # (d) compose: pid -> local root -> contracted component label
+    if mapping:
+        remap = spark.createDataFrame(mapping, "root_j long, label long")
+        labels = (
+            local.alias("l")
+            .join(F.broadcast(remap), F.col("l.root") == F.col("root_j"), "left")
+            .select(
+                F.col("l.pid").alias("pid"),
+                F.coalesce(F.col("label"), F.col("l.root")).alias("label"),
+            )
+        )
+    else:
+        labels = local.select("pid", F.col("root").alias("label"))
 
     # stage 2: complete-linkage refinement per SL component
     member = points.select(
@@ -193,7 +316,12 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
     def refine(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pid").reset_index(drop=True)
         n = len(pdf)
-        if n < 3:
+        if n < 3 or n > max_refine_size:
+            # <3: reference short-circuit (cluster_nearby.cc:203-207).
+            # >max_refine_size: the reference's complete-linkage is
+            # O(n²·rounds) — intractable for percolated giant
+            # components; keep the single-linkage label (documented
+            # deviation, only reachable when max_dist percolates).
             return pd.DataFrame({
                 "pid": pdf["pid"],
                 "cluster_id": np.full(n, int(pdf["pid"].min()), dtype=np.int64),

@@ -391,11 +391,12 @@ def make_single_linkage_clusters(lats32: np.ndarray, lngs32: np.ndarray, max_dis
     return clusters
 
 
-def make_complete_linkage_clusters(lats32: np.ndarray, lngs32: np.ndarray, max_dist: float) -> np.ndarray:
-    """(src/cluster_nearby.cc:109-172) exact replication, including the
-    quirk that the 'find nearest' scan keeps the LAST qualifying pair
-    (it never updates min_dist in the comparison; condition is
-    distance >= 0 && distance <= max_dist)."""
+def make_complete_linkage_clusters_scalar(lats32: np.ndarray, lngs32: np.ndarray, max_dist: float) -> np.ndarray:
+    """(src/cluster_nearby.cc:109-172) literal scalar replication,
+    including the quirk that the 'find nearest' scan keeps the LAST
+    qualifying pair (it never updates min_dist in the comparison;
+    condition is distance >= 0 && distance <= max_dist). Kept as the
+    oracle for the vectorized version below."""
     n = lats32.size
     if n == 0:
         raise ValueError("make_complete_linkage_clusters: empty coords")
@@ -426,6 +427,42 @@ def make_complete_linkage_clusters(lats32: np.ndarray, lngs32: np.ndarray, max_d
             break
         ci, cj = clusters[best_i], clusters[best_j]
         clusters[clusters == ci] = cj
+    return clusters
+
+
+def make_complete_linkage_clusters(lats32: np.ndarray, lngs32: np.ndarray, max_dist: float) -> np.ndarray:
+    """Vectorized twin of the scalar version (identical output, tested
+    pairwise): pairwise float32 distances precomputed once (they are a
+    pure function of the coords; the reference recomputes them every
+    round), per-round cluster-pair maxima via np.maximum.at with the
+    same (clusters[i], clusters[j]) i>j indexing — including the quirk
+    that pairs whose ordered cluster ids land in the upper triangle
+    are invisible to the scan — and the 'LAST qualifying lower-triangle
+    entry in row-major order' selection via max flat index."""
+    n = int(lats32.size)
+    if n == 0:
+        raise ValueError("make_complete_linkage_clusters: empty coords")
+    clusters = np.arange(n, dtype=np.uint32)
+    max_dist = np.float32(max_dist)
+    lowest = np.float32(np.finfo(np.float32).min)
+    iu, ju = np.tril_indices(n, k=-1)  # pairs (i, j), j < i — loop order
+    d_pairs = gc_distance_f(lats32[iu], lngs32[iu], lats32[ju], lngs32[ju]).astype(np.float32)
+    tri_mask = None  # lower-triangle scan mask, built once
+    rows = np.repeat(np.arange(n), n).reshape(n, n)
+    tri_mask = rows > rows.T  # [i, j] True iff i > j
+    while np.any(clusters != clusters[0]):
+        ci = clusters[iu].astype(np.int64)
+        cj = clusters[ju].astype(np.int64)
+        keep = ci != cj
+        distances = np.full((n, n), lowest, dtype=np.float32)
+        np.maximum.at(distances, (ci[keep], cj[keep]), d_pairs[keep])
+        qual = tri_mask & (distances >= 0) & (distances <= max_dist)
+        flat = np.flatnonzero(qual.ravel())
+        if flat.size == 0:
+            break
+        last = int(flat[-1])
+        bi, bj = last // n, last % n
+        clusters[clusters == np.uint32(bi)] = np.uint32(bj)
     return clusters
 
 
