@@ -393,8 +393,112 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_approx_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3/S4: equirectangular approx distance (with the Mensa-scale
+    factor), conservative + exact m/deg-lng scales."""
+    qlat, qlng = G.DEMO_CENTERS[0][1], G.DEMO_CENTERS[0][2]
+    pts = G.events_points(spark, sf_dir)
+    scale = K.approx_distance_lng_degrees(F.lit(qlat), F.lit(qlng))
+    sq = K.approx_squared_distance(
+        F.lit(qlat), F.lit(qlng), F.col("lat"), F.col("lng"), scale
+    )
+    return pts.select(
+        "event_id",
+        F.floor(F.sqrt(sq)).alias("approx_floor_m"),
+        F.floor(K.lower_bound_distance_lng_degrees(F.col("lat"))).alias(
+            "lb_lng_floor"
+        ),
+        F.floor(
+            K.approx_distance_lng_degrees(F.col("lat"), F.col("lng"))
+        ).alias("scale_floor"),
+    )
+
+
+def _q_xyz_chord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: unit-half-sphere chord distance (== haversine)."""
+    qlat, qlng = G.DEMO_CENTERS[0][1], G.DEMO_CENTERS[0][2]
+    pts = G.events_points(spark, sf_dir)
+    x1, y1, z1 = K.xyz(F.lit(qlat), F.lit(qlng))
+    x2, y2, z2 = K.xyz(F.col("lat"), F.col("lng"))
+    d = K.haversine_distance_xyz(x1, y1, z1, x2, y2, z2)
+    return pts.select("event_id", F.floor(d).alias("chord_floor_m"))
+
+
+def _q_fixed_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: fixed-point 1e7 codec roundtrip."""
+    pts = G.events_points(spark, sf_dir)
+    return pts.select(
+        "event_id",
+        K.double_to_fix(F.col("lat")).alias("lat_fix"),
+        K.double_to_fix(F.col("lng")).alias("lng_fix"),
+        F.round(K.fix_to_double(K.double_to_fix(F.col("lat"))), 7).alias("lat_rt"),
+    )
+
+
+def _q_approx_polyline_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7/S9: approx squared distance to per-user trajectories from the
+    demo centers — argmin over segments, first-segment tie-break."""
+    from geospark import lines as L
+
+    pts = G.events_points(spark, sf_dir)
+    traj = (
+        pts.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "lat", "lng"))
+            ).alias("seq")
+        )
+        .withColumn(
+            "line", F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))")
+        )
+        .filter(F.size("line") >= 2)
+    )
+    centers = spark.createDataFrame(
+        [(q, la, ln) for q, la, ln in G.DEMO_CENTERS],
+        "query_id long, q_lat double, q_lng double",
+    ).withColumn(
+        "scale", K.approx_distance_lng_degrees(F.col("q_lat"), F.col("q_lng"))
+    )
+    pairs = traj.crossJoin(F.broadcast(centers))
+    out = L.approx_distance_to_polyline(
+        pairs, "q_lat", "q_lng", "line", ["query_id", "user_id"], "scale"
+    )
+    return out.select(
+        "query_id", "user_id", "seg_idx",
+        F.floor("approx_sq").alias("sq_floor"),
+    )
+
+
+def _q_tile_range_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/P12: the tile rectangle of the demo box at z=9 as a
+    generated relation."""
+    from geospark.cells import tile_range_of_box
+
+    lat_min, lng_min, lat_max, lng_max = BOX
+    return tile_range_of_box(
+        spark, lat_min, lng_min, lat_max, lng_max, 9
+    ).select("tile_x", "tile_y")
+
+
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15: per-level tile counts of the pyramid, z 0..7."""
+    from geospark.cells import tile_pyramid
+
+    return (
+        tile_pyramid(spark, 7)
+        .groupBy("zoom")
+        .agg(F.count("*").alias("n_tiles"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "approx_distance": _q_approx_distance,
+        "xyz_chord": _q_xyz_chord,
+        "fixed_codec": _q_fixed_codec,
+        "approx_polyline_dist": _q_approx_polyline_dist,
+        "tile_range_box": _q_tile_range_box,
+        "tile_pyramid": _q_tile_pyramid,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
@@ -489,7 +593,99 @@ def oracle_sql() -> dict[str, str]:
 
     emb_ids = ", ".join(str(i) for i in EMB_QUERY_IDS)
 
+    qlat_r, qlng_r = repr(G.DEMO_CENTERS[0][1]), repr(G.DEMO_CENTERS[0][2])
+    mensa_scale = G.approx_lng_scale_sql(qlat_r, qlng_r)
+    xdiff = f"(lng - {qlng_r})"
+    ax = (
+        f"((CASE WHEN abs({xdiff}) > 180.0 THEN 360.0 - abs({xdiff}) "
+        f"ELSE abs({xdiff}) END) * {mensa_scale})"
+    )
+    ay = f"(abs({qlat_r} - lat) * {G.APPROX_LAT_SCALE})"
+    approx_sq = f"({ax} * {ax} + {ay} * {ay})"
+    lb = (
+        f"(greatest(0.0, least(1.0, 1.0 - abs(lat) / 90.0)) "
+        f"* {G.APPROX_LAT_SCALE})"
+    )
+    s9 = G.approx_sq_closest_sql(
+        "q_lat", "q_lng", "p_lat", "p_lng", "lat", "lng",
+        G.approx_lng_scale_sql("q_lat", "q_lng"),
+    )
+    lat_min, lng_min, lat_max, lng_max = BOX
+    tz9 = {
+        "tx1": G.tile_x_sql(repr(lng_min), 9),
+        "tx2": G.tile_x_sql(repr(lng_max), 9),
+        "ty1": G.tile_y_sql(repr(lat_max), 9),
+        "ty2": G.tile_y_sql(repr(lat_min), 9),
+    }
+
     return {
+        "approx_distance": f"""
+            WITH pts AS ({pts})
+            SELECT event_id,
+                   CAST(floor(sqrt({approx_sq})) AS BIGINT) AS approx_floor_m,
+                   CAST(floor({lb}) AS BIGINT) AS lb_lng_floor,
+                   CAST(floor({G.approx_lng_scale_sql('lat', 'lng')}) AS BIGINT)
+                       AS scale_floor
+            FROM pts
+        """,
+        "xyz_chord": f"""
+            WITH pts AS ({pts})
+            SELECT event_id,
+                   CAST(floor({G.xyz_chord_sql(qlat_r, qlng_r, 'lat', 'lng')})
+                        AS BIGINT) AS chord_floor_m
+            FROM pts
+        """,
+        "fixed_codec": f"""
+            WITH pts AS ({pts})
+            SELECT event_id,
+                   CAST(round(lat * 10000000.0) AS INTEGER) AS lat_fix,
+                   CAST(round(lng * 10000000.0) AS INTEGER) AS lng_fix,
+                   round(CAST(CAST(round(lat * 10000000.0) AS INTEGER) AS DOUBLE)
+                         / 10000000.0, 7) AS lat_rt
+            FROM pts
+        """,
+        "approx_polyline_dist": f"""
+            WITH pts AS ({pts}),
+            seg AS (
+                SELECT user_id, lat, lng,
+                       lag(lat) OVER w AS p_lat, lag(lng) OVER w AS p_lng,
+                       row_number() OVER w - 2 AS seg_idx
+                FROM pts
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            centers AS (
+                SELECT * FROM {_centers_values()}
+            ),
+            scored AS (
+                SELECT query_id, user_id, seg_idx, {s9} AS sq
+                FROM seg CROSS JOIN centers
+                WHERE p_lat IS NOT NULL
+            ),
+            ranked AS (
+                SELECT query_id, user_id, seg_idx, sq,
+                       row_number() OVER (
+                           PARTITION BY query_id, user_id
+                           ORDER BY sq, seg_idx
+                       ) AS rn
+                FROM scored
+            )
+            SELECT query_id, user_id, seg_idx,
+                   CAST(floor(sq) AS BIGINT) AS sq_floor
+            FROM ranked WHERE rn = 1
+        """,
+        "tile_range_box": f"""
+            SELECT x.tile_x, y.tile_y
+            FROM (SELECT unnest(generate_series(({tz9['tx1']}), ({tz9['tx2']})))
+                      AS tile_x) x
+            CROSS JOIN
+                 (SELECT unnest(generate_series(({tz9['ty1']}), ({tz9['ty2']})))
+                      AS tile_y) y
+        """,
+        "tile_pyramid": """
+            SELECT z AS zoom,
+                   (CAST(1 AS BIGINT) << (2 * z)) AS n_tiles
+            FROM (SELECT unnest(generate_series(0, 7)) AS z)
+        """,
         "doc_dedup_exact": """
             SELECT doc_id,
                    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

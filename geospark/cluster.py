@@ -307,21 +307,34 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
     else:
         labels = local.select("pid", F.col("root").alias("label"))
 
-    # stage 2: complete-linkage refinement per SL component
+    # stage 2: complete-linkage refinement per SL component.
+    # Most components are singletons/pairs — those short-circuit in the
+    # reference (cluster_nearby.cc:203-207) to "one cluster", which for
+    # min-canonical labels is just the SL label itself. Route them
+    # RELATIONALLY (a window count, no Python): per-group applyInPandas
+    # overhead on ~10^5 tiny groups was ~1 ms/group == minutes.
+    from pyspark.sql import Window
+
     member = points.select(
         F.col(id_col).alias("pid"), F.col(lat).alias("plat"),
         F.col(lng).alias("plng"),
     ).join(labels, "pid")
+    w = Window.partitionBy("label")
+    member = member.withColumn("_n", F.count("*").over(w))
+
+    small = member.filter(F.col("_n") < 3).select(
+        "pid", F.col("label").alias("cluster_id")
+    )
+    big = member.filter(F.col("_n") >= 3).drop("_n")
 
     def refine(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pid").reset_index(drop=True)
         n = len(pdf)
-        if n < 3 or n > max_refine_size:
-            # <3: reference short-circuit (cluster_nearby.cc:203-207).
-            # >max_refine_size: the reference's complete-linkage is
-            # O(n²·rounds) — intractable for percolated giant
-            # components; keep the single-linkage label (documented
-            # deviation, only reachable when max_dist percolates).
+        if n > max_refine_size:
+            # the reference's complete-linkage is O(n²·rounds) —
+            # intractable for percolated giant components; keep the
+            # single-linkage label (documented deviation, only
+            # reachable when max_dist percolates).
             return pd.DataFrame({
                 "pid": pdf["pid"],
                 "cluster_id": np.full(n, int(pdf["pid"].min()), dtype=np.int64),
@@ -338,7 +351,8 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
             out[m] = pid[m].min()
         return pd.DataFrame({"pid": pid, "cluster_id": out})
 
-    result = member.groupBy("label").applyInPandas(
+    refined = big.groupBy("label").applyInPandas(
         refine, "pid long, cluster_id long"
     )
+    result = small.unionByName(refined.select("pid", "cluster_id"))
     return result.select(F.col("pid").alias(id_col), "cluster_id")

@@ -160,6 +160,76 @@ def midpoint_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> tuple[str, str]:
     return f"degrees({mid_lat})", f"degrees({mid_lng})"
 
 
+APPROX_LAT_SCALE = repr(K.APPROX_DISTANCE_LAT_DEGREES)
+EPS = repr(K.EPSILON)
+
+
+def approx_lng_scale_sql(lat: str, lng: str) -> str:
+    """S4 approx_distance_lng_degrees (src/latlng.cc:19-23): haversine
+    to the point one degree of lng toward 0."""
+    lng2 = f"(CASE WHEN ({lng}) < 0.0 THEN ({lng}) + 1.0 ELSE ({lng}) - 1.0 END)"
+    return haversine_sql(lat, lng, lat, lng2)
+
+
+def approx_sq_closest_sql(x_lat: str, x_lng: str, f_lat: str, f_lng: str,
+                          t_lat: str, t_lng: str, scale: str) -> str:
+    """S9 approx squared distance to a segment (src/latlng.cc:148-193),
+    formula-identical to kernels.approx_closest_on_segment's sq output.
+    Pure rational arithmetic — bit-identical across engines."""
+    def to_x(lng):
+        xd = f"(({lng}) - ({x_lng}))"
+        return (
+            f"((CASE WHEN {xd} > 180.0 THEN 360.0 - abs({xd}) "
+            f"ELSE {xd} END) * ({scale}))"
+        )
+
+    def to_y(lat):
+        return f"((({lat}) - ({x_lat})) * {APPROX_LAT_SCALE})"
+
+    fx, fy = to_x(f_lng), to_y(f_lat)
+    tx, ty = to_x(t_lng), to_y(t_lat)
+    eq_from = f"(abs({fx}) < {EPS} AND abs({fy}) < {EPS})"
+    eq_to = f"(abs({tx}) < {EPS} AND abs({ty}) < {EPS})"
+    seg_x, seg_y = f"(({tx}) - ({fx}))", f"(({ty}) - ({fy}))"
+    sq_len = f"({seg_x} * {seg_x} + {seg_y} * {seg_y})"
+    dot_from = f"((0.0 - ({fx})) * {seg_x} + (0.0 - ({fy})) * {seg_y})"
+    dot_to = (
+        f"((0.0 - ({tx})) * (({fx}) - ({tx})) + "
+        f"(0.0 - ({ty})) * (({fy}) - ({ty})))"
+    )
+    pos_x = f"((({fx}) * {dot_to} + ({tx}) * {dot_from}) / {sq_len})"
+    pos_y = f"((({fy}) * {dot_to} + ({ty}) * {dot_from}) / {sq_len})"
+    sq_f = f"(({fx}) * ({fx}) + ({fy}) * ({fy}))"
+    sq_t = f"(({tx}) * ({tx}) + ({ty}) * ({ty}))"
+    return (
+        f"(CASE WHEN {eq_from} THEN {sq_f} "
+        f"WHEN {eq_to} THEN {sq_t} "
+        f"WHEN {sq_len} < {EPS} THEN {sq_f} "
+        f"WHEN {dot_from} < 0.0 THEN {sq_f} "
+        f"WHEN {dot_to} < 0.0 THEN {sq_t} "
+        f"ELSE ({pos_x} * {pos_x} + {pos_y} * {pos_y}) END)"
+    )
+
+
+def xyz_chord_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
+    """S12 xyz chord distance (xyz.h:17-36): 2R·asin(‖a−b‖),
+    formula-identical to kernels.xyz + haversine_distance_xyz."""
+    def xyz(lat, lng):
+        return (
+            f"(0.5 * cos(radians({lat})) * sin(radians({lng})))",
+            f"(0.5 * cos(radians({lat})) * cos(radians({lng})))",
+            f"(0.5 * sin(radians({lat})))",
+        )
+
+    x1, y1, z1 = xyz(lat1, lng1)
+    x2, y2, z2 = xyz(lat2, lng2)
+    r = (
+        f"sqrt(({x1} - {x2}) * ({x1} - {x2}) + ({y1} - {y2}) * ({y1} - {y2}) "
+        f"+ ({z1} - {z2}) * ({z1} - {z2}))"
+    )
+    return f"(2.0 * {EARTH_R} * asin({r}))"
+
+
 def ring_pip_sql(lat: str, lng: str, ring: np.ndarray) -> str:
     """Unrolled even-odd ray-cast parity for a fixed ring — the exact
     arithmetic of joins._ring_contains, as chained boolean XOR (<>).

@@ -211,3 +211,47 @@ def distance_to_polyline(pairs: DataFrame, point_lat: str, point_lng: str,
         .filter(F.col("_rn") == 1)
         .select(*keys, "dist_m", "seg_idx", "closest_lat", "closest_lng")
     )
+
+
+# ---------------------------------------------------------------------------
+# L7 approx_squared_distance_to_polyline — same argmin plan with the
+# S9 equirectangular kernel (polyline.h:98-116). S9 is pure rational
+# arithmetic (no transcendentals), so results are bit-identical across
+# engines — the DuckDB oracle replicates it exactly.
+# ---------------------------------------------------------------------------
+def approx_distance_to_polyline(pairs: DataFrame, point_lat: str, point_lng: str,
+                                line: str, keys: list[str],
+                                scale: str) -> DataFrame:
+    """``scale`` = column with the m/deg-lng factor (S4 at the query
+    point). Returns keys + approx_sq + seg_idx + closest lat/lng;
+    ties keep the FIRST segment (polyline.h:110 strict <)."""
+    seg = pairs.select(
+        *keys,
+        F.col(point_lat).alias("_x_lat"),
+        F.col(point_lng).alias("_x_lng"),
+        F.col(scale).alias("_scale"),
+        F.posexplode(
+            F.expr(
+                f"zip_with(slice({line}, 1, size({line}) - 1), "
+                f"slice({line}, 2, size({line}) - 1), "
+                f"(a, b) -> struct(a AS f, b AS t))"
+            )
+        ).alias("seg_idx", "_seg"),
+    )
+    c_lat, c_lng, c_sq = K.approx_closest_on_segment(
+        F.col("_x_lat"), F.col("_x_lng"),
+        F.col("_seg.f.lat"), F.col("_seg.f.lng"),
+        F.col("_seg.t.lat"), F.col("_seg.t.lng"),
+        F.col("_scale"),
+    )
+    seg = (
+        seg.withColumn("closest_lat", c_lat)
+        .withColumn("closest_lng", c_lng)
+        .withColumn("approx_sq", c_sq)
+    )
+    w = Window.partitionBy(*keys).orderBy("approx_sq", "seg_idx")
+    return (
+        seg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, "approx_sq", "seg_idx", "closest_lat", "closest_lng")
+    )
