@@ -64,11 +64,28 @@ def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cell_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geospark.cells import with_cell_at_zoom
+
     pts = G.events_points(spark, sf_dir)
+    # staged px/py columns: the Morton spread must not inline the trig
+    # projection into the groupBy hash key (see cells.with_cell_at_zoom)
     return (
-        pts.withColumn("cell", K.cell_at_zoom(F.col("lat"), F.col("lng"), TILE_Z))
+        with_cell_at_zoom(pts, TILE_Z)
         .groupBy("cell")
         .agg(F.count("*").alias("n_points"))
+    )
+
+
+def _q_min_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 min_haversine_distance as a grouped min-aggregate: nearest
+    event to the Mensa center per event_type."""
+    qlat, qlng = G.DEMO_CENTERS[0][1], G.DEMO_CENTERS[0][2]
+    pts = G.events_points(spark, sf_dir)
+    d = K.distance(F.lit(qlat), F.lit(qlng), F.col("lat"), F.col("lng"))
+    return (
+        pts.withColumn("dist_m", d)
+        .groupBy("event_type")
+        .agg(F.floor(F.min("dist_m")).alias("min_dist_floor"))
     )
 
 
@@ -491,8 +508,36 @@ def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Structured Streaming ingest — synthetic pages spool
+    -> watermarked windowed tile aggregation (availableNow trigger) —
+    returned as the materialized batch result. Equality with the batch
+    plan is asserted in tests/test_runtime.py."""
+    import tempfile
+
+    from geospark.pages import synth_pages
+    from geospark.streaming import (
+        read_pages_stream,
+        run_to_memory,
+        streaming_tile_counts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="geospark_stream_")
+    spool, ckpt = f"{tmp}/spool", f"{tmp}/ckpt"
+    synth_pages(spark, 2000, partitions=4).write.mode("overwrite").parquet(spool)
+    stream = read_pages_stream(spark, spool, max_files_per_trigger=2)
+    agg = streaming_tile_counts(stream, zoom=6, window="60 minutes")
+    q = run_to_memory(agg, "geospark_stream_tiles", ckpt)
+    q.awaitTermination(300)
+    return spark.sql(
+        "SELECT tile_x, tile_y, sum(n_points) AS n_points "
+        "FROM geospark_stream_tiles GROUP BY 1, 2"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "streaming_tiles": _q_streaming_tiles,
         "approx_distance": _q_approx_distance,
         "xyz_chord": _q_xyz_chord,
         "fixed_codec": _q_fixed_codec,
@@ -519,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster": _q_cluster,
         "tile_assign": _q_tile_assign,
         "cell_morton": _q_cell_morton,
+        "min_distance": _q_min_distance,
         "bbox_agg": _q_bbox_agg,
         "haversine_topk": _q_haversine_topk,
         "radius_join": _q_radius_join,
@@ -826,6 +872,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(floor({hav0}) AS BIGINT) AS dist_floor_m
             FROM pts ORDER BY {hav0}, event_id LIMIT 200
+        """,
+        "min_distance": f"""
+            WITH pts AS ({pts})
+            SELECT event_type,
+                   CAST(floor(min({hav0})) AS BIGINT) AS min_dist_floor
+            FROM pts GROUP BY event_type
         """,
         "radius_join": f"""
             WITH pts AS ({pts})
