@@ -354,6 +354,145 @@ def radius_join(points: DataFrame, centers: list[tuple[int, float, float]],
     return out.drop("q_lat", "q_lng")
 
 
+def pip_join_table(points: DataFrame, polygons: DataFrame,
+                   cover_zoom: int = 8, lat: str = "lat",
+                   lng: str = "lng") -> DataFrame:
+    """PIP join against a polygon TABLE (sources.POLYGON_TABLE_SCHEMA:
+    area_id, outer_idx, ring_kind, ring_idx, seq, lat, lng) — the
+    non-broadcast path for layers too big to ship by closure.
+
+    Plan: per-area bbox agg -> cover-cell explode (Arrow UDF, narrow)
+          points ⨝ cover on cell (shuffle hash join; AQE skew split)
+          candidates cogrouped with ring rows by area_id ->
+          applyInPandas ray-cast refine (rings move once per area per
+          partition, not once per candidate row).
+    """
+    from geospark.cells import with_linear_cell_at_zoom
+
+    zoom = cover_zoom
+    bboxes = polygons.filter(F.col("ring_kind") == "outer").groupBy("area_id").agg(
+        F.min(lat).alias("_lat_min"), F.min(lng).alias("_lng_min"),
+        F.max(lat).alias("_lat_max"), F.max(lng).alias("_lng_max"),
+    )
+
+    @pandas_udf("array<long>")
+    def _cover(lat_min: pd.Series, lng_min: pd.Series, lat_max: pd.Series,
+               lng_max: pd.Series) -> pd.Series:
+        out = []
+        for a, b, c, d in zip(lat_min, lng_min, lat_max, lng_max):
+            out.append(_cover_cells_of_bbox(float(a), float(b), float(c),
+                                            float(d), zoom))
+        return pd.Series(out)
+
+    # the cover key gets its OWN column name: cand's lineage shares
+    # attributes with `polygons`, and the cogroup below would otherwise
+    # be an ambiguous self-join (renaming sidesteps attr-id collisions)
+    cover = bboxes.select(
+        F.col("area_id").alias("cov_area_id"),
+        F.explode(_cover(
+            F.col("_lat_min"), F.col("_lng_min"),
+            F.col("_lat_max"), F.col("_lng_max"),
+        )).alias("cell_cov"),
+    )
+    cand = (
+        with_linear_cell_at_zoom(points, zoom, lat, lng, "_cell_cov")
+        .join(cover, F.col("_cell_cov") == F.col("cell_cov"), "inner")
+        .drop("_cell_cov", "cell_cov")
+    )
+
+    point_cols = list(points.columns)
+    out_cols = point_cols + ["area_id"]
+    p_lat, p_lng = lat, lng
+
+    def refine(key, cand_pdf: pd.DataFrame, rings_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = cand_pdf.iloc[0:0][point_cols].copy()
+        empty["area_id"] = pd.Series(dtype="int64")
+        if cand_pdf.empty or rings_pdf.empty:
+            return empty
+        rings_pdf = rings_pdf.sort_values(["outer_idx", "ring_kind", "ring_idx", "seq"])
+        outers, inners = [], []
+        for _, og in rings_pdf.groupby("outer_idx"):
+            o = og[og["ring_kind"] == "outer"]
+            outers.append(o[["lat", "lng"]].to_numpy(np.float64))
+            holes = [
+                ig[["lat", "lng"]].to_numpy(np.float64)
+                for _, ig in og[og["ring_kind"] == "inner"].groupby("ring_idx")
+            ]
+            inners.append(holes)
+        area = Area(int(key[0]), outers, inners)
+        inside = area_contains(
+            area, cand_pdf[p_lat].to_numpy(np.float64),
+            cand_pdf[p_lng].to_numpy(np.float64),
+        )
+        result = cand_pdf.loc[inside, point_cols].copy()
+        result["area_id"] = int(key[0])
+        return result
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in points.schema.fields
+    ) + ", area_id long"
+    return (
+        cand.groupBy("cov_area_id")
+        .cogroup(polygons.groupBy("area_id"))
+        .applyInPandas(refine, schema)
+    )
+
+
+def radius_join_df(points: DataFrame, centers: DataFrame, max_m: float,
+                   min_m: float = 0.0, lat: str = "lat", lng: str = "lng",
+                   q_id: str = "query_id", q_lat: str = "q_lat",
+                   q_lng: str = "q_lng", cover_zoom: int | None = None,
+                   broadcast_centers: bool = False) -> DataFrame:
+    """Radius join with a DATAFRAME of query centers — the
+    scale-symmetric form of :func:`radius_join` (the list API collects
+    covers on the driver; this one computes each center's buffered-bbox
+    cell cover in an Arrow-batched UDF, so millions of centers work).
+
+    Plan: centers -> explode(cover cells)  (narrow, ~k cells/center)
+          points  -> linear cell           (narrow)
+          hash join on cell (shuffle both sides, or broadcast the
+          exploded centers with ``broadcast_centers=True``)
+          -> exact haversine refine, [min_m, max_m) semantics.
+    """
+    from geospark.cells import with_linear_cell_at_zoom
+
+    if cover_zoom is None:
+        # finest zoom whose 1-cell edge still exceeds the radius —
+        # bbox covers then stay at a handful of cells per center
+        earth = 40075016.686
+        z = 0
+        while z < 15 and earth / (1 << (z + 1)) >= max_m:
+            z += 1
+        cover_zoom = z
+    zoom = cover_zoom
+
+    @pandas_udf("array<long>")
+    def _cover(clat: pd.Series, clng: pd.Series) -> pd.Series:
+        out = []
+        for la, ln in zip(clat.to_numpy(np.float64), clng.to_numpy(np.float64)):
+            bb = _buffered_bbox(float(la), float(ln), max_m)
+            out.append(_cover_cells_of_bbox(*bb, zoom))
+        return pd.Series(out)
+
+    c = centers.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_lat).alias("_q_lat"),
+        F.col(q_lng).alias("_q_lng"),
+        F.explode(_cover(F.col(q_lat), F.col(q_lng))).alias("_q_cell"),
+    )
+    if broadcast_centers:
+        c = F.broadcast(c)
+    pts = with_linear_cell_at_zoom(points, zoom, lat, lng, "_cell_q")
+    dist = K.distance(F.col("_q_lat"), F.col("_q_lng"), F.col(lat), F.col(lng))
+    return (
+        pts.join(c, F.col("_cell_q") == F.col("_q_cell"), "inner")
+        .withColumn("dist_m", dist)
+        .filter((F.col("dist_m") < max_m) & (F.col("dist_m") >= min_m))
+        .drop("_cell_q", "_q_cell", "_q_lat", "_q_lng")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Box query (Q5/Q7)
 # ---------------------------------------------------------------------------

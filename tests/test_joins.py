@@ -62,6 +62,54 @@ def test_knn_join_darmstadt(spark):
     assert [x["point_id"] for x in r] == [2, 1, 0]
 
 
+def test_pip_join_table_matches_broadcast_path(spark):
+    """The polygon-TABLE PIP join (cogrouped refine, non-broadcast)
+    must match the broadcast PolygonLayer path on the demo layer."""
+    import numpy as np
+
+    from geospark import geodata as G
+    from geospark.joins import pip_join_table
+    from geospark.sources import areas_to_df
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (i, float(rng.uniform(-75, 75)), float(rng.uniform(-179, 179)))
+        for i in range(2000)
+    ]
+    pts = spark.createDataFrame(rows, "point_id long, lat double, lng double")
+    layer = G.demo_layer()
+    via_broadcast = sorted(
+        (r["area_id"], r["point_id"]) for r in pip_join(pts, layer).collect()
+    )
+    poly_df = areas_to_df(spark, layer.areas)
+    via_table = sorted(
+        (r["area_id"], r["point_id"])
+        for r in pip_join_table(pts, poly_df, cover_zoom=layer.cover_zoom).collect()
+    )
+    assert via_table == via_broadcast and len(via_table) > 0
+
+
+def test_radius_join_df_matches_list_api(spark):
+    """The DataFrame-of-centers radius join must produce the same pairs
+    as the driver-list API (same cover mapping, same refine)."""
+    from geospark.joins import radius_join_df
+
+    rows = [
+        (i, float(49.5 + (i * 37 % 100) / 100.0), float(8.0 + (i * 53 % 200) / 100.0))
+        for i in range(300)
+    ]
+    pts = spark.createDataFrame(rows, "point_id long, lat double, lng double")
+    centers = [(1, 49.87, 8.65), (2, 50.1, 9.2), (3, 49.6, 8.1)]
+    via_list = radius_join(pts, centers, max_m=30_000.0)
+    centers_df = spark.createDataFrame(
+        centers, "query_id long, q_lat double, q_lng double"
+    )
+    via_df = radius_join_df(pts, centers_df, max_m=30_000.0)
+    a = sorted((r["query_id"], r["point_id"]) for r in via_list.collect())
+    b = sorted((r["query_id"], r["point_id"]) for r in via_df.collect())
+    assert a == b and len(a) > 0
+
+
 def test_box_query_strict(spark):
     # box::contains is STRICT (box.h:72-75): boundary points excluded
     rows = [(0, 1.0, 1.0), (1, 0.0, 0.5), (2, 0.5, 0.5)]
