@@ -443,17 +443,22 @@ def radius_join_df(points: DataFrame, centers: DataFrame, max_m: float,
                    min_m: float = 0.0, lat: str = "lat", lng: str = "lng",
                    q_id: str = "query_id", q_lat: str = "q_lat",
                    q_lng: str = "q_lng", cover_zoom: int | None = None,
+                   radius_col: str | None = None,
                    broadcast_centers: bool = False) -> DataFrame:
     """Radius join with a DATAFRAME of query centers — the
     scale-symmetric form of :func:`radius_join` (the list API collects
     covers on the driver; this one computes each center's buffered-bbox
     cell cover in an Arrow-batched UDF, so millions of centers work).
 
+    ``radius_col``: optional per-center radius column (capped by
+    ``max_m``) — each center's cover AND its refine threshold use its
+    own radius (the kNN phase-2 path).
+
     Plan: centers -> explode(cover cells)  (narrow, ~k cells/center)
           points  -> linear cell           (narrow)
           hash join on cell (shuffle both sides, or broadcast the
           exploded centers with ``broadcast_centers=True``)
-          -> exact haversine refine, [min_m, max_m) semantics.
+          -> exact haversine refine, [min_m, max) semantics.
     """
     from geospark.cells import with_linear_cell_at_zoom
 
@@ -468,18 +473,24 @@ def radius_join_df(points: DataFrame, centers: DataFrame, max_m: float,
     zoom = cover_zoom
 
     @pandas_udf("array<long>")
-    def _cover(clat: pd.Series, clng: pd.Series) -> pd.Series:
+    def _cover(clat: pd.Series, clng: pd.Series, cr: pd.Series) -> pd.Series:
         out = []
-        for la, ln in zip(clat.to_numpy(np.float64), clng.to_numpy(np.float64)):
-            bb = _buffered_bbox(float(la), float(ln), max_m)
+        for la, ln, r in zip(clat.to_numpy(np.float64),
+                             clng.to_numpy(np.float64),
+                             cr.to_numpy(np.float64)):
+            bb = _buffered_bbox(float(la), float(ln), float(r))
             out.append(_cover_cells_of_bbox(*bb, zoom))
         return pd.Series(out)
 
+    r_col = F.least(F.col(radius_col), F.lit(max_m)) if radius_col else F.lit(max_m)
     c = centers.select(
         F.col(q_id).alias("query_id"),
         F.col(q_lat).alias("_q_lat"),
         F.col(q_lng).alias("_q_lng"),
-        F.explode(_cover(F.col(q_lat), F.col(q_lng))).alias("_q_cell"),
+        r_col.alias("_q_r"),
+        F.explode(
+            _cover(F.col(q_lat), F.col(q_lng), r_col)
+        ).alias("_q_cell"),
     )
     if broadcast_centers:
         c = F.broadcast(c)
@@ -488,8 +499,132 @@ def radius_join_df(points: DataFrame, centers: DataFrame, max_m: float,
     return (
         pts.join(c, F.col("_cell_q") == F.col("_q_cell"), "inner")
         .withColumn("dist_m", dist)
-        .filter((F.col("dist_m") < max_m) & (F.col("dist_m") >= min_m))
-        .drop("_cell_q", "_q_cell", "_q_lat", "_q_lng")
+        .filter((F.col("dist_m") < F.col("_q_r")) & (F.col("dist_m") >= min_m))
+        .drop("_cell_q", "_q_cell", "_q_lat", "_q_lng", "_q_r")
+    )
+
+
+def knn_join_df(points: DataFrame, centers: DataFrame, k: int,
+                lat: str = "lat", lng: str = "lng", id_col: str = "point_id",
+                q_id: str = "query_id", q_lat: str = "q_lat",
+                q_lng: str = "q_lng", start_zoom: int = 12) -> DataFrame:
+    """kNN with a DATAFRAME of query centers — the scale-symmetric
+    twin of :func:`knn_join`. The driver loop touches only per-center
+    AGGREGATES (counts), never data rows:
+
+    phase 1: per zoom (start_zoom, -2, ... 0): join each remaining
+    center's 3x3 cell neighborhood, window-top-k, keep centers with
+    ≥ k candidates and their kth distance d_k (an upper bound);
+    remaining centers coarsen. All DataFrame ops; the loop condition
+    is one count() per level.
+
+    phase 2: radius_join_df with PER-CENTER radius d_k, then window
+    top-k by exact haversine (ties -> id_col).
+    """
+    from geospark.cells import with_linear_cell_at_zoom
+
+    spark = points.sparkSession
+    eps = 1e-6
+    remaining = centers.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_lat).alias("c_lat"),
+        F.col(q_lng).alias("c_lng"),
+    ).localCheckpoint(eager=True)
+    dk_parts: list[DataFrame] = []
+    z = start_zoom
+    def _neigh_udf(_z: int):
+        _n = 1 << _z
+
+        @pandas_udf("array<long>")
+        def _neigh(clat: pd.Series, clng: pd.Series) -> pd.Series:
+            tx, ty = cell_tile_of_latlng(
+                clat.to_numpy(np.float64), clng.to_numpy(np.float64), _z
+            )
+            out = []
+            for x, y in zip(np.asarray(tx), np.asarray(ty)):
+                cells = set()
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        xx, yy = (int(x) + dx) % _n, int(y) + dy
+                        if 0 <= yy < _n:
+                            cells.add(lin_id(xx, yy, _z))
+                out.append(sorted(cells))
+            return pd.Series(out)
+
+        return _neigh
+
+    while z >= 0:
+        _neigh = _neigh_udf(z)
+        cov = remaining.select(
+            "query_id", "c_lat", "c_lng",
+            F.explode(_neigh(F.col("c_lat"), F.col("c_lng"))).alias("_q_cell"),
+        )
+        cand = (
+            with_linear_cell_at_zoom(points, z, lat, lng, "_c")
+            .join(cov, F.col("_c") == F.col("_q_cell"))
+            .withColumn("dist_m", K.distance(F.col("c_lat"), F.col("c_lng"),
+                                             F.col(lat), F.col(lng)))
+        )
+        w = Window.partitionBy("query_id").orderBy("dist_m", id_col)
+        summary = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .groupBy("query_id")
+            .agg(F.count("*").alias("_n"), F.max("dist_m").alias("_dk"))
+        ).localCheckpoint(eager=True)
+        sat = summary.filter(F.col("_n") >= k).select(
+            "query_id", (F.col("_dk") * (1.0 + 1e-9) + eps).alias("knn_radius")
+        )
+        dk_parts.append(sat.localCheckpoint(eager=True))
+        remaining = remaining.join(sat, "query_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if remaining.limit(1).count() == 0:
+            break
+        z -= 2
+    dk_all = None
+    for p in dk_parts:
+        dk_all = p if dk_all is None else dk_all.unionByName(p)
+
+    base = centers.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_lat).alias("q_lat"),
+        F.col(q_lng).alias("q_lng"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist_m", id_col)
+    results = []
+
+    if dk_all is not None:
+        # cover zoom from the actual max d_k (one scalar aggregate) —
+        # covers stay proportional to each center's own radius
+        max_dk = dk_all.agg(F.max("knn_radius")).collect()[0][0]
+        if max_dk is not None:
+            centers_dk = base.join(dk_all, "query_id")
+            results.append(radius_join_df(
+                points, centers_dk, max_m=float(max_dk),
+                radius_col="knn_radius", lat=lat, lng=lng,
+            ))
+
+    if remaining.limit(1).count() > 0:
+        # centers with < k points even at z=0: brute-force the few
+        # stragglers (cross join against a tiny center set)
+        lcent = remaining.select(
+            "query_id", F.col("c_lat").alias("q_lat"),
+            F.col("c_lng").alias("q_lng"),
+        )
+        brute = points.crossJoin(F.broadcast(lcent)).withColumn(
+            "dist_m",
+            K.distance(F.col("q_lat"), F.col("q_lng"), F.col(lat), F.col(lng)),
+        ).drop("q_lat", "q_lng")
+        results.append(brute)
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

@@ -62,6 +62,28 @@ def test_knn_join_darmstadt(spark):
     assert [x["point_id"] for x in r] == [2, 1, 0]
 
 
+def test_knn_join_df_matches_list_api(spark):
+    """DataFrame-centers kNN == driver-list kNN, including a center in
+    a sparse area (zoom escalation) and k > n behavior."""
+    from geospark.joins import knn_join_df
+
+    rows = [
+        (i, float(49.5 + (i * 37 % 100) / 100.0), float(8.0 + (i * 53 % 200) / 100.0))
+        for i in range(200)
+    ] + [(900, -60.0, -150.0)]  # lone point far away
+    pts = spark.createDataFrame(rows, "point_id long, lat double, lng double")
+    centers = [(1, 49.87, 8.65), (2, -59.9, -150.2), (3, 20.0, 100.0)]
+    via_list = knn_join(pts, centers, k=5, id_col="point_id")
+    centers_df = spark.createDataFrame(
+        centers, "query_id long, q_lat double, q_lng double"
+    )
+    via_df = knn_join_df(pts, centers_df, k=5, id_col="point_id")
+    a = sorted((r["query_id"], r["point_id"]) for r in via_list.collect())
+    b = sorted((r["query_id"], r["point_id"]) for r in via_df.collect())
+    assert a == b
+    assert len({q for q, _ in b}) == 3  # every center answered
+
+
 def test_pip_join_table_matches_broadcast_path(spark):
     """The polygon-TABLE PIP join (cogrouped refine, non-broadcast)
     must match the broadcast PolygonLayer path on the demo layer."""
