@@ -915,9 +915,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT {tx} AS tile_x, {ty} AS tile_y, count(*) AS n_points
                 FROM pts GROUP BY 1, 2
             )
-            SELECT tile_x >> {TILE_Z - ROLLUP_Z} AS tile_x,
-                   tile_y >> {TILE_Z - ROLLUP_Z} AS tile_y,
-                   sum(n_points) AS n_points
+            SELECT CAST(tile_x >> {TILE_Z - ROLLUP_Z} AS BIGINT) AS tile_x,
+                   CAST(tile_y >> {TILE_Z - ROLLUP_Z} AS BIGINT) AS tile_y,
+                   CAST(sum(n_points) AS BIGINT) AS n_points
             FROM z8 GROUP BY 1, 2
         """,
         "bearing_seq": f"""

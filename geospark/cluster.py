@@ -34,7 +34,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geospark.functions import numpy_kernels as NK
-from geospark.joins import cell_tile_of_latlng, lin_id
 
 
 def _zoom_for_dist(max_dist_m: float) -> int:
@@ -54,24 +53,17 @@ def _zoom_for_dist(max_dist_m: float) -> int:
 
 def _neighbor_cells_expr(zoom: int):
     """For each point emit its 3x3 neighbor cell ids (for the edge
-    self-join): vectorized in a pandas UDF returning array<long>."""
+    self-join): fully vectorized (numpy broadcast + Arrow ListArray,
+    no per-row Python — see joins.neighbor_cells_series)."""
     from pyspark.sql.functions import pandas_udf
+
+    from geospark.joins import neighbor_cells_series
 
     @pandas_udf("array<long>")
     def _neigh(lat: pd.Series, lng: pd.Series) -> pd.Series:
-        tx, ty = cell_tile_of_latlng(lat.to_numpy(), lng.to_numpy(), zoom)
-        n = 1 << zoom
-        out = []
-        txv, tyv = np.asarray(tx), np.asarray(ty)
-        for x, y in zip(txv, tyv):
-            cells = set()
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    xx, yy = (int(x) + dx) % n, int(y) + dy
-                    if 0 <= yy < n:
-                        cells.add(lin_id(xx, yy, zoom))
-            out.append(sorted(cells))
-        return pd.Series(out)
+        return neighbor_cells_series(
+            lat.to_numpy(np.float64), lng.to_numpy(np.float64), zoom
+        )
 
     return _neigh
 
@@ -80,6 +72,7 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
                    id_col: str = "point_id", lat: str = "lat",
                    lng: str = "lng", max_refine_size: int = 1000,
                    contract_budget: int = 2_000_000,
+                   second_round_threshold: int = 100_000,
                    verbose: bool = False) -> DataFrame:
     """Returns ``(id_col, cluster_id)`` with cluster_id = min member id.
 
@@ -100,25 +93,44 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
         zoom, lat="plat", lng="plng", col="cell",
     )
 
-    # edges: a in cell c, b in any of a's 3x3 neighborhood
-    neigh = points.select(
+    # region = linear cell id at a 16x-coarser zoom, computed as a pure
+    # Column expr on BOTH edge endpoints up front (no node-table joins)
+    region_zoom = max(zoom - 4, 0)
+    shift = zoom - region_zoom
+
+    def _region_of(cell_col):
+        tx = F.pmod(cell_col, F.lit(1 << zoom))
+        ty = (cell_col - tx) / F.lit(1 << zoom)
+        return (
+            F.shiftleft(F.shiftright(ty.cast("long"), shift), region_zoom)
+            + F.shiftright(tx.cast("long"), shift)
+        )
+
+    # edges: a in cell c, b in any of a's 3x3 neighborhood; region_b is
+    # the q-side region computed directly from (qlat, qlng) — identical
+    # to _region_of(q's cell) because pixel shifts compose
+    neigh = with_linear_cell_at_zoom(
+        points, region_zoom, lat=lat, lng=lng, col="region_b"
+    ).select(
         F.col(id_col).alias("qid"), F.col(lat).alias("qlat"),
-        F.col(lng).alias("qlng"),
+        F.col(lng).alias("qlng"), "region_b",
         F.explode(_neighbor_cells_expr(zoom)(F.col(lat), F.col(lng))).alias("cell"),
     )
 
     # float32 haversine parity: refine with float64 expr then confirm
-    # with the float32 kernel only in the per-group stage; for edge
-    # building use a slightly slack float64 threshold (float32 error
-    # is ~1e-7 relative) — stage 2 re-evaluates distances exactly.
-    slack = max_dist_m * (1.0 + 1e-5) + 1e-3
+    # with the float32 kernel; the float64 prefilter slack must cover
+    # the float32 COORDINATE quantization error (~1-2 m at mid/high
+    # latitude), not just the arithmetic rounding — edges the reference
+    # accepts at d32 <= max_dist must survive to the exact f32 check.
+    slack = max_dist_m * (1.0 + 1e-4) + 5.0
     edges = (
         pts.join(neigh, "cell")
         .filter(F.col("pid") < F.col("qid"))
         .withColumn("d", K.distance(F.col("plat"), F.col("plng"),
                                     F.col("qlat"), F.col("qlng")))
         .filter(F.col("d") <= slack)
-        .select("pid", "qid", "plat", "plng", "qlat", "qlng")
+        .select("pid", "qid", "plat", "plng", "qlat", "qlng",
+                _region_of(F.col("cell")).alias("region_a"), "region_b")
     )
     # exact float32 edge predicate (gc_distance_f, cluster_nearby.cc:32-40)
     from pyspark.sql.functions import pandas_udf
@@ -145,7 +157,7 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
 
     edges = edges.filter(_f32_within(F.col("plat"), F.col("plng"),
                                      F.col("qlat"), F.col("qlng"))) \
-                 .select("pid", "qid").distinct()
+                 .select("pid", "qid", "region_a", "region_b").distinct()
 
     # ---- stage 1b: connected components by GRAPH CONTRACTION --------------
     # Flat label propagation needs O(component diameter) rounds — measured
@@ -156,52 +168,32 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
     #   (b) contract: map the few cross-region edges through the local
     #       roots — the contracted graph holds only border components, a
     #       tiny fraction of the input;
-    #   (c) run min-label propagation on the CONTRACTED graph (cheap
-    #       rounds, small diameter after contraction);
-    #   (d) compose final labels.
+    #   (c) if the contracted graph is still large, run a SECOND
+    #       distributed round: group its edges by a 16x-coarser region
+    #       of the root and reduce each group to its union-find spanning
+    #       pairs (same connectivity, ~#nodes instead of #edges rows);
+    #   (d) driver union-find on the (doubly) contracted remainder,
+    #       then compose final labels.
     # At 1000x data the region zoom grows with density so per-region
-    # union-find groups stay bounded; the contracted graph scales with
-    # region-border point counts, not total points.
+    # union-find groups stay bounded; the driver collect is two
+    # contraction levels removed from data volume.
     import time as _time
 
     _t_edges = _time.time()
     edges = edges.localCheckpoint(eager=True)
-    region_zoom = max(zoom - 4, 0)
-    shift = zoom - region_zoom
-
-    def _region_of(cell_col):
-        tx = F.pmod(cell_col, F.lit(1 << zoom))
-        ty = (cell_col - tx) / F.lit(1 << zoom)
-        return (
-            F.shiftleft(F.shiftright(ty.cast("long"), shift), region_zoom)
-            + F.shiftright(tx.cast("long"), shift)
-        )
-
-    # lineage break: nodes shares ancestry with edges (both from pts);
-    # checkpoint gives it fresh attribute ids so the double join below
-    # is not an ambiguous self-join
-    nodes = pts.select(
-        "pid", _region_of(F.col("cell")).alias("region")
-    ).localCheckpoint(eager=True)
-    e_reg = (
-        edges.alias("e")
-        .join(nodes.alias("na"), F.col("e.pid") == F.col("na.pid"))
-        .join(nodes.alias("nb"), F.col("e.qid") == F.col("nb.pid"))
-        .select(
-            F.col("e.pid").alias("pid"), F.col("e.qid").alias("qid"),
-            F.col("na.region").alias("region_a"),
-            F.col("nb.region").alias("region_b"),
-        )
-    )
-    internal = e_reg.filter(F.col("region_a") == F.col("region_b")).select(
+    internal = edges.filter(F.col("region_a") == F.col("region_b")).select(
         "region_a", "pid", "qid"
     )
-    cross = e_reg.filter(F.col("region_a") != F.col("region_b")).select(
+    cross = edges.filter(F.col("region_a") != F.col("region_b")).select(
         "pid", "qid"
     )
 
-    # (a) per-region exact union-find over nodes + internal edges
-    members = nodes.select("region", "pid", F.lit(None).cast("long").alias("qid"))
+    # (a) per-region exact union-find over nodes + internal edges;
+    # nodes recompute from pts (narrow scan, no checkpoint needed)
+    members = pts.select(
+        _region_of(F.col("cell")).alias("region"), "pid",
+        F.lit(None).cast("long").alias("qid"),
+    )
     payload = members.union(
         internal.select(F.col("region_a").alias("region"), "pid", "qid")
     )
@@ -233,13 +225,15 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
             else:
                 union(int(p), int(q))
         uniq = np.unique(pids)
+        region = np.full(len(uniq), int(pdf["region"].iloc[0]), dtype=np.int64)
         return pd.DataFrame({
+            "region": region,
             "pid": uniq.astype(np.int64),
             "root": np.array([find(int(p)) for p in uniq], dtype=np.int64),
         })
 
     local = payload.groupBy("region").applyInPandas(
-        _local_cc, "pid long, root long"
+        _local_cc, "region long, pid long, root long"
     ).localCheckpoint(eager=True)
 
     # (b) contracted graph: cross edges through local roots
@@ -252,17 +246,72 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
         )
         .filter(F.col("root_a") != F.col("root_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    n_contracted = contracted.count()
     if verbose:
         print(f"cluster_nearby: edges+local CC in {_time.time() - _t_edges:.1f}s; "
-              f"contracted edges={contracted.count()}")
+              f"contracted edges={n_contracted}")
 
-    # (c) finish the CONTRACTED graph with driver-side union-find.
+    # (c) second contraction round when the border graph is still big:
+    # group contracted edges by the root's region at a 16x-coarser zoom
+    # and emit each group's union-find spanning pairs — connectivity-
+    # preserving, but ~#distinct-nodes rows instead of #edges.
+    if n_contracted > second_round_threshold and region_zoom > 0:
+        rz2 = max(region_zoom - 4, 0)
+        shift2 = region_zoom - rz2
+
+        def _region2_of(region_col):
+            tx = F.pmod(region_col, F.lit(1 << region_zoom))
+            ty = (region_col - tx) / F.lit(1 << region_zoom)
+            return (
+                F.shiftleft(F.shiftright(ty.cast("long"), shift2), rz2)
+                + F.shiftright(tx.cast("long"), shift2)
+            )
+
+        # roots carry their own region (root pid is a member of its
+        # region), so region2 comes from `local` — no point-table join
+        roots2 = local.filter(F.col("pid") == F.col("root")).select(
+            F.col("root").alias("r_id"), _region2_of(F.col("region")).alias("region2")
+        )
+        e2 = contracted.join(
+            roots2, F.col("root_a") == F.col("r_id")
+        ).select("region2", "root_a", "root_b")
+
+        def _reduce_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in zip(pdf["root_a"].to_numpy(), pdf["root_b"].to_numpy()):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            nodes = np.unique(
+                np.concatenate([pdf["root_a"].to_numpy(), pdf["root_b"].to_numpy()])
+            ).astype(np.int64)
+            roots = np.array([find(int(x)) for x in nodes], dtype=np.int64)
+            m = nodes != roots
+            return pd.DataFrame({"root_a": nodes[m], "root_b": roots[m]})
+
+        contracted = e2.groupBy("region2").applyInPandas(
+            _reduce_edges, "root_a long, root_b long"
+        )
+
+    # (d) finish the contracted remainder with driver-side union-find.
     # Contraction shrinks the graph to cross-region border components
-    # only — provably small relative to the input (scales with region
-    # perimeters, not area). Collecting it is the standard finish for
-    # graph contraction; the budget guard + coarser-region retry keep
-    # the collect bounded at any input scale.
+    # only — scales with region perimeters, not area; round (c) takes
+    # the collect a second level away from data volume. The budget
+    # guard + coarser-region retry keep the collect bounded.
     spark = points.sparkSession
     c_rows = contracted.limit(contract_budget + 1).collect()
     if len(c_rows) > contract_budget:

@@ -279,29 +279,77 @@ def _buffered_bbox(lat: float, lng: float, dist_m: float) -> tuple[float, float,
     return lat_min, lng_min, lat_max, lng_max
 
 
-def _cover_cells_of_bbox(lat_min, lng_min, lat_max, lng_max, z: int) -> list[int]:
-    lat_min = max(lat_min, -NK.MERC_MAX_LATITUDE)
-    lat_max = min(lat_max, NK.MERC_MAX_LATITUDE)
-    tx1, ty1 = cell_tile_of_latlng(lat_max, lng_min, z)
-    tx2, ty2 = cell_tile_of_latlng(lat_min, lng_max, z)
-    n = 1 << z
-    cells = []
-    for ty in range(max(0, int(ty1)), min(n - 1, int(ty2)) + 1):
-        for tx in range(max(0, int(tx1)), min(n - 1, int(tx2)) + 1):
-            cells.append(lin_id(tx, ty, z))
-    return cells
+def _cover_ranges(lat_min, lng_min, lat_max, lng_max, z: int, pad: int = 1):
+    """Vectorized bbox -> cover rectangle at zoom ``z``: returns
+    ``(tx1, ty1, nx, ny)`` int64 arrays where x runs ``tx1 .. tx1+nx-1``
+    **modulo 2^z** (antimeridian wrap) and y is clamped to [0, 2^z).
+
+    ``pad`` adds a ring of cells around the bbox rectangle: the
+    reference's box::extend lng buffer (box.h:50-70, replicated in
+    :func:`_buffered_bbox`) under-covers the true haversine disk at
+    high latitude / large radius (true max dLng = asin(sin(r/R)/
+    cos(lat))), so covers built from it keep a one-cell safety ring —
+    the exact refine still decides membership, the ring only restores
+    recall.
+    """
+    lat_min = np.maximum(np.asarray(lat_min, np.float64), -NK.MERC_MAX_LATITUDE)
+    lat_max = np.minimum(np.asarray(lat_max, np.float64), NK.MERC_MAX_LATITUDE)
+    lng_min = np.asarray(lng_min, np.float64)
+    lng_max = np.asarray(lng_max, np.float64)
+    n = np.int64(1 << z)
+    span = lng_max - lng_min
+    # wrap lngs into [-180, 180) so antimeridian-crossing boxes enumerate
+    # the wrapped x-range instead of collapsing to an empty cover
+    lng_min_w = np.mod(lng_min + 180.0, 360.0) - 180.0
+    lng_max_w = np.mod(lng_max + 180.0, 360.0) - 180.0
+    tx1, ty1 = cell_tile_of_latlng(lat_max, lng_min_w, z)
+    tx2, ty2 = cell_tile_of_latlng(lat_min, lng_max_w, z)
+    tx1 = np.clip(np.atleast_1d(tx1), 0, n - 1)
+    tx2 = np.clip(np.atleast_1d(tx2), 0, n - 1)
+    ty1 = np.clip(np.atleast_1d(ty1), 0, n - 1)
+    ty2 = np.clip(np.atleast_1d(ty2), 0, n - 1)
+    nx = np.mod(tx2 - tx1, n) + 1  # wrapped width
+    nx = np.where(np.atleast_1d(span) >= 360.0, n, nx)
+    p = np.int64(pad)
+    tx1 = np.mod(tx1 - p, n)
+    nx = np.minimum(nx + 2 * p, n)
+    ty1c = np.maximum(ty1 - p, 0)
+    ny = np.minimum(ty2 + p, n - 1) - ty1c + 1
+    return tx1, ty1c, nx, np.maximum(ny, 0)
 
 
-def _count_cover_cells(lat_min, lng_min, lat_max, lng_max, z: int) -> int:
+def _enumerate_covers(tx1, ty1, nx, ny, z: int):
+    """Ragged enumeration of cover rectangles (x wraps mod 2^z):
+    returns ``(cells, counts)`` — flat int64 linear cell ids in row-major
+    (y, x) order plus the per-row cell count. Pure numpy, no per-row
+    Python."""
+    n = np.int64(1 << z)
+    counts = (nx * ny).astype(np.int64)
+    total = int(counts.sum())
+    starts = np.zeros(len(counts), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    within = np.arange(total, dtype=np.int64) - starts[row]
+    nx_r = nx[row]
+    dy = within // nx_r
+    dx = within - dy * nx_r
+    tx = np.mod(tx1[row] + dx, n)
+    ty = ty1[row] + dy
+    return (ty << np.int64(z)) + tx, counts
+
+
+def _cover_cells_of_bbox(lat_min, lng_min, lat_max, lng_max, z: int,
+                         pad: int = 1) -> list[int]:
+    tx1, ty1, nx, ny = _cover_ranges(lat_min, lng_min, lat_max, lng_max, z, pad)
+    cells, _ = _enumerate_covers(tx1, ty1, nx, ny, z)
+    return [int(c) for c in cells]
+
+
+def _count_cover_cells(lat_min, lng_min, lat_max, lng_max, z: int,
+                       pad: int = 1) -> int:
     """Cell count of the bbox cover at z WITHOUT enumerating."""
-    lat_min = max(lat_min, -NK.MERC_MAX_LATITUDE)
-    lat_max = min(lat_max, NK.MERC_MAX_LATITUDE)
-    tx1, ty1 = cell_tile_of_latlng(lat_max, lng_min, z)
-    tx2, ty2 = cell_tile_of_latlng(lat_min, lng_max, z)
-    n = 1 << z
-    nx = min(n - 1, int(tx2)) - max(0, int(tx1)) + 1
-    ny = min(n - 1, int(ty2)) - max(0, int(ty1)) + 1
-    return max(0, nx) * max(0, ny)
+    _, _, nx, ny = _cover_ranges(lat_min, lng_min, lat_max, lng_max, z, pad)
+    return int(nx[0] * ny[0])
 
 
 def _pick_cover_zoom(centers: list[tuple[int, float, float]], radius_m: float,
@@ -317,6 +365,52 @@ def _pick_cover_zoom(centers: list[tuple[int, float, float]], radius_m: float,
         if worst <= max_cells_per_center:
             return z
     return 0
+
+
+def cover_cells_series(lat_min, lng_min, lat_max, lng_max, z: int,
+                       pad: int = 1) -> pd.Series:
+    """Vectorized batch form for pandas UDFs: per-row cover cell LISTS
+    as a pandas Series backed by a pyarrow ListArray — zero per-row
+    Python (the round trip is two numpy passes + one Arrow build)."""
+    import pyarrow as pa
+
+    tx1, ty1, nx, ny = _cover_ranges(lat_min, lng_min, lat_max, lng_max, z, pad)
+    cells, counts = _enumerate_covers(tx1, ty1, nx, ny, z)
+    offsets = np.zeros(len(counts) + 1, np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(cells, pa.int64())
+    ).to_pandas()
+
+
+def neighbor_cells_series(lat, lng, zoom: int) -> pd.Series:
+    """3x3 neighbor-cell lists for a batch of points, fully vectorized
+    (numpy broadcast over the 9 offsets; x wraps mod 2^z, y clamps;
+    in-row dedup via sort — wrap collisions occur only at zoom <= 1).
+    Returns a pandas Series of int64 arrays (pyarrow ListArray)."""
+    import pyarrow as pa
+
+    tx, ty = cell_tile_of_latlng(
+        np.asarray(lat, np.float64), np.asarray(lng, np.float64), zoom
+    )
+    n = np.int64(1 << zoom)
+    dx = np.tile(np.array([-1, 0, 1], np.int64), 3)
+    dy = np.repeat(np.array([-1, 0, 1], np.int64), 3)
+    xs = np.mod(np.atleast_1d(tx)[:, None] + dx, n)
+    ys = np.atleast_1d(ty)[:, None] + dy
+    valid = (ys >= 0) & (ys < n)
+    ids = (np.maximum(ys, 0) << np.int64(zoom)) + xs
+    sent = np.int64(1) << np.int64(62)
+    ids = np.where(valid, ids, sent)
+    ids.sort(axis=1)
+    keep = ids != sent
+    keep[:, 1:] &= ids[:, 1:] != ids[:, :-1]
+    counts = keep.sum(axis=1)
+    offsets = np.zeros(len(counts) + 1, np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(ids[keep], pa.int64())
+    ).to_pandas()
 
 
 def radius_join(points: DataFrame, centers: list[tuple[int, float, float]],
@@ -378,11 +472,12 @@ def pip_join_table(points: DataFrame, polygons: DataFrame,
     @pandas_udf("array<long>")
     def _cover(lat_min: pd.Series, lng_min: pd.Series, lat_max: pd.Series,
                lng_max: pd.Series) -> pd.Series:
-        out = []
-        for a, b, c, d in zip(lat_min, lng_min, lat_max, lng_max):
-            out.append(_cover_cells_of_bbox(float(a), float(b), float(c),
-                                            float(d), zoom))
-        return pd.Series(out)
+        # exact polygon bboxes (not buffered disks) need no safety ring
+        return cover_cells_series(
+            lat_min.to_numpy(np.float64), lng_min.to_numpy(np.float64),
+            lat_max.to_numpy(np.float64), lng_max.to_numpy(np.float64),
+            zoom, pad=0,
+        )
 
     # the cover key gets its OWN column name: cand's lineage shares
     # attributes with `polygons`, and the cogroup below would otherwise
@@ -474,13 +569,15 @@ def radius_join_df(points: DataFrame, centers: DataFrame, max_m: float,
 
     @pandas_udf("array<long>")
     def _cover(clat: pd.Series, clng: pd.Series, cr: pd.Series) -> pd.Series:
-        out = []
-        for la, ln, r in zip(clat.to_numpy(np.float64),
-                             clng.to_numpy(np.float64),
-                             cr.to_numpy(np.float64)):
-            bb = _buffered_bbox(float(la), float(ln), float(r))
-            out.append(_cover_cells_of_bbox(*bb, zoom))
-        return pd.Series(out)
+        la = clat.to_numpy(np.float64)
+        ln = clng.to_numpy(np.float64)
+        r = cr.to_numpy(np.float64)
+        # vectorized box::extend twin (box.h:27-29 + :50-70)
+        d_lat = r / 111000.0
+        lat_lo, lat_hi = la - d_lat, la + d_lat
+        lng_lo = ln - np.abs(r / (111200.0 * np.cos(np.radians(lat_lo))))
+        lng_hi = ln + np.abs(r / (111200.0 * np.cos(np.radians(lat_hi))))
+        return cover_cells_series(lat_lo, lng_lo, lat_hi, lng_hi, zoom, pad=1)
 
     r_col = F.least(F.col(radius_col), F.lit(max_m)) if radius_col else F.lit(max_m)
     c = centers.select(
@@ -533,23 +630,11 @@ def knn_join_df(points: DataFrame, centers: DataFrame, k: int,
     dk_parts: list[DataFrame] = []
     z = start_zoom
     def _neigh_udf(_z: int):
-        _n = 1 << _z
-
         @pandas_udf("array<long>")
         def _neigh(clat: pd.Series, clng: pd.Series) -> pd.Series:
-            tx, ty = cell_tile_of_latlng(
+            return neighbor_cells_series(
                 clat.to_numpy(np.float64), clng.to_numpy(np.float64), _z
             )
-            out = []
-            for x, y in zip(np.asarray(tx), np.asarray(ty)):
-                cells = set()
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        xx, yy = (int(x) + dx) % _n, int(y) + dy
-                        if 0 <= yy < _n:
-                            cells.add(lin_id(xx, yy, _z))
-                out.append(sorted(cells))
-            return pd.Series(out)
 
         return _neigh
 
@@ -618,6 +703,12 @@ def knn_join_df(points: DataFrame, centers: DataFrame, k: int,
         ).drop("q_lat", "q_lng")
         results.append(brute)
 
+    if not results:  # empty centers -> empty result, stable schema
+        return (
+            points.withColumn("query_id", F.lit(None).cast("long"))
+            .withColumn("dist_m", F.lit(None).cast("double"))
+            .limit(0)
+        )
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
@@ -725,13 +816,46 @@ def knn_join(points: DataFrame, centers: list[tuple[int, float, float]], k: int,
         remaining = still
         z -= 2  # coarsen 4x per miss
 
-    if remaining:  # fewer than k points near these centers anywhere:
-        for qid, _, _ in remaining:
-            dk_by_qid[qid] = 2.1e7  # > half earth circumference: full scan
-
-    # --- phase 2: exact radius join at d_k, top-k re-rank
-    max_r = max(dk_by_qid.values()) * (1.0 + 1e-9) + 1e-6
-    cand = radius_join(pts, centers, max_m=max_r, lat=lat, lng=lng)
+    # --- phase 2: exact radius join with PER-CENTER radius d_k (one
+    # sparse-area center must not inflate every center's cover), top-k
+    # re-rank. Stragglers with < k points anywhere brute-force against
+    # the (tiny) remaining center set instead of forcing a z=0 cover.
+    parts: list[DataFrame] = []
+    if dk_by_qid:
+        by_qid = {int(q): (la, ln) for q, la, ln in centers}
+        rows = [
+            (int(qid), by_qid[int(qid)][0], by_qid[int(qid)][1],
+             dk * (1.0 + 1e-9) + 1e-6)
+            for qid, dk in dk_by_qid.items()
+        ]
+        centers_dk = spark.createDataFrame(
+            rows, "query_id long, q_lat double, q_lng double, knn_radius double"
+        )
+        max_r = max(r[3] for r in rows)
+        parts.append(radius_join_df(
+            pts, centers_dk, max_m=max_r, radius_col="knn_radius",
+            lat=lat, lng=lng, broadcast_centers=True,
+        ))
+    if remaining:  # fewer than k points near these centers anywhere
+        lcent = spark.createDataFrame(
+            [(int(q), float(la), float(ln)) for q, la, ln in remaining],
+            "query_id long, q_lat double, q_lng double",
+        )
+        parts.append(
+            pts.crossJoin(F.broadcast(lcent))
+            .withColumn("dist_m", K.distance(
+                F.col("q_lat"), F.col("q_lng"), F.col(lat), F.col(lng)))
+            .drop("q_lat", "q_lng")
+        )
+    if not parts:  # empty centers -> empty result, stable schema
+        return (
+            pts.withColumn("query_id", F.lit(None).cast("long"))
+            .withColumn("dist_m", F.lit(None).cast("double"))
+            .limit(0)
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

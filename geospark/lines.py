@@ -7,14 +7,15 @@ Douglas-Peucker masks and the Google polyline codec run as
 Arrow-batched pandas UDFs over numpy (geospark.functions.numpy_kernels
 — exact reference semantics incl. the uint64 truncation and llround
 quirks). distance_to_polyline is a relational plan: explode to
-segments -> exact closest-on-segment Column kernel -> window argmin.
+segments -> exact closest-on-segment Column kernel -> min-struct
+aggregate argmin (partial-aggregatable; no window sort).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -47,7 +48,12 @@ def length(line: str) -> Column:
         f"slice({line}, 2, size({line}) - 1), "
         f"(a, b) -> {_hav_expr('a.lat', 'a.lng', 'b.lat', 'b.lng')})"
     )
-    return F.expr(f"aggregate({seg}, cast(0.0 as double), (acc, x) -> acc + x)")
+    # slice(line, 1, -1) is a runtime error for empty arrays — a
+    # 0/1-point line has length 0 by definition (polyline.cc:12-14)
+    return F.expr(
+        f"CASE WHEN size({line}) < 2 THEN 0.0D "
+        f"ELSE aggregate({seg}, cast(0.0 as double), (acc, x) -> acc + x) END"
+    )
 
 
 # L4 extract — sub-polyline by index range, reversible (src/polyline.cc:22-30)
@@ -205,11 +211,21 @@ def distance_to_polyline(pairs: DataFrame, point_lat: str, point_lng: str,
         K.distance(F.col("_x_lat"), F.col("_x_lng"),
                    F.col("closest_lat"), F.col("closest_lng")),
     )
-    w = Window.partitionBy(*keys).orderBy("dist_m", "seg_idx")
+    # argmin as a min-struct AGGREGATE, not a window sort: (dist, seg_idx)
+    # is unique per pair, struct ordering is lexicographic, so min() ==
+    # first-wins tie-break (polyline.h:88 strict <) — and the plan gets
+    # map-side partial aggregation instead of a full window sort.
+    best = F.min(
+        F.struct("dist_m", "seg_idx", "closest_lat", "closest_lng")
+    ).alias("_best")
     return (
-        seg.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(*keys, "dist_m", "seg_idx", "closest_lat", "closest_lng")
+        seg.groupBy(*keys).agg(best)
+        .select(
+            *keys, F.col("_best.dist_m").alias("dist_m"),
+            F.col("_best.seg_idx").alias("seg_idx"),
+            F.col("_best.closest_lat").alias("closest_lat"),
+            F.col("_best.closest_lng").alias("closest_lng"),
+        )
     )
 
 
@@ -249,9 +265,17 @@ def approx_distance_to_polyline(pairs: DataFrame, point_lat: str, point_lng: str
         .withColumn("closest_lng", c_lng)
         .withColumn("approx_sq", c_sq)
     )
-    w = Window.partitionBy(*keys).orderBy("approx_sq", "seg_idx")
+    # min-struct argmin (see distance_to_polyline): first-wins tie-break
+    # (polyline.h:110 strict <) with partial aggregation, no window sort.
+    best = F.min(
+        F.struct("approx_sq", "seg_idx", "closest_lat", "closest_lng")
+    ).alias("_best")
     return (
-        seg.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(*keys, "approx_sq", "seg_idx", "closest_lat", "closest_lng")
+        seg.groupBy(*keys).agg(best)
+        .select(
+            *keys, F.col("_best.approx_sq").alias("approx_sq"),
+            F.col("_best.seg_idx").alias("seg_idx"),
+            F.col("_best.closest_lat").alias("closest_lat"),
+            F.col("_best.closest_lng").alias("closest_lng"),
+        )
     )
