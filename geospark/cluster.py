@@ -73,6 +73,7 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
                    lng: str = "lng", max_refine_size: int = 1000,
                    contract_budget: int = 2_000_000,
                    second_round_threshold: int = 100_000,
+                   python_buckets: int = 128,
                    verbose: bool = False) -> DataFrame:
     """Returns ``(id_col, cluster_id)`` with cluster_id = min member id.
 
@@ -181,23 +182,31 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
 
     _t_edges = _time.time()
     edges = edges.localCheckpoint(eager=True)
+    if verbose:
+        print(f"cluster_nearby: edges materialized in "
+              f"{_time.time() - _t_edges:.1f}s")
     internal = edges.filter(F.col("region_a") == F.col("region_b")).select(
         "region_a", "pid", "qid"
     )
+    # cross edges keep the p-side region: root_a stays inside it (the
+    # local root is the min pid of a within-region component), so the
+    # second contraction round can re-key by region WITHOUT a join
     cross = edges.filter(F.col("region_a") != F.col("region_b")).select(
-        "pid", "qid"
+        "pid", "qid", "region_a"
     )
 
-    # (a) per-region exact union-find over nodes + internal edges;
-    # nodes recompute from pts (narrow scan, no checkpoint needed)
-    members = pts.select(
-        _region_of(F.col("cell")).alias("region"), "pid",
-        F.lit(None).cast("long").alias("qid"),
-    )
-    payload = members.union(
-        internal.select(F.col("region_a").alias("region"), "pid", "qid")
-    )
-
+    # (a) union-find over internal EDGES only, batched by hashed-region
+    # BUCKETS. Two measured pathologies avoided: (1) isolated points
+    # (the overwhelming majority at sub-percolation thresholds) never
+    # enter Python — applyInPandas pays ~1-5 ms per GROUP, so feeding
+    # every occupied region cost 20x the edge work itself; points
+    # without an internal edge are their own root, handled relationally
+    # by the left-join + coalesce in (b)/(d); (2) one group per region
+    # still meant thousands of Arrow round trips, so regions are hashed
+    # into ``python_buckets`` groups and union-find runs per bucket —
+    # valid because a pid's internal edges all live in its own region
+    # (bucket-internal cross-region merges are real merges; the
+    # contraction phases accept any partial merge).
     def _local_cc(pdf: pd.DataFrame) -> pd.DataFrame:
         parent: dict[int, int] = {}
 
@@ -209,40 +218,43 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
                 parent[x], x = r, parent[x]
             return r
 
-        def union(a: int, b: int) -> None:
-            ra, rb = find(a), find(b)
+        pids = pdf["pid"].to_numpy()
+        qids = pdf["qid"].to_numpy()
+        for p, q in zip(pids, qids):
+            ra, rb = find(int(p)), find(int(q))
             if ra != rb:
                 if ra < rb:
                     parent[rb] = ra
                 else:
                     parent[ra] = rb
-
-        pids = pdf["pid"].to_numpy()
-        qids = pdf["qid"].to_numpy()
-        for p, q in zip(pids, qids):
-            if q is None or (isinstance(q, float) and np.isnan(q)) or q < 0:
-                parent.setdefault(int(p), int(p))
-            else:
-                union(int(p), int(q))
-        uniq = np.unique(pids)
-        region = np.full(len(uniq), int(pdf["region"].iloc[0]), dtype=np.int64)
+        nodes = np.unique(np.concatenate([pids, qids])).astype(np.int64)
         return pd.DataFrame({
-            "region": region,
-            "pid": uniq.astype(np.int64),
-            "root": np.array([find(int(p)) for p in uniq], dtype=np.int64),
+            "pid": nodes,
+            "root": np.array([find(int(p)) for p in nodes], dtype=np.int64),
         })
 
-    local = payload.groupBy("region").applyInPandas(
-        _local_cc, "region long, pid long, root long"
-    ).localCheckpoint(eager=True)
+    _t_local = _time.time()
+    local = (
+        internal.withColumn(
+            "_b", F.pmod(F.hash("region_a"), F.lit(python_buckets))
+        )
+        .groupBy("_b")
+        .applyInPandas(_local_cc, "pid long, root long")
+        .localCheckpoint(eager=True)
+    )
+    if verbose:
+        print(f"cluster_nearby: local CC in {_time.time() - _t_local:.1f}s")
 
-    # (b) contracted graph: cross edges through local roots
+    # (b) contracted graph: cross edges through local roots (left join:
+    # endpoints with no internal edge are their own root)
     contracted = (
         cross.alias("c")
-        .join(local.alias("la"), F.col("c.pid") == F.col("la.pid"))
-        .join(local.alias("lb"), F.col("c.qid") == F.col("lb.pid"))
+        .join(local.alias("la"), F.col("c.pid") == F.col("la.pid"), "left")
+        .join(local.alias("lb"), F.col("c.qid") == F.col("lb.pid"), "left")
         .select(
-            F.col("la.root").alias("root_a"), F.col("lb.root").alias("root_b")
+            F.coalesce(F.col("la.root"), F.col("c.pid")).alias("root_a"),
+            F.coalesce(F.col("lb.root"), F.col("c.qid")).alias("root_b"),
+            F.col("c.region_a").alias("region_a"),
         )
         .filter(F.col("root_a") != F.col("root_b"))
         .distinct()
@@ -269,14 +281,11 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
                 + F.shiftright(tx.cast("long"), shift2)
             )
 
-        # roots carry their own region (root pid is a member of its
-        # region), so region2 comes from `local` — no point-table join
-        roots2 = local.filter(F.col("pid") == F.col("root")).select(
-            F.col("root").alias("r_id"), _region2_of(F.col("region")).alias("region2")
+        # root_a lives in the cross edge's own region_a, carried on the
+        # contracted rows — re-key by column expr, no join
+        e2 = contracted.select(
+            _region2_of(F.col("region_a")).alias("region2"), "root_a", "root_b"
         )
-        e2 = contracted.join(
-            roots2, F.col("root_a") == F.col("r_id")
-        ).select("region2", "root_a", "root_b")
 
         def _reduce_edges(pdf: pd.DataFrame) -> pd.DataFrame:
             parent: dict[int, int] = {}
@@ -342,19 +351,27 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
         print(f"cluster_nearby: driver union-find on {len(c_rows)} contracted "
               f"edges -> {len(mapping)} remapped roots")
 
-    # (d) compose: pid -> local root -> contracted component label
+    # (d) compose: pid -> local root (own pid if edge-free) ->
+    # contracted component label
+    base = (
+        pts.select("pid").alias("b")
+        .join(local.alias("l"), F.col("b.pid") == F.col("l.pid"), "left")
+        .select(
+            F.col("b.pid").alias("pid"),
+            F.coalesce(F.col("l.root"), F.col("b.pid")).alias("root"),
+        )
+    )
     if mapping:
         remap = spark.createDataFrame(mapping, "root_j long, label long")
         labels = (
-            local.alias("l")
-            .join(F.broadcast(remap), F.col("l.root") == F.col("root_j"), "left")
+            base.join(F.broadcast(remap), F.col("root") == F.col("root_j"), "left")
             .select(
-                F.col("l.pid").alias("pid"),
-                F.coalesce(F.col("label"), F.col("l.root")).alias("label"),
+                "pid",
+                F.coalesce(F.col("label"), F.col("root")).alias("label"),
             )
         )
     else:
-        labels = local.select("pid", F.col("root").alias("label"))
+        labels = base.select("pid", F.col("root").alias("label"))
 
     # stage 2: complete-linkage refinement per SL component.
     # Most components are singletons/pairs — those short-circuit in the
@@ -364,12 +381,19 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
     # overhead on ~10^5 tiny groups was ~1 ms/group == minutes.
     from pyspark.sql import Window
 
+    _t_member = _time.time()
     member = points.select(
         F.col(id_col).alias("pid"), F.col(lat).alias("plat"),
         F.col(lng).alias("plng"),
     ).join(labels, "pid")
     w = Window.partitionBy("label")
-    member = member.withColumn("_n", F.count("*").over(w))
+    # materialize once: the small/big branches below would otherwise
+    # each replay the label-composition joins + the window count
+    member = member.withColumn("_n", F.count("*").over(w)).localCheckpoint(
+        eager=True
+    )
+    if verbose:
+        print(f"cluster_nearby: member labels in {_time.time() - _t_member:.1f}s")
 
     small = member.filter(F.col("_n") < 3).select(
         "pid", F.col("label").alias("cluster_id")
@@ -377,7 +401,7 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
     big = member.filter(F.col("_n") >= 3).drop("_n")
 
     def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pid").reset_index(drop=True)
+        # expects pid-sorted rows (refine_bucket pre-sorts the bucket)
         n = len(pdf)
         if n > max_refine_size:
             # the reference's complete-linkage is O(n²·rounds) —
@@ -400,8 +424,29 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
             out[m] = pid[m].min()
         return pd.DataFrame({"pid": pid, "cluster_id": out})
 
-    refined = big.groupBy("label").applyInPandas(
-        refine, "pid long, cluster_id long"
+    # batch SL components per Python call (hash-bucketed labels): the
+    # per-group Arrow overhead on thousands of 3-4 member components is
+    # 10-50x the refinement itself; a pandas groupby inside the bucket
+    # costs ~0.1 ms per component instead.
+    def refine_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one sort for the whole bucket beats a sort per 3-row group
+        pdf = pdf.sort_values(["label", "pid"]).reset_index(drop=True)
+        outs = [refine(g) for _, g in pdf.groupby("label", sort=False)]
+        if not outs:
+            return pd.DataFrame({
+                "pid": pd.Series(dtype="int64"),
+                "cluster_id": pd.Series(dtype="int64"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    # explicit repartition count: AQE otherwise coalesces this tiny
+    # shuffle to ~3 tasks and serializes the Python work
+    fanout = max(points.sparkSession.sparkContext.defaultParallelism, 8)
+    refined = (
+        big.withColumn("_b", F.pmod(F.hash("label"), F.lit(python_buckets)))
+        .repartition(fanout, "_b")
+        .groupBy("_b")
+        .applyInPandas(refine_bucket, "pid long, cluster_id long")
     )
     result = small.unionByName(refined.select("pid", "cluster_id"))
     return result.select(F.col("pid").alias(id_col), "cluster_id")
