@@ -381,16 +381,22 @@ def _q_emb_cosine_topk(spark, sf_dir):
 def _q_emb_ann_lsh(spark, sf_dir):
     from geospark.embeddings import ann_topk
 
-    # 4 planes -> 16 buckets: ~n/16 candidates per query at this scale
-    return ann_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=10, n_planes=4)
+    # 8 planes (256 buckets) + 1-bit multi-probe: candidates ~
+    # n*(1+8)/256 per query — selective at any n, no recall cliff
+    return ann_topk(
+        _emb(spark, sf_dir), EMB_QUERY_IDS, k=10, n_planes=8, probe_radius=1
+    )
 
 
 def _q_emb_neardup(spark, sf_dir):
     from geospark.embeddings import embedding_neardup_pairs
 
     # max pairwise cosine in the synthetic embeddings is ~0.51 — 0.35
-    # marks the top ~0.1% of pairs as "near-dups"
-    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.35, n_planes=4)
+    # marks the top ~0.1% of pairs as "near-dups". 4 tables x 8 planes:
+    # each self-join is 256-bucketed (~L*n^2/256 candidate pairs).
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.35, n_planes=8, n_tables=4
+    )
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -405,8 +411,12 @@ def _q_multimodal_features(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"),
     )
     out = extract_features(media, decode_fake=True)
+    # cast the float32 feature to double BEFORE rounding so the oracle
+    # (double round of an exact float32) matches bit-for-bit
     return out.select(
-        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+        "media_id", "n_bytes",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 7).cast("double"), 6).alias("f6"),
     )
 
 
@@ -524,7 +534,10 @@ def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="geospark_stream_")
     spool, ckpt = f"{tmp}/spool", f"{tmp}/ckpt"
-    synth_pages(spark, 2000, partitions=4).write.mode("overwrite").parquet(spool)
+    # 2 files / 2 per trigger = one micro-batch: the contract query pays
+    # trigger latency once; multi-batch watermark semantics are covered
+    # by tests/test_runtime.py
+    synth_pages(spark, 2000, partitions=2).write.mode("overwrite").parquet(spool)
     stream = read_pages_stream(spark, spool, max_files_per_trigger=2)
     agg = streaming_tile_counts(stream, zoom=6, window="60 minutes")
     q = run_to_memory(agg, "geospark_stream_tiles", ckpt)
@@ -587,6 +600,99 @@ def _centers_values() -> str:
     return f"(VALUES {rows}) AS c(query_id, q_lat, q_lng)"
 
 
+# --- engine-neutral hash / exact-fold helpers (DuckDB side) ----------------
+def _duck_md5_60(col: str) -> str:
+    """DuckDB twin of textops.md5_60_sql — identical 60-bit integer."""
+    return f"('0x' || substr(md5({col}), 1, 15))::BIGINT"
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """Left-fold dot product replicating Spark's aggregate(zip_with(..))
+    summation ORDER exactly — bit-identical doubles."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), "
+        f"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (acc, v) -> acc + v)"
+    )
+
+
+def _duck_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        f"(acc, v) -> acc + v))"
+    )
+
+
+def _duck_plane_literal(w: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in w) + "]"
+
+
+def _duck_lsh_bucket(vec: str, n_planes: int, dim: int, table: int = 0) -> str:
+    """DuckDB twin of embeddings.lsh_bucket: same plane literals, same
+    fold order, same sign rule — identical bucket ids."""
+    from geospark.embeddings import _plane_weights
+
+    planes = _plane_weights((table + 1) * n_planes, dim)[table * n_planes:]
+    terms = []
+    for h, w in enumerate(planes):
+        d = _duck_dot(_duck_plane_literal(w), vec)
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << h} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _oracle_sf_dir() -> str:
+    """The scale factor the driver evaluates oracles at (sf0.01)."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _oracle_trajectories() -> list[tuple[int, list[tuple[float, float]]]]:
+    """Per-user trajectories at the oracle SF, ordered by (ts,
+    event_id) — the same derivation every polyline query uses, computed
+    by DuckDB so the doubles are bit-identical to the Spark side."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{_oracle_sf_dir()}/events.parquet')"
+    )
+    pdf = con.sql(
+        f"WITH pts AS ({G.EVENTS_POINTS_SQL}) "
+        f"SELECT user_id, lat, lng FROM pts ORDER BY user_id, ts, event_id"
+    ).df()
+    con.close()
+    out: list[tuple[int, list[tuple[float, float]]]] = []
+    for uid, g in pdf.groupby("user_id", sort=True):
+        out.append((int(uid), list(zip(g["lat"].tolist(), g["lng"].tolist()))))
+    return out
+
+
+def _oracle_points() -> tuple[list[int], list[float], list[float]]:
+    """(event_id, lat, lng) at the oracle SF ordered by event_id."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{_oracle_sf_dir()}/events.parquet')"
+    )
+    pdf = con.sql(
+        f"WITH pts AS ({G.EVENTS_POINTS_SQL}) "
+        f"SELECT event_id, lat, lng FROM pts ORDER BY event_id"
+    ).df()
+    con.close()
+    return pdf["event_id"].tolist(), pdf["lat"].tolist(), pdf["lng"].tolist()
+
+
+def _values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    """Embedded-VALUES relation with explicit column types."""
+    body = ", ".join("(" + ", ".join(repr(v) for v in r) + ")" for r in rows)
+    names = ", ".join(n for n, _ in cols)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    return f"SELECT {casts} FROM (VALUES {body}) AS t({names})"
+
+
 def oracle_sql() -> dict[str, str]:
     pts = G.EVENTS_POINTS_SQL
     hav = G.haversine_sql("q_lat", "q_lng", "lat", "lng")
@@ -610,7 +716,14 @@ def oracle_sql() -> dict[str, str]:
     )
     mid_lat, mid_lng = G.midpoint_sql("p_lat", "p_lng", "lat", "lng")
 
-    from geospark.textops import BPE_ISH_RE, LANG_MARKERS, STOPWORDS
+    from geospark.textops import (
+        BPE_ISH_RE,
+        HASH_P,
+        LANG_MARKERS,
+        SIMHASH_BITS,
+        STOPWORDS,
+        minhash_perm_params,
+    )
 
     stop_pat = "\\b(" + "|".join(STOPWORDS) + ")\\b"
     lang_counts = ", ".join(
@@ -638,6 +751,55 @@ def oracle_sql() -> dict[str, str]:
     """
 
     emb_ids = ", ".join(str(i) for i in EMB_QUERY_IDS)
+
+    # --- engine-neutral-hash oracle building blocks ------------------------
+    tok_hash = _duck_md5_60("t")
+    mh_cols = []
+    for i in range(16):
+        a, b = minhash_perm_params(i)
+        mh_cols.append(f"min(({a} * x + {b}) % {HASH_P}) AS mh_{i}")
+    mh_select = ", ".join(mh_cols)
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"mh_{b * 4 + j}" for j in range(4))
+        + ") AS sig FROM mh"
+        for b in range(4)
+    )
+    sim_sums = ", ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN w ELSE -w END) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sim_sig = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+
+    ann_bucket = _duck_lsh_bucket("embedding", n_planes=8, dim=64)
+    nd_buckets = ", ".join(
+        f"{_duck_lsh_bucket('embedding', n_planes=8, dim=64, table=t)} AS b{t}"
+        for t in range(4)
+    )
+
+    # --- golden-VALUES oracles (independent implementations) ---------------
+    from geospark import goldens as GO
+
+    traj = _oracle_trajectories()
+    sm_rows = [
+        (uid, len(line), *GO.simplify_mask_stats(line))
+        for uid, line in traj
+        if len(line) >= 2
+    ]
+    pc_rows = []
+    for uid, line in traj:
+        enc = GO.encode_polyline(line, 5)
+        pc_rows.append((uid, len(enc), len(GO.decode_polyline(enc, 5)), len(line)))
+    ev_ids, ev_lats, ev_lngs = _oracle_points()
+    cl_rows = [
+        (int(m), int(c)) for m, c in GO.cluster_hist(ev_lats, ev_lngs, ev_ids, 5000.0)
+    ]
+    st_rows = [
+        (int(tx), int(ty), int(c)) for tx, ty, c in GO.stream_tile_counts(2000, 6)
+    ]
 
     qlat_r, qlng_r = repr(G.DEMO_CENTERS[0][1]), repr(G.DEMO_CENTERS[0][2])
     mensa_scale = G.approx_lng_scale_sql(qlat_r, qlng_r)
@@ -786,32 +948,163 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_cosine_topk": f"""
             WITH e AS (SELECT vec_id, embedding FROM embeddings),
-            q AS (SELECT vec_id AS qid, embedding AS qv FROM e
+            q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
                   WHERE vec_id IN ({emb_ids})),
-            dots AS (
-                SELECT q.qid AS query_id, e.vec_id,
-                       sum(CAST(x.val AS DOUBLE) * CAST(y.val AS DOUBLE)) AS dp,
-                       sqrt(sum(CAST(x.val AS DOUBLE) * CAST(x.val AS DOUBLE))) AS nq,
-                       sqrt(sum(CAST(y.val AS DOUBLE) * CAST(y.val AS DOUBLE))) AS nv
-                FROM e, q,
-                LATERAL (SELECT unnest(q.qv) val,
-                                generate_subscripts(q.qv, 1) i) x,
-                LATERAL (SELECT unnest(e.embedding) val,
-                                generate_subscripts(e.embedding, 1) i) y
-                WHERE x.i = y.i AND e.vec_id <> q.qid
-                GROUP BY 1, 2
+            sim AS (
+                SELECT q.query_id, e.vec_id,
+                       {_duck_dot('q.qv', 'e.embedding')}
+                       / ({_duck_norm('q.qv')} * {_duck_norm('e.embedding')}) AS cs
+                FROM e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
             ),
             ranked AS (
-                SELECT query_id, vec_id, dp / (nq * nv) AS cs,
+                SELECT query_id, vec_id, cs,
                        row_number() OVER (
-                           PARTITION BY query_id
-                           ORDER BY dp / (nq * nv) DESC, vec_id
+                           PARTITION BY query_id ORDER BY cs DESC, vec_id
                        ) AS rn
-                FROM dots
+                FROM sim
             )
             SELECT query_id, vec_id, round(cs, 6) AS cos_sim
             FROM ranked WHERE rn <= 10
         """,
+        "emb_ann_lsh": f"""
+            WITH b AS (SELECT vec_id, embedding, {ann_bucket} AS bucket
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb
+                  FROM b WHERE vec_id IN ({emb_ids})),
+            cand AS (
+                SELECT q.query_id, q.qv, b.vec_id, b.embedding AS vv
+                FROM b CROSS JOIN q
+                WHERE b.vec_id <> q.query_id
+                  AND (b.bucket = q.qb OR bit_count(xor(b.bucket, q.qb)) = 1)
+            ),
+            sim AS (
+                SELECT query_id, vec_id,
+                       {_duck_dot('qv', 'vv')}
+                       / ({_duck_norm('qv')} * {_duck_norm('vv')}) AS cs
+                FROM cand
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cs,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY cs DESC, vec_id
+                       ) AS rn
+                FROM sim
+            )
+            SELECT query_id, vec_id, round(cs, 6) AS cos_sim
+            FROM ranked WHERE rn <= 10
+        """,
+        "emb_neardup": f"""
+            WITH b AS (SELECT vec_id, embedding, {nd_buckets} FROM embeddings),
+            cand AS (
+                SELECT a.vec_id AS vec_id_a, c.vec_id AS vec_id_b,
+                       a.embedding AS va, c.embedding AS vb
+                FROM b a JOIN b c
+                  ON a.vec_id < c.vec_id
+                 AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2 OR a.b3 = c.b3)
+            ),
+            sim AS (
+                SELECT vec_id_a, vec_id_b,
+                       {_duck_dot('va', 'vb')}
+                       / ({_duck_norm('va')} * {_duck_norm('vb')}) AS cs
+                FROM cand
+            )
+            SELECT vec_id_a, vec_id_b, round(cs, 6) AS cos_sim
+            FROM sim WHERE cs >= 0.35
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(401862909 AS BIGINT),
+                           list_transform(string_split_regex(text, '\\s+'),
+                               t -> {tok_hash} % {HASH_P})),
+                       (acc, h) -> (acc * 31 + h) % {HASH_P}) AS fingerprint
+            FROM documents
+        """,
+        "doc_minhash_lsh": f"""
+            WITH {shingle_cte},
+            hx AS (SELECT doc_id,
+                          {_duck_md5_60('shingle')} % {HASH_P} AS x
+                   FROM sh),
+            mh AS (SELECT doc_id, {mh_select} FROM hx GROUP BY doc_id),
+            bands AS (
+                {band_selects}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+                SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_inter
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.doc_id_a
+                JOIN sh b ON b.doc_id = c.doc_id_b AND a.shingle = b.shingle
+                GROUP BY 1, 2
+            )
+            SELECT doc_id_a, doc_id_b,
+                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_id_a = sa.doc_id
+            JOIN sizes sb ON doc_id_b = sb.doc_id
+            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {MINHASH_T}
+        """,
+        "doc_simhash_pairs": f"""
+            WITH tok AS (
+                SELECT doc_id, t AS token, count(*) AS w
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(text, '\\s+')) AS t
+                      FROM documents)
+                WHERE t <> '' GROUP BY doc_id, t
+            ),
+            th AS (SELECT doc_id, w, {_duck_md5_60('token')} AS h FROM tok),
+            sums AS (SELECT doc_id, {sim_sums} FROM th GROUP BY doc_id),
+            sig AS (SELECT doc_id, ({sim_sig}) AS simhash FROM sums),
+            b AS (
+                SELECT doc_id, simhash, band,
+                       (simhash >> (band * 16)) & 65535 AS val
+                FROM sig CROSS JOIN
+                     (SELECT unnest(generate_series(0, 3)) AS band)
+            )
+            SELECT DISTINCT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b,
+                   CAST(bit_count(xor(a.simhash, b2.simhash)) AS INTEGER)
+                       AS hamming
+            FROM b a JOIN b b2
+              ON a.band = b2.band AND a.val = b2.val AND a.doc_id < b2.doc_id
+            WHERE bit_count(xor(a.simhash, b2.simhash)) <= 8
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   round(CAST(CAST(
+                       CAST(length(text)
+                            - length(regexp_replace(text, '[\\x00-\\x0f]', '', 'g'))
+                            AS DOUBLE) / length(text) AS REAL) AS DOUBLE), 6) AS f0,
+                   round(CAST(CAST(
+                       CAST(length(text)
+                            - length(regexp_replace(text, '[\\x60-\\x6f]', '', 'g'))
+                            AS DOUBLE) / length(text) AS REAL) AS DOUBLE), 6) AS f6
+            FROM documents
+        """,
+        "simplify_mask": _values_sql(
+            sm_rows,
+            [("user_id", "BIGINT"), ("n_points", "INTEGER"),
+             ("n_z0", "INTEGER"), ("n_z10", "INTEGER"),
+             ("mask_bytes", "INTEGER")],
+        ),
+        "polyline_codec": _values_sql(
+            pc_rows,
+            [("user_id", "BIGINT"), ("enc_len", "INTEGER"),
+             ("n_roundtrip", "INTEGER"), ("n_points", "INTEGER")],
+        ),
+        "cluster": _values_sql(
+            cl_rows, [("n_members", "BIGINT"), ("n_clusters", "BIGINT")]
+        ),
+        "streaming_tiles": _values_sql(
+            st_rows,
+            [("tile_x", "BIGINT"), ("tile_y", "BIGINT"), ("n_points", "BIGINT")],
+        ),
         "polyline_length": f"""
             WITH pts AS ({pts}),
             seq AS (

@@ -72,9 +72,12 @@ def _plane_weights(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64,
-               vec_col: str = "embedding"):
-    """Append a sign-bucket column: bit h = sign(dot(plane_h, vec))."""
-    planes = _plane_weights(n_planes, dim)
+               vec_col: str = "embedding", table: int = 0,
+               bucket_col: str = "bucket"):
+    """Append a sign-bucket column: bit h = sign(dot(plane_h, vec)).
+    ``table`` selects a disjoint plane block, so L independent hash
+    tables come from table=0..L-1 (multi-table LSH)."""
+    planes = _plane_weights((table + 1) * n_planes, dim)[table * n_planes:]
     bucket = None
     for h, w in enumerate(planes):
         arr = "array(" + ", ".join(repr(x) for x in w) + ")"
@@ -82,16 +85,19 @@ def lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64,
         bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, h)
         bucket = term if bucket is None else bucket.bitwiseOR(term)
-    return emb.withColumn("bucket", bucket)
+    return emb.withColumn(bucket_col, bucket)
 
 
 def ann_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
-             n_planes: int = 8, dim: int = 64,
+             n_planes: int = 8, dim: int = 64, probe_radius: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: hash join on the sign bucket, exact cosine
-    re-rank within the bucket. Candidates ~ n/2^n_planes per query.
-    Returns (query_id, vec_id, cos_sim); recall measured in tests
-    against cosine_topk."""
+    """Approximate top-k: hash join on the sign bucket with MULTI-PROBE
+    (each query also probes every bucket within ``probe_radius`` sign
+    flips — (n_planes choose <=r)+1 buckets), exact cosine re-rank over
+    candidates. Candidates ~ n*(1+n_planes)/2^n_planes per query at
+    r=1, so the bucket count can stay high (selective) without the
+    single-bucket recall cliff. Returns (query_id, vec_id, cos_sim);
+    recall measured in tests against cosine_topk."""
     bucketed = lsh_bucket(emb, n_planes, dim, vec_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"), "bucket"
     )
@@ -102,9 +108,25 @@ def ann_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         F.col("v_vec").alias("q_vec"),
         F.col("bucket").alias("q_bucket"),
     )
-    cand = bucketed.join(
-        F.broadcast(queries), F.col("bucket") == F.col("q_bucket")
-    ).filter(F.col("vec_id") != F.col("query_id"))
+    # probe table: the query's own bucket + every 1-bit flip (r=1);
+    # explode keeps the join an equi-join (broadcastable, skew-safe)
+    probes = [F.col("q_bucket")]
+    if probe_radius >= 1:
+        probes += [
+            F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+    queries = queries.select(
+        "query_id", "q_vec",
+        F.explode(F.array(*probes)).alias("probe_bucket"),
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(queries), F.col("bucket") == F.col("probe_bucket")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "vec_id", "v_vec")
+        .distinct()
+    )
     sim = cand.withColumn(
         "cos_sim", dot("q_vec", "v_vec") / (norm("q_vec") * norm("v_vec"))
     )
@@ -118,22 +140,45 @@ def ann_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                             n_planes: int = 8, dim: int = 64,
+                            n_tables: int = 4,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup: bucket self-join (filter) -> exact
-    cosine (refine) -> pairs above threshold."""
-    bucketed = lsh_bucket(emb, n_planes, dim, vec_col).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "bucket"
-    )
-    pairs = (
-        bucketed.alias("a")
-        .join(bucketed.alias("b"), "bucket")
+    """Embedding-cosine near-dup: MULTI-TABLE sign-LSH (L independent
+    plane blocks; a pair is a candidate if it collides in ANY table)
+    -> exact cosine refine -> pairs above threshold.
+
+    Scale bound: expected candidate pairs ~ L * n^2 / 2^n_planes for
+    unrelated vectors, with per-table recall (1 - theta/pi)^n_planes
+    for a true near-dup at angle theta — L tables push overall recall
+    to 1-(1-p)^L while keeping each self-join 2^n_planes-bucketed
+    (e.g. L=4, n_planes=8: ~64x fewer pairs than a 16-bucket join and
+    ~0.90 recall at cos 0.95)."""
+    sides = []
+    for t in range(n_tables):
+        b = lsh_bucket(emb, n_planes, dim, vec_col, table=t).select(
+            F.col(id_col).alias("vid"), "bucket", F.lit(t).alias("tbl")
+        )
+        sides.append(b)
+    buckets = sides[0]
+    for s in sides[1:]:
+        buckets = buckets.unionByName(s)
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["tbl", "bucket"])
         .filter(F.col("a.vid") < F.col("b.vid"))
         .select(
             F.col("a.vid").alias("vec_id_a"),
             F.col("b.vid").alias("vec_id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
+        )
+        .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    pairs = (
+        cand.join(vecs.alias("va"), F.col("vec_id_a") == F.col("va.vid"))
+        .join(vecs.alias("vb"), F.col("vec_id_b") == F.col("vb.vid"))
+        .select(
+            "vec_id_a", "vec_id_b",
+            F.col("va.vec").alias("va"), F.col("vb.vec").alias("vb"),
         )
     )
     sim = pairs.withColumn(

@@ -1,0 +1,329 @@
+"""Independent single-node golden implementations.
+
+These exist ONLY to generate embedded-VALUES oracles (see
+``__spark_entry__.oracle_sql``) for driver queries whose semantics a
+SQL engine cannot express — iterative Douglas-Peucker masks, the
+Google polyline codec, reference-order clustering, and the streaming
+tile pipeline. They are written independently of the engine's
+vectorized kernels (plain-Python loops + ``math``; numpy appears only
+where float32 *dtype parity* with the reference demands it), so a
+Spark-vs-golden comparison crosses two separate implementations of the
+reference semantics:
+
+- simplify masks: simplify_mask.h:25-218 (incl. the uint64 truncation
+  of squared distances and the adjacent-level dedup byte layout)
+- polyline codec: polyline_format.h:30-146 (llround + zigzag + 5-bit
+  chunks + 63)
+- clustering: src/cluster_nearby.cc:59-234 (float32 haversine, SL
+  bbox-gated pass, CL refinement incl. the last-valid-pair merge-order
+  quirk, <3 member short-circuit)
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+MERC_R = 6378137.0
+MERC_MAX_LAT = 85.0511287798
+ORIGIN_SHIFT = math.pi * MERC_R
+
+
+# ---------------------------------------------------------------------------
+# webmercator pixel projection (webmercator.h:156-219): x truncates,
+# y rounds half-away-from-zero then truncates
+# ---------------------------------------------------------------------------
+def pixel(lat: float, lng: float, z: int, tile_size: int) -> tuple[int, int]:
+    lat = max(-MERC_MAX_LAT, min(MERC_MAX_LAT, lat))
+    s = math.sin(math.radians(lat))
+    mx = MERC_R * math.radians(lng)
+    my = MERC_R * math.log((1.0 + s) / (1.0 - s)) / 2.0
+    res = (2.0 * math.pi * MERC_R / tile_size) / (1 << z)
+    px = math.trunc((mx + ORIGIN_SHIFT) / res)
+    v = (tile_size << z) - (my + ORIGIN_SHIFT) / res
+    py = math.trunc(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
+    return px, py
+
+
+def tile_of(lat: float, lng: float, z: int, tile_size: int = 4096) -> tuple[int, int]:
+    px, py = pixel(lat, lng, z, tile_size)
+    return px // tile_size, py // tile_size
+
+
+# ---------------------------------------------------------------------------
+# simplify masks (simplify_mask.h)
+# ---------------------------------------------------------------------------
+def _sq_perp_dist_u64(src, tgt, test) -> int:
+    sx, sy = tgt[0] - src[0], tgt[1] - src[1]
+    rx, ry = test[0] - src[0], test[1] - src[1]
+    unnormed = float(sx * rx + sy * ry)
+    sq_len = float(sx * sx + sy * sy)
+    if sq_len < 2.220446049250313e-16:
+        proj_x, proj_y = float(src[0]), float(src[1])
+    else:
+        ratio = max(min(unnormed / sq_len, 1.0), 0.0)
+        proj_x = (1.0 - ratio) * float(src[0]) + float(tgt[0]) * ratio
+        proj_y = (1.0 - ratio) * float(src[1]) + float(tgt[1]) * ratio
+    dx, dy = proj_x - float(test[0]), proj_y - float(test[1])
+    # uint64_t return type truncates the double (simplify_mask.h:26)
+    return int(dx * dx + dy * dy)
+
+
+def _process_level(pts, threshold: int, mask: list[bool]) -> bool:
+    stack: list[tuple[int, int]] = []
+    last = 0
+    for i in range(1, len(mask)):
+        if mask[i]:
+            if i - last > 1:
+                stack.append((last, i))
+            last = i
+    if not stack:
+        return True
+    while stack:
+        lo, hi = stack.pop()
+        max_dist = 0
+        farthest = hi
+        for idx in range(lo + 1, hi):
+            d = _sq_perp_dist_u64(pts[lo], pts[hi], pts[idx])
+            if d > max_dist and d >= threshold:
+                farthest = idx
+                max_dist = d
+        if max_dist >= threshold:
+            mask[farthest] = True
+            if lo < farthest:
+                stack.append((lo, farthest))
+            if farthest < hi:
+                stack.append((farthest, hi))
+    return False
+
+
+def _serialize_mask(levels: list[list[bool]]) -> bytes:
+    lvls = 0
+    bits: list[bool] = []
+    for i in range(len(levels)):
+        if i + 1 < len(levels) and levels[i] == levels[i + 1]:
+            continue
+        lvls |= 1 << i
+        bits.extend(levels[i])
+    out = bytearray()
+    out += int(lvls).to_bytes(4, "little")
+    out += len(levels[0]).to_bytes(4, "little")
+    buf, pos = 0, 0
+    for b in bits:
+        buf |= int(b) << pos
+        pos += 1
+        if pos == 8:
+            out.append(buf)
+            buf, pos = 0, 0
+    if pos:
+        out.append(buf)
+    return bytes(out)
+
+
+def simplify_mask_stats(latlngs: list[tuple[float, float]],
+                        z_a: int = 0, z_b: int = 10) -> tuple[int, int, int]:
+    """(points kept at z_a, points kept at z_b, serialized byte size)."""
+    pts = [pixel(la, ln, 20, 4096) for la, ln in latlngs]
+    n = len(pts)
+    mask = [False] * n
+    mask[0] = True
+    mask[-1] = True
+    levels: list[list[bool]] = []
+    for z in range(21):
+        delta = 1 << (20 - z)
+        done = _process_level(pts, delta * delta, mask)
+        if done:
+            while len(levels) < 21:
+                levels.append(mask[:])
+            break
+        levels.append(mask[:])
+    ser = _serialize_mask(levels)
+    return sum(levels[z_a]), sum(levels[z_b]), len(ser)
+
+
+# ---------------------------------------------------------------------------
+# Google polyline codec (polyline_format.h)
+# ---------------------------------------------------------------------------
+def _llround(v: float) -> int:
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+def encode_polyline(latlngs: list[tuple[float, float]], precision: int = 5) -> str:
+    k = 10 ** precision
+    out: list[str] = []
+
+    def push(delta: int) -> None:
+        v = ~(delta << 1) if delta < 0 else (delta << 1)
+        while v >= 0x20:
+            out.append(chr((0x20 | (v & 0x1F)) + 63))
+            v >>= 5
+        out.append(chr(v + 63))
+
+    prev_lat = prev_lng = 0
+    for la, ln in latlngs:
+        ilat, ilng = _llround(la * k), _llround(ln * k)
+        push(ilat - prev_lat)
+        push(ilng - prev_lng)
+        prev_lat, prev_lng = ilat, ilng
+    return "".join(out)
+
+
+def decode_polyline(s: str, precision: int = 5) -> list[tuple[float, float]]:
+    k = 10 ** precision
+    coords: list[int] = []
+    acc, shift = 0, 0
+    for ch in s:
+        b = ord(ch) - 63
+        acc |= (b & 0x1F) << shift
+        shift += 5
+        if not b & 0x20:
+            coords.append(~(acc >> 1) if acc & 1 else (acc >> 1))
+            acc, shift = 0, 0
+    pts = []
+    lat = lng = 0
+    for i in range(0, len(coords) - 1, 2):
+        lat += coords[i]
+        lng += coords[i + 1]
+        pts.append((lat / k, lng / k))
+    return pts
+
+
+# ---------------------------------------------------------------------------
+# clustering (src/cluster_nearby.cc) — float32 throughout
+# ---------------------------------------------------------------------------
+_F32 = np.float32
+_PI_F = _F32(math.pi)
+_R_F = _F32(6371000.0)
+
+
+def _gc_f32(alat, alng, blat, blng):
+    """Vectorized float32 haversine, argument order (a, b) as the
+    reference's gc_distance_f (cluster_nearby.cc:32-40)."""
+    to_rad = lambda d: d * _PI_F / _F32(180.0)  # noqa: E731
+    u = np.sin((to_rad(blat) - to_rad(alat)) / _F32(2.0))
+    v = np.sin((to_rad(blng) - to_rad(alng)) / _F32(2.0))
+    return (
+        _F32(2.0) * _R_F
+        * np.arcsin(np.sqrt(u * u + np.cos(to_rad(alat)) * np.cos(to_rad(blat)) * v * v))
+    )
+
+
+def cluster_hist(lats, lngs, pids, max_dist: float) -> list[tuple[int, int]]:
+    """Reference-semantics clustering -> [(n_members, n_clusters), ...]
+    sorted by n_members. Labels canonicalized to min pid (the engine's
+    convention; histogram is label-invariant anyway)."""
+    la = np.asarray(lats, _F32)
+    ln = np.asarray(lngs, _F32)
+    pid = np.asarray(pids, np.int64)
+    n = la.size
+    md = _F32(max_dist)
+
+    # single-linkage pass: for i, candidates j < i inside bbox(i) with
+    # gc_f(i, j) <= max_dist (cluster_nearby.cc:59-107) -> union-find
+    off_lat = (md / _R_F) * _F32(180.0) / _PI_F
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(1, n):
+        off_lng = (
+            md / (_R_F * np.cos(la[i] * _PI_F / _F32(180.0)))
+        ) * _F32(180.0) / _PI_F
+        js = np.arange(i)
+        in_box = (
+            (la[:i] >= la[i] - off_lat) & (la[:i] <= la[i] + off_lat)
+            & (ln[:i] >= ln[i] - off_lng) & (ln[:i] <= ln[i] + off_lng)
+        )
+        if not in_box.any():
+            continue
+        cand = js[in_box]
+        d = _gc_f32(np.full(cand.size, la[i]), np.full(cand.size, ln[i]),
+                    la[cand], ln[cand])
+        for j in cand[np.asarray(d) <= md]:
+            ri, rj = find(i), find(int(j))
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+
+    comps: dict[int, list[int]] = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+
+    labels = np.empty(n, np.int64)
+    for members in comps.values():
+        members.sort()  # ascending index == ascending pid (input order)
+        if len(members) < 3:
+            for m in members:
+                labels[m] = pid[members[0]]
+            continue
+        cl = _complete_linkage(la[members], ln[members], md)
+        for c in set(cl):
+            grp = [members[i] for i in range(len(members)) if cl[i] == c]
+            lbl = pid[grp].min()
+            for m in grp:
+                labels[m] = lbl
+
+    sizes: dict[int, int] = {}
+    for x in labels:
+        sizes[int(x)] = sizes.get(int(x), 0) + 1
+    hist: dict[int, int] = {}
+    for s in sizes.values():
+        hist[s] = hist.get(s, 0) + 1
+    return sorted(hist.items())
+
+
+def _complete_linkage(la, ln, md) -> list[int]:
+    """make_complete_linkage_clusters (cluster_nearby.cc:109-172) incl.
+    the merge-order quirk: the LAST matrix entry with a valid distance
+    in the row-major scan picks the merge pair."""
+    n = la.size
+    clusters = list(range(n))
+    lowest = -3.4028235e38
+    while any(c != clusters[0] for c in clusters):
+        dist = np.full((n, n), lowest, dtype=_F32)
+        for i in range(n):
+            for j in range(i):
+                ci, cj = clusters[i], clusters[j]
+                if ci == cj:
+                    continue
+                d = _gc_f32(la[i], ln[i], la[j], ln[j])
+                if d > dist[ci, cj]:
+                    dist[ci, cj] = d
+        min_dist = np.float32(np.finfo(np.float32).max)
+        best_i = best_j = 0
+        for i in range(n):
+            for j in range(i):
+                d = dist[i, j]
+                if d >= 0 and d <= md:
+                    min_dist, best_i, best_j = d, i, j
+        if min_dist > md:
+            break
+        ci, cj = clusters[best_i], clusters[best_j]
+        clusters = [cj if c == ci else c for c in clusters]
+    return clusters
+
+
+# ---------------------------------------------------------------------------
+# streaming tile pipeline golden: synthetic pages -> parsed coord
+# mentions -> tile counts (same data generator, independent projection
+# + parse; verifies the watermarked streaming aggregation end-to-end)
+# ---------------------------------------------------------------------------
+_COORD = re.compile(r"coord: (-?\d+\.\d{6}), (-?\d+\.\d{6})")
+
+
+def stream_tile_counts(n_pages: int, zoom: int) -> list[tuple[int, int, int]]:
+    from geospark.pages import synth_pages_batch
+
+    batch = synth_pages_batch(np.arange(n_pages, dtype=np.int64))
+    texts = batch.column("text").to_pylist()
+    counts: dict[tuple[int, int], int] = {}
+    for t in texts:
+        for m in _COORD.finditer(t):
+            tx, ty = tile_of(float(m.group(1)), float(m.group(2)), zoom)
+            counts[(tx, ty)] = counts.get((tx, ty), 0) + 1
+    return sorted((tx, ty, c) for (tx, ty), c in counts.items())

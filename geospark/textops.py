@@ -9,8 +9,9 @@ n_chars)``.
 Scale notes (the designs assume 10^12 docs):
 - every operator is a groupBy/join on hashed keys — no driver-side
   loops, no collects;
-- MinHash/SimHash use Spark's native ``xxhash64`` (JVM, codegen) so
-  signatures cost one scan + one shuffle;
+- MinHash/SimHash hash with the engine-neutral 60-bit md5 integer
+  (one codegen'd expression; identical in DuckDB, so every signature
+  is exactly oracle-checkable) — one scan + one shuffle per signature;
 - the exact-Jaccard verify only runs on LSH candidate pairs (the
   classic filter-refine shape, same as the spatial joins);
 - banding keys are (band_id, band_signature) so hot buckets spread
@@ -21,6 +22,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# engine-neutral hashing
+# ---------------------------------------------------------------------------
+# 60-bit integer hash from the md5 hex digest: identical in Spark
+# (conv(substring(md5(s),1,15),16,10)) and DuckDB
+# (('0x'||substr(md5(s),1,15))::BIGINT) — the whole dedup family hashes
+# with this so every operator has an exact cross-engine oracle.
+# (xxhash64 would be faster JVM-side but is Spark-only; md5 is still
+# one codegen'd expression per row.)
+HASH_P = 2_147_483_647  # 2^31 - 1, modulus for permuted/rolling hashes
+
+
+def md5_60_sql(col: str) -> str:
+    """Spark SQL text of the 60-bit md5 hash of ``col``."""
+    return f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def minhash_perm_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the i-th minhash permutation
+    h_i(x) = (a*x + b) mod p over x = md5_60 mod p. a,b < 2^31 so the
+    product stays under 2^62 (safe in Spark longs and DuckDB BIGINT)."""
+    a = (1103515245 * (i + 1) + 12345) % HASH_P
+    if a == 0:
+        a = 1
+    b = (2654435761 * (i + 1)) % HASH_P
+    return a, b
+
 
 # ---------------------------------------------------------------------------
 # tokenization
@@ -182,11 +211,15 @@ def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): k minhashes of the shingle set via
     xxhash64(shingle, seed_i). One scan + one shuffle (the groupBy)."""
-    sh = shingles(docs, n, text_col, id_col)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
+    sh = shingles(docs, n, text_col, id_col).withColumn(
+        "_x", F.expr(f"pmod({md5_60_sql('shingle')}, {HASH_P})")
+    )
+    aggs = []
+    for i in range(k):
+        a, b = minhash_perm_params(i)
+        aggs.append(
+            F.min(F.expr(f"pmod({a} * _x + {b}, {HASH_P})")).alias(f"mh_{i}")
+        )
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -252,25 +285,29 @@ def minhash_neardup_pairs(docs: DataFrame, threshold: float, k: int = 16,
 # ---------------------------------------------------------------------------
 # SimHash — 64-bit signature + banded hamming join
 # ---------------------------------------------------------------------------
+SIMHASH_BITS = 60  # md5_60 hash width; bits 60-63 of the signature are 0
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash): 64-bit simhash over whitespace tokens with
-    term-frequency weights. One scan + one shuffle: the 64 bit-sums are
-    64 aggregate expressions in a single groupBy."""
+    """(doc_id, simhash): 60-bit simhash over whitespace tokens with
+    term-frequency weights. One scan + one shuffle: the 60 bit-sums are
+    60 aggregate expressions in a single groupBy."""
     tok = tokens(docs, text_col, id_col).groupBy("doc_id", "token").agg(
         F.count("*").alias("w")
     )
-    h = F.xxhash64("token")
+    tok = tok.withColumn("_h", F.expr(md5_60_sql("token")))
     sums = [
         F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1,
+                   F.col("w"))
             .otherwise(-F.col("w"))
         ).alias(f"s_{j}")
-        for j in range(64)
+        for j in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*sums)
     sig = None
-    for j in range(64):
+    for j in range(SIMHASH_BITS):
         bit = F.when(F.col(f"s_{j}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -321,10 +358,11 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     the set-based minhash)."""
     toks = f"split({text_col}, '\\\\s+')"
     # modulus keeps the fold inside BIGINT under ANSI mode (no
-    # wrap-around multiply); 2^31-1 prime, classic polynomial hash
+    # wrap-around multiply); 2^31-1 prime, classic polynomial hash;
+    # md5_60 token hash so the fold replays identically in DuckDB
     expr = (
         f"aggregate({toks}, CAST(401862909 AS BIGINT), "
-        f"(acc, t) -> pmod(acc * 31 + pmod(xxhash64(t), 2147483647), 2147483647))"
+        f"(acc, t) -> pmod(acc * 31 + pmod({md5_60_sql('t')}, {HASH_P}), {HASH_P}))"
     )
     return docs.select(
         F.col(id_col).alias("doc_id"), F.expr(expr).alias("fingerprint")

@@ -50,11 +50,24 @@ def test_ann_matches_numpy_bucket_replication(spark):
     dots = V @ planes.T
     buckets = ((dots > 0).astype(np.int64) << np.arange(n_planes)).sum(axis=1)
 
-    got = E.ann_topk(df, [0], k=5, n_planes=n_planes, dim=DIM).collect()
+    # probe_radius=0: candidates are exactly the same-bucket vectors
+    got = E.ann_topk(df, [0], k=5, n_planes=n_planes, dim=DIM,
+                     probe_radius=0).collect()
     cand = [j for j in range(len(rows)) if buckets[j] == buckets[0] and j != 0]
     cand.sort(key=lambda j: (-S[0, j], j))
     expect = [(j, round(S[0, j], 6)) for j in cand[:5]]
     assert [(r["vec_id"], r["cos_sim"]) for r in got] == expect
+
+    # probe_radius=1 widens candidates to all buckets within 1 sign flip
+    got1 = E.ann_topk(df, [0], k=5, n_planes=n_planes, dim=DIM,
+                      probe_radius=1).collect()
+    cand1 = [
+        j for j in range(len(rows))
+        if bin(buckets[j] ^ buckets[0]).count("1") <= 1 and j != 0
+    ]
+    cand1.sort(key=lambda j: (-S[0, j], j))
+    expect1 = [(j, round(S[0, j], 6)) for j in cand1[:5]]
+    assert [(r["vec_id"], r["cos_sim"]) for r in got1] == expect1
 
 
 def test_embedding_neardup_pairs(spark):
