@@ -10,6 +10,7 @@ arithmetic so both engines see bit-identical doubles.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -279,12 +280,17 @@ def _q_polyline_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("enc", L.encode_polyline_udf(5)(F.col("line")))
         .withColumn("dec", L.decode_polyline_udf(5)(F.col("enc")))
+        .withColumn(
+            "nz", L.encode_polyline_nonzero_udf(5, NZ_SIMPLIFICATION)(F.col("line"))
+        )
     )
     return traj.select(
         "user_id",
         F.length("enc").alias("enc_len"),
         F.size("dec").alias("n_roundtrip"),
         F.size("line").alias("n_points"),
+        F.length("nz.enc").alias("nz_len"),
+        F.col("nz.n_kept").alias("n_kept"),
     )
 
 
@@ -322,6 +328,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_QUERY_IDS = [3, 57, 111, 222, 404]
 JACCARD_T = 0.1
 MINHASH_T = 0.25
+NZ_SIMPLIFICATION = 10_000  # G2 threshold in quantized units (~0.1 deg at p=5)
 
 
 def _q_doc_dedup_exact(spark, sf_dir):
@@ -496,6 +503,60 @@ def _q_approx_polyline_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_polyline_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6/S8: EXACT distance to per-user trajectories from the demo
+    centers — merc-projected closest-on-segment (angle tests + law of
+    sines), min-struct argmin, first-segment tie-break."""
+    from geospark import lines as L
+
+    pts = G.events_points(spark, sf_dir)
+    traj = (
+        pts.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "lat", "lng"))
+            ).alias("seq")
+        )
+        .withColumn(
+            "line", F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))")
+        )
+        .filter(F.size("line") >= 2)
+    )
+    centers = spark.createDataFrame(
+        [(q, la, ln) for q, la, ln in G.DEMO_CENTERS],
+        "query_id long, q_lat double, q_lng double",
+    )
+    pairs = traj.crossJoin(F.broadcast(centers))
+    out = L.distance_to_polyline(
+        pairs, "q_lat", "q_lng", "line", ["query_id", "user_id"]
+    )
+    return out.select(
+        "query_id", "user_id", "seg_idx",
+        F.floor("dist_m").alias("dist_floor_m"),
+        F.round("closest_lat", 6).alias("c_lat"),
+        F.round("closest_lng", 6).alias("c_lng"),
+    )
+
+
+def _q_tile_relevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13/P14: re-level the demo-box tile rectangle DOWN one zoom
+    (z9 -> z10 descendants, 4x rows) and UP three zooms (z9 -> z6
+    ancestors, deduped) — both directions of tile::range_on_z."""
+    from geospark.cells import tile_range_of_box, tile_relevel
+
+    lat_min, lng_min, lat_max, lng_max = BOX
+    r9 = tile_range_of_box(
+        spark, lat_min, lng_min, lat_max, lng_max, 9
+    ).select("tile_x", "tile_y")
+    down = tile_relevel(r9, 9, 10)
+    up = tile_relevel(r9, 9, 6).distinct()
+    return down.unionByName(up).select(
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("zoom").cast("int").alias("zoom"),
+    )
+
+
 def _q_tile_range_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11/P12: the tile rectangle of the demo box at z=9 as a
     generated relation."""
@@ -555,7 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xyz_chord": _q_xyz_chord,
         "fixed_codec": _q_fixed_codec,
         "approx_polyline_dist": _q_approx_polyline_dist,
+        "polyline_dist": _q_polyline_dist,
         "tile_range_box": _q_tile_range_box,
+        "tile_relevel": _q_tile_relevel,
         "tile_pyramid": _q_tile_pyramid,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_token_stats": _q_doc_token_stats,
@@ -792,7 +855,21 @@ def oracle_sql() -> dict[str, str]:
     pc_rows = []
     for uid, line in traj:
         enc = GO.encode_polyline(line, 5)
-        pc_rows.append((uid, len(enc), len(GO.decode_polyline(enc, 5)), len(line)))
+        nz, kept = GO.encode_polyline_nonzero(line, 5, NZ_SIMPLIFICATION)
+        pc_rows.append((
+            uid, len(enc), len(GO.decode_polyline(enc, 5)), len(line),
+            len(nz), kept,
+        ))
+    pd_rows = []
+    for uid, line in traj:
+        if len(line) < 2:
+            continue
+        for qid, qla, qln in G.DEMO_CENTERS:
+            d, si, (cla, cln) = GO.distance_to_polyline((qla, qln), line)
+            pd_rows.append((
+                qid, uid, si, int(math.floor(d)),
+                round(cla, 6), round(cln, 6),
+            ))
     ev_ids, ev_lats, ev_lngs = _oracle_points()
     cl_rows = [
         (int(m), int(c)) for m, c in GO.cluster_hist(ev_lats, ev_lngs, ev_ids, 5000.0)
@@ -1096,8 +1173,31 @@ def oracle_sql() -> dict[str, str]:
         "polyline_codec": _values_sql(
             pc_rows,
             [("user_id", "BIGINT"), ("enc_len", "INTEGER"),
-             ("n_roundtrip", "INTEGER"), ("n_points", "INTEGER")],
+             ("n_roundtrip", "INTEGER"), ("n_points", "INTEGER"),
+             ("nz_len", "INTEGER"), ("n_kept", "INTEGER")],
         ),
+        "polyline_dist": _values_sql(
+            pd_rows,
+            [("query_id", "BIGINT"), ("user_id", "BIGINT"),
+             ("seg_idx", "INTEGER"), ("dist_floor_m", "BIGINT"),
+             ("c_lat", "DOUBLE"), ("c_lng", "DOUBLE")],
+        ),
+        "tile_relevel": f"""
+            SELECT CAST(x.t AS BIGINT) AS tile_x, CAST(y.t AS BIGINT) AS tile_y,
+                   10 AS zoom
+            FROM (SELECT unnest(generate_series(({tz9['tx1']}) * 2,
+                                                (({tz9['tx2']}) + 1) * 2 - 1)) AS t) x
+            CROSS JOIN
+                 (SELECT unnest(generate_series(({tz9['ty1']}) * 2,
+                                                (({tz9['ty2']}) + 1) * 2 - 1)) AS t) y
+            UNION ALL
+            SELECT CAST(x.t AS BIGINT), CAST(y.t AS BIGINT), 6
+            FROM (SELECT unnest(generate_series(({tz9['tx1']}) // 8,
+                                                ({tz9['tx2']}) // 8)) AS t) x
+            CROSS JOIN
+                 (SELECT unnest(generate_series(({tz9['ty1']}) // 8,
+                                                ({tz9['ty2']}) // 8)) AS t) y
+        """,
         "cluster": _values_sql(
             cl_rows, [("n_members", "BIGINT"), ("n_clusters", "BIGINT")]
         ),

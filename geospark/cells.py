@@ -160,6 +160,68 @@ def tile_pyramid(spark: SparkSession, max_zoom: int = 20) -> DataFrame:
     )
 
 
+def tile_relevel(tiles: DataFrame, from_zoom: int, to_zoom: int,
+                 tx: str = "tile_x", ty: str = "tile_y") -> DataFrame:
+    """P13 ``tile::range_on_z`` as a relation (src/tile.cc:9-23,
+    tested tile_test.cc:38-117): project each input tile's extent to
+    ``to_zoom`` — DOWNWARD each tile explodes to its 4^dz descendants
+    (axis range ``x<<dz .. ((x+1)<<dz)-1``), UPWARD each tile maps to
+    its single ancestor (``x>>dz``). Non-tile columns pass through, so
+    a per-tile aggregate can be re-leveled and re-grouped."""
+    other = [c for c in tiles.columns if c not in (tx, ty, "zoom")]
+    if to_zoom >= from_zoom:
+        dz = to_zoom - from_zoom
+        out = (
+            tiles.select(*other, F.col(tx).alias("_px"), F.col(ty).alias("_py"))
+            .select(
+                *other, "_px",
+                F.explode(F.sequence(
+                    F.shiftleft(F.col("_py"), dz),
+                    F.shiftleft(F.col("_py") + 1, dz) - 1,
+                )).alias(ty),
+            )
+            .select(
+                *other, ty,
+                F.explode(F.sequence(
+                    F.shiftleft(F.col("_px"), dz),
+                    F.shiftleft(F.col("_px") + 1, dz) - 1,
+                )).alias(tx),
+            )
+        )
+    else:
+        dz = from_zoom - to_zoom
+        out = tiles.select(
+            *other,
+            F.shiftright(F.col(tx), dz).alias(tx),
+            F.shiftright(F.col(ty), dz).alias(ty),
+        )
+    return out.select(*other, tx, ty, F.lit(int(to_zoom)).alias("zoom"))
+
+
+def direct_children(tiles: DataFrame, from_zoom: int,
+                    tx: str = "tile_x", ty: str = "tile_y") -> DataFrame:
+    """``tile::direct_children`` (tile.h:21-23, src/tile.cc:7; tested
+    tile_test.cc:15-36): 4 rows per input tile at from_zoom+1."""
+    return tile_relevel(tiles, from_zoom, from_zoom + 1, tx, ty)
+
+
+def tile_range_relevel(spark: SparkSession, x1: int, y1: int, x2: int,
+                       y2: int, z: int, to_zoom: int) -> DataFrame:
+    """P14 ``tile_range_on_z`` (src/tile.cc:54-76, tested
+    tile_test.cc:170-186): re-level an INCLUSIVE rectangle with the
+    reference's [min,max)-bounds care — down: ``((max+1)<<dz)-1``;
+    up: ``max>>dz`` (== ``(bounds.max-1)>>dz``)."""
+    if z < to_zoom:
+        dz = to_zoom - z
+        nx1, ny1 = x1 << dz, y1 << dz
+        nx2, ny2 = ((x2 + 1) << dz) - 1, ((y2 + 1) << dz) - 1
+    else:
+        dz = z - to_zoom
+        nx1, ny1 = x1 >> dz, y1 >> dz
+        nx2, ny2 = x2 >> dz, y2 >> dz
+    return tile_range(spark, nx1, ny1, nx2, ny2, to_zoom)
+
+
 def tile_rollup(tiles: DataFrame, agg_exprs: list[Column], to_zoom: int,
                 from_zoom: int, tx: str = "tile_x", ty: str = "tile_y") -> DataFrame:
     """Roll a per-tile aggregate up the pyramid (P9 parent chaining):

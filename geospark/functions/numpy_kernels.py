@@ -273,6 +273,23 @@ def simplify_dp_latlng(lats, lngs, max_distance_deg: float) -> np.ndarray:
 
 
 # --- G1-G4 Google polyline codec (polyline_format.h:20-146) ------------------
+def _push_polyline_diff(buf: list, diff: int) -> None:
+    """push_difference (polyline_format.h:60-81): zigzag + 5-bit
+    chunks + 63, on the 64-bit two's-complement pattern."""
+    tmp = (diff << 1) & 0xFFFFFFFFFFFFFFFF
+    if diff < 0:
+        tmp = ~tmp & 0xFFFFFFFFFFFFFFFF
+    while True:
+        curr = tmp & 0b11111
+        rest = tmp & ~0b11111 & 0xFFFFFFFFFFFFFFFF
+        if rest != 0:
+            curr |= 0x20
+        buf.append(chr(curr + 63))
+        tmp >>= 5
+        if rest == 0:
+            break
+
+
 def encode_polyline(lats, lngs, precision: int = 5) -> str:
     k = 10 ** precision
     # llround: half away from zero
@@ -280,28 +297,36 @@ def encode_polyline(lats, lngs, precision: int = 5) -> str:
         return int(math.floor(v * k + 0.5)) if v >= 0 else -int(math.floor(-v * k + 0.5))
 
     buf: list[str] = []
-
-    def push_diff(diff: int) -> None:
-        tmp = (diff << 1) & 0xFFFFFFFFFFFFFFFF
-        if diff < 0:
-            tmp = ~tmp & 0xFFFFFFFFFFFFFFFF
-        while True:
-            curr = tmp & 0b11111
-            rest = tmp & ~0b11111 & 0xFFFFFFFFFFFFFFFF
-            if rest != 0:
-                curr |= 0x20
-            buf.append(chr(curr + 63))
-            tmp >>= 5
-            if rest == 0:
-                break
-
     last_lat = last_lng = 0
     for lat, lng in zip(lats, lngs):
         ilat, ilng = llround(float(lat)), llround(float(lng))
-        push_diff(ilat - last_lat)
-        push_diff(ilng - last_lng)
+        _push_polyline_diff(buf, ilat - last_lat)
+        _push_polyline_diff(buf, ilng - last_lng)
         last_lat, last_lng = ilat, ilng
     return "".join(buf)
+
+
+def encode_polyline_nonzero(lats, lngs, precision: int = 5,
+                            simplification: int = 0) -> tuple[str, int]:
+    """G2 push_nonzero_diff (polyline_format.h:41-58): quantize with
+    llrint (round-half-to-EVEN — note: push() uses llround, half away
+    from zero) and emit a point only when |dlat| OR |dlng| exceeds
+    ``simplification`` quantized units (strict >). Returns
+    (encoded, points_kept)."""
+    k = 10 ** precision
+    buf: list[str] = []
+    last_lat = last_lng = 0
+    kept = 0
+    for lat, lng in zip(lats, lngs):
+        # python round(float) is IEEE ties-to-even like llrint
+        ilat, ilng = round(float(lat) * k), round(float(lng) * k)
+        dlat, dlng = ilat - last_lat, ilng - last_lng
+        if abs(dlat) > simplification or abs(dlng) > simplification:
+            _push_polyline_diff(buf, dlat)
+            _push_polyline_diff(buf, dlng)
+            last_lat, last_lng = ilat, ilng
+            kept += 1
+    return "".join(buf), kept
 
 
 def decode_polyline(s: str, precision: int = 5):

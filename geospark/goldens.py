@@ -170,6 +170,34 @@ def encode_polyline(latlngs: list[tuple[float, float]], precision: int = 5) -> s
     return "".join(out)
 
 
+def encode_polyline_nonzero(latlngs: list[tuple[float, float]],
+                            precision: int = 5,
+                            simplification: int = 0) -> tuple[str, int]:
+    """push_nonzero_diff twin (polyline_format.h:41-58): llrint
+    quantization (ties to even), strict-> threshold skip."""
+    k = 10 ** precision
+    out: list[str] = []
+
+    def push(delta: int) -> None:
+        v = ~(delta << 1) if delta < 0 else (delta << 1)
+        while v >= 0x20:
+            out.append(chr((0x20 | (v & 0x1F)) + 63))
+            v >>= 5
+        out.append(chr(v + 63))
+
+    prev_lat = prev_lng = 0
+    kept = 0
+    for la, ln in latlngs:
+        ilat, ilng = round(la * k), round(ln * k)
+        dlat, dlng = ilat - prev_lat, ilng - prev_lng
+        if abs(dlat) > simplification or abs(dlng) > simplification:
+            push(dlat)
+            push(dlng)
+            prev_lat, prev_lng = ilat, ilng
+            kept += 1
+    return "".join(out), kept
+
+
 def decode_polyline(s: str, precision: int = 5) -> list[tuple[float, float]]:
     k = 10 ** precision
     coords: list[int] = []
@@ -188,6 +216,78 @@ def decode_polyline(s: str, precision: int = 5) -> list[tuple[float, float]]:
         lng += coords[i + 1]
         pts.append((lat / k, lng / k))
     return pts
+
+
+# ---------------------------------------------------------------------------
+# S8 closest_on_segment + L6 distance_to_polyline (src/latlng.cc:98-146,
+# polyline.h:79-96) — independent plain-math twin
+# ---------------------------------------------------------------------------
+_EPS = 1e-9
+_HAV_R = 6371000.0
+
+
+def _haversine(alat, alng, blat, blng) -> float:
+    dlat = math.radians(blat - alat) / 2.0
+    dlng = math.radians(blng - alng) / 2.0
+    a = (
+        math.sin(dlat) ** 2
+        + math.cos(math.radians(alat)) * math.cos(math.radians(blat))
+        * math.sin(dlng) ** 2
+    )
+    return 2.0 * _HAV_R * math.asin(min(1.0, math.sqrt(a)))
+
+
+def _merc(lat: float, lng: float) -> tuple[float, float]:
+    lat = max(-MERC_MAX_LAT, min(MERC_MAX_LAT, lat))
+    s = math.sin(math.radians(lat))
+    return MERC_R * math.radians(lng), MERC_R * math.log((1.0 + s) / (1.0 - s)) / 2.0
+
+
+def _merc_inv(x: float, y: float) -> tuple[float, float]:
+    d = 180.0 / math.pi
+    lat = (2.0 * math.atan(math.exp(y / MERC_R)) - math.pi / 2.0) * d
+    return lat, x * d / MERC_R
+
+
+def closest_on_segment(x, f, t):
+    """(lat,lng) tuples -> closest point on segment [f,t] to x."""
+    mx, my = _merc(*x)
+    fx, fy = _merc(*f)
+    tx, ty = _merc(*t)
+    if (mx, my) == (fx, fy) or (mx, my) == (tx, ty):
+        return x
+    seg_x, seg_y = tx - fx, ty - fy
+    seg_len = math.sqrt(seg_x * seg_x + seg_y * seg_y)
+    if seg_len < _EPS:
+        return f
+
+    def angle(vx, vy):
+        rel = (seg_x * vx + seg_y * vy) / (seg_len * math.sqrt(vx * vx + vy * vy))
+        if rel >= 1.0 - _EPS:
+            return 0.0
+        if rel <= -1.0 + _EPS:
+            return 180.0
+        return math.acos(rel)
+
+    sv_x, sv_y = mx - fx, my - fy
+    if angle(sv_x, sv_y) >= math.pi / 2.0:
+        return f
+    if angle(tx - mx, ty - my) >= math.pi / 2.0:
+        return t
+    beta = math.pi / 2.0 - angle(sv_x, sv_y)
+    off = math.sqrt(sv_x * sv_x + sv_y * sv_y) * math.sin(beta)
+    return _merc_inv(fx + off * seg_x / seg_len, fy + off * seg_y / seg_len)
+
+
+def distance_to_polyline(pt, line) -> tuple[float, int, tuple[float, float]]:
+    """(dist_m, seg_idx, closest) with first-wins strict < tie-break."""
+    best = (math.inf, -1, pt)
+    for i in range(len(line) - 1):
+        c = closest_on_segment(pt, line[i], line[i + 1])
+        d = _haversine(pt[0], pt[1], c[0], c[1])
+        if d < best[0]:
+            best = (d, i, c)
+    return best
 
 
 # ---------------------------------------------------------------------------

@@ -159,6 +159,30 @@ def encode_polyline_udf(precision: int = 5):
     return _enc
 
 
+def encode_polyline_nonzero_udf(precision: int = 5, simplification: int = 0):
+    """G2 push_nonzero_diff (polyline_format.h:41-58) as a UDF:
+    returns struct(enc string, n_kept int) — combine simplification
+    with encoding in one pass."""
+
+    @pandas_udf("struct<enc:string,n_kept:int>")
+    def _enc(lines: pd.Series) -> pd.Series:
+        encs, keeps = [], []
+        for line in lines:
+            if line is None:
+                encs.append(None)
+                keeps.append(None)
+                continue
+            e, kept = NK.encode_polyline_nonzero(
+                [p["lat"] for p in line], [p["lng"] for p in line],
+                precision, simplification,
+            )
+            encs.append(e)
+            keeps.append(kept)
+        return pd.DataFrame({"enc": encs, "n_kept": keeps})
+
+    return _enc
+
+
 def decode_polyline_udf(precision: int = 5):
     @pandas_udf(LINE_TYPE)
     def _dec(strs: pd.Series) -> pd.Series:

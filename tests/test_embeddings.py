@@ -119,3 +119,49 @@ def test_media_determinism(spark):
     b = sorted(synth_media(spark, 20, partitions=7).collect(),
                key=lambda r: r["media_id"])
     assert [bytes(r["payload"]) for r in a] == [bytes(r["payload"]) for r in b]
+
+
+def test_ann_and_neardup_recall_scaling(spark):
+    """Recall vs exact ground truth at the scale-credible configs.
+
+    Near-dup pairs (cos >= 0.95): multi-table LSH (4 tables x 8
+    planes) must reach >=0.9 recall while candidate pairs stay
+    ~L*n^2/2^8 (bucketed), vs the naive 16-bucket self-join."""
+    rng = np.random.RandomState(7)
+    dim = 64
+    rows = []
+    vid = 0
+    # 60 base vectors, each with one near-duplicate (cos ~0.99)
+    for _ in range(60):
+        v = rng.randn(dim)
+        d = v + rng.randn(dim) * 0.05
+        rows.append((vid, [float(x) for x in v.astype(np.float32)])); vid += 1
+        rows.append((vid, [float(x) for x in d.astype(np.float32)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    S = _np_cosine(rows)
+    n = len(rows)
+    truth = {
+        (i, j) for i in range(n) for j in range(i + 1, n) if S[i, j] >= 0.95
+    }
+    assert len(truth) >= 50
+
+    from geospark import embeddings as E
+
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in E.embedding_neardup_pairs(
+            df, threshold=0.95, n_planes=8, dim=dim, n_tables=4
+        ).collect()
+    }
+    recall_multi = len(got & truth) / len(truth)
+    got1 = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in E.embedding_neardup_pairs(
+            df, threshold=0.95, n_planes=8, dim=dim, n_tables=1
+        ).collect()
+    }
+    recall_single = len(got1 & truth) / len(truth)
+    assert recall_multi >= 0.9
+    assert recall_multi >= recall_single  # tables only add recall
+    # no false positives by construction (exact refine)
+    assert got <= truth
