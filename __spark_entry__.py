@@ -601,8 +601,16 @@ def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth_pages(spark, 2000, partitions=2).write.mode("overwrite").parquet(spool)
     stream = read_pages_stream(spark, spool, max_files_per_trigger=2)
     agg = streaming_tile_counts(stream, zoom=6, window="60 minutes")
-    q = run_to_memory(agg, "geospark_stream_tiles", ckpt)
-    q.awaitTermination(300)
+    # the stateful agg creates one state-store instance PER shuffle
+    # partition per batch — size state partitions to the (tiny) contract
+    # stream, then restore the session default
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = run_to_memory(agg, "geospark_stream_tiles", ckpt)
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(
         "SELECT tile_x, tile_y, sum(n_points) AS n_points "
         "FROM geospark_stream_tiles GROUP BY 1, 2"

@@ -79,6 +79,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # spawn every executor thread's Python worker once before timing
+    # (steady-state measurement — same rationale as run_pipeline's warm
+    # pass; worker startup is a per-executor one-off on a real cluster)
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    _warm = pandas_udf(lambda x: x, "double", PandasUDFType.SCALAR)
+    spark.range(0, int(cpus) * 4, numPartitions=int(cpus)).select(
+        _warm(F.col("id").cast("double"))
+    ).count()
+
     timings: dict[str, float] = {}
     for name, fn in E.queries().items():
         t0 = time.time()
