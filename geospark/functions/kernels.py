@@ -408,6 +408,65 @@ def box_extend_by_meters(
     return new_min_lat, new_min_lng, new_max_lat, new_max_lng
 
 
+# box::extend(latlng) (box.h:42-48) — accumulate one point into a box.
+def box_extend_point(
+    min_lat, min_lng, max_lat, max_lng, lat, lng
+) -> tuple[Column, Column, Column, Column]:
+    min_lat, min_lng, max_lat, max_lng, lat, lng = map(
+        _c, (min_lat, min_lng, max_lat, max_lng, lat, lng)
+    )
+    return (
+        F.least(min_lat, lat), F.least(min_lng, lng),
+        F.greatest(max_lat, lat), F.greatest(max_lng, lng),
+    )
+
+
+# box::extend(box) (box.h:37-40) — union of two boxes.
+def box_extend_box(
+    a_min_lat, a_min_lng, a_max_lat, a_max_lng,
+    b_min_lat, b_min_lng, b_max_lat, b_max_lng,
+) -> tuple[Column, Column, Column, Column]:
+    cols = map(_c, (a_min_lat, a_min_lng, a_max_lat, a_max_lng,
+                    b_min_lat, b_min_lng, b_max_lat, b_max_lng))
+    a_min_lat, a_min_lng, a_max_lat, a_max_lng, \
+        b_min_lat, b_min_lng, b_max_lat, b_max_lng = cols
+    return (
+        F.least(a_min_lat, b_min_lat), F.least(a_min_lng, b_min_lng),
+        F.greatest(a_max_lat, b_max_lat), F.greatest(a_max_lng, b_max_lng),
+    )
+
+
+# box::empty (box.h:91): an all-infinity default box is empty.
+def box_empty(min_lat, min_lng, max_lat, max_lng) -> Column:
+    min_lat, min_lng, max_lat, max_lng = map(
+        _c, (min_lat, min_lng, max_lat, max_lng)
+    )
+    return (max_lat < min_lat) | (max_lng < min_lng)
+
+
+# box::centroid (box.h:93-97): {0, 0} for empty boxes.
+def box_centroid(min_lat, min_lng, max_lat, max_lng) -> tuple[Column, Column]:
+    min_lat, min_lng, max_lat, max_lng = map(
+        _c, (min_lat, min_lng, max_lat, max_lng)
+    )
+    e = box_empty(min_lat, min_lng, max_lat, max_lng)
+    return (
+        F.when(e, F.lit(0.0)).otherwise((min_lat + max_lat) / 2.0),
+        F.when(e, F.lit(0.0)).otherwise((min_lng + max_lng) / 2.0),
+    )
+
+
+# box(polyline) / make_box({coords}) (box.h:26,31-35,107-113) — the
+# bbox of an array<struct<lat,lng>> column as pure array exprs.
+def box_of_line(line: str) -> tuple[Column, Column, Column, Column]:
+    return (
+        F.expr(f"array_min(transform({line}, p -> p.lat))"),
+        F.expr(f"array_min(transform({line}, p -> p.lng))"),
+        F.expr(f"array_max(transform({line}, p -> p.lat))"),
+        F.expr(f"array_max(transform({line}, p -> p.lng))"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # S8 closest_on_segment — exact closest point on a segment
 # (src/latlng.cc:111-146): project to mercator, angle tests at both

@@ -285,3 +285,53 @@ def test_midpoint_and_xyz(spark):
     assert r["mlng"] == pytest.approx(5.0, abs=1e-9)
     assert r["x"] == pytest.approx(0.5 * math.cos(math.radians(45)) * math.sin(math.radians(45)))
     assert r["z"] == pytest.approx(0.5 * math.sin(math.radians(45)))
+
+
+def test_box_extend_overloads(spark):
+    """box.h:31-48 extend(latlng)/extend(box), empty, centroid,
+    box(polyline) (box_test.cc:5-18 style fixtures)."""
+    from pyspark.sql import functions as F
+
+    from geospark.functions import kernels as K
+
+    inf = float("inf")
+    df = spark.createDataFrame(
+        [(inf, inf, -inf, -inf, 50.0, 8.0)],
+        "mn_lat double, mn_lng double, mx_lat double, mx_lng double, "
+        "lat double, lng double",
+    )
+    a, b, c, d = K.box_extend_point(
+        F.col("mn_lat"), F.col("mn_lng"), F.col("mx_lat"), F.col("mx_lng"),
+        F.col("lat"), F.col("lng"),
+    )
+    r = df.select(a.alias("a"), b.alias("b"), c.alias("c"), d.alias("d"),
+                  K.box_empty(F.col("mn_lat"), F.col("mn_lng"),
+                              F.col("mx_lat"), F.col("mx_lng")).alias("e"))
+    row = r.collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (50.0, 8.0, 50.0, 8.0)
+    assert row["e"] is True  # default box is empty
+
+    # extend(box) = union; centroid of the result
+    df2 = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 5.0)],
+        "a1 double, a2 double, a3 double, a4 double, "
+        "b1 double, b2 double, b3 double, b4 double",
+    )
+    u = K.box_extend_box(*[F.col(x) for x in
+                           ("a1", "a2", "a3", "a4", "b1", "b2", "b3", "b4")])
+    clat, clng = K.box_centroid(*u)
+    row2 = df2.select(u[0].alias("u1"), u[1].alias("u2"), u[2].alias("u3"),
+                      u[3].alias("u4"), clat.alias("clat"),
+                      clng.alias("clng")).collect()[0]
+    assert (row2["u1"], row2["u2"], row2["u3"], row2["u4"]) == (0.0, 1.0, 3.0, 5.0)
+    assert (row2["clat"], row2["clng"]) == (1.5, 3.0)
+
+    # box(polyline): bbox of a line column (box_test.cc:5-12)
+    line_df = spark.createDataFrame(
+        [([{"lat": 50.0, "lng": 8.0}, {"lat": 49.0, "lng": 9.5}],)],
+        "line array<struct<lat:double,lng:double>>",
+    )
+    bb = K.box_of_line("line")
+    row3 = line_df.select(bb[0].alias("x1"), bb[1].alias("y1"),
+                          bb[2].alias("x2"), bb[3].alias("y2")).collect()[0]
+    assert (row3["x1"], row3["y1"], row3["x2"], row3["y2"]) == (49.0, 8.0, 50.0, 9.5)
