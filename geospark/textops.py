@@ -40,6 +40,18 @@ def md5_60_sql(col: str) -> str:
     return f"CAST(conv(substring(md5({col}), 1, 15), 16, 10) AS BIGINT)"
 
 
+def hash60_sql(col: str, hash_fn: str = "md5") -> str:
+    """Token/shingle hash used by the dedup family. ``md5`` (default)
+    is engine-neutral (DuckDB-oracle-checkable); ``xxhash64`` is the
+    production fast path at 100 TB (~4x cheaper per row, Spark-only —
+    positive 60-bit range kept so downstream banding is identical)."""
+    if hash_fn == "md5":
+        return md5_60_sql(col)
+    if hash_fn == "xxhash64":
+        return f"(xxhash64({col}) & 1152921504606846975)"  # low 60 bits
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def minhash_perm_params(i: int) -> tuple[int, int]:
     """Deterministic (a, b) for the i-th minhash permutation
     h_i(x) = (a*x + b) mod p over x = md5_60 mod p. a,b < 2^31 so the
@@ -208,11 +220,12 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
 # MinHash + LSH near-dup — the scale path
 # ---------------------------------------------------------------------------
 def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       hash_fn: str = "md5") -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): k minhashes of the shingle set via
     xxhash64(shingle, seed_i). One scan + one shuffle (the groupBy)."""
     sh = shingles(docs, n, text_col, id_col).withColumn(
-        "_x", F.expr(f"pmod({md5_60_sql('shingle')}, {HASH_P})")
+        "_x", F.expr(f"pmod({hash60_sql('shingle', hash_fn)}, {HASH_P})")
     )
     aggs = []
     for i in range(k):
@@ -251,11 +264,14 @@ def lsh_candidates(sigs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
 
 def minhash_neardup_pairs(docs: DataFrame, threshold: float, k: int = 16,
                           bands: int = 4, n: int = 3,
-                          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                          text_col: str = "text", id_col: str = "doc_id",
+                          hash_fn: str = "md5") -> DataFrame:
     """LSH candidates -> exact-Jaccard refine (filter-refine, like the
     spatial joins: cheap bucket equi-join, exact verify only on
     candidates)."""
-    cand = lsh_candidates(minhash_signatures(docs, k, n, text_col, id_col), k, bands)
+    cand = lsh_candidates(
+        minhash_signatures(docs, k, n, text_col, id_col, hash_fn), k, bands
+    )
     sh = shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
@@ -289,14 +305,14 @@ SIMHASH_BITS = 60  # md5_60 hash width; bits 60-63 of the signature are 0
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id", hash_fn: str = "md5") -> DataFrame:
     """(doc_id, simhash): 60-bit simhash over whitespace tokens with
     term-frequency weights. One scan + one shuffle: the 60 bit-sums are
     60 aggregate expressions in a single groupBy."""
     tok = tokens(docs, text_col, id_col).groupBy("doc_id", "token").agg(
         F.count("*").alias("w")
     )
-    tok = tok.withColumn("_h", F.expr(md5_60_sql("token")))
+    tok = tok.withColumn("_h", F.expr(hash60_sql("token", hash_fn)))
     sums = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1,
@@ -317,11 +333,12 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  hash_fn: str = "md5") -> DataFrame:
     """Pairs with hamming(simhash) <= max_hamming via 4x16-bit banding
     (pigeonhole guarantees recall for max_hamming <= 3; larger radii
     keep the same plan as a high-recall heuristic) + bit_count verify."""
-    sig = simhash(docs, text_col, id_col)
+    sig = simhash(docs, text_col, id_col, hash_fn)
     chunks = F.array(*[
         F.struct(
             F.lit(c).alias("band"),
@@ -352,7 +369,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
 # document fingerprint — order-sensitive rolling hash
 # ---------------------------------------------------------------------------
 def fingerprint(docs: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id", hash_fn: str = "md5") -> DataFrame:
     """(doc_id, fingerprint): polynomial rolling hash over the token
     sequence, folded JVM-side with aggregate(); order-sensitive (unlike
     the set-based minhash)."""
@@ -362,7 +379,8 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     # md5_60 token hash so the fold replays identically in DuckDB
     expr = (
         f"aggregate({toks}, CAST(401862909 AS BIGINT), "
-        f"(acc, t) -> pmod(acc * 31 + pmod({md5_60_sql('t')}, {HASH_P}), {HASH_P}))"
+        f"(acc, t) -> pmod(acc * 31 + pmod({hash60_sql('t', hash_fn)}, {HASH_P}), "
+        f"{HASH_P}))"
     )
     return docs.select(
         F.col(id_col).alias("doc_id"), F.expr(expr).alias("fingerprint")
