@@ -395,6 +395,15 @@ def _q_emb_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_emb_ivf(spark, sf_dir):
+    from geospark.embeddings import ivf_topk
+
+    # IVF-flat: 16 deterministic centroid lists, probe the 4 nearest
+    return ivf_topk(
+        _emb(spark, sf_dir), EMB_QUERY_IDS, k=10, n_centroids=16, n_probe=4
+    )
+
+
 def _q_emb_neardup(spark, sf_dir):
     from geospark.embeddings import embedding_neardup_pairs
 
@@ -638,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ann_lsh": _q_emb_ann_lsh,
+        "emb_ivf": _q_emb_ivf,
         "emb_neardup": _q_emb_neardup,
         "multimodal_features": _q_multimodal_features,
         "polyline_length": _q_polyline_length,
@@ -1067,6 +1077,59 @@ def oracle_sql() -> dict[str, str]:
                 SELECT query_id, vec_id,
                        {_duck_dot('qv', 'vv')}
                        / ({_duck_norm('qv')} * {_duck_norm('vv')}) AS cs
+                FROM cand
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cs,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY cs DESC, vec_id
+                       ) AS rn
+                FROM sim
+            )
+            SELECT query_id, vec_id, round(cs, 6) AS cos_sim
+            FROM ranked WHERE rn <= 10
+        """,
+        "emb_ivf": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM e
+                  WHERE vec_id < 16),
+            assigned AS (
+                SELECT vec_id, v_vec, c_id AS centroid_id FROM (
+                    SELECT e.vec_id, e.embedding AS v_vec, c.c_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_duck_dot('e.embedding', 'c.c_vec')}
+                                        / ({_duck_norm('e.embedding')}
+                                           * {_duck_norm('c.c_vec')}) DESC,
+                                        c.c_id
+                           ) AS rn
+                    FROM e CROSS JOIN c
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+                  WHERE vec_id IN ({emb_ids})),
+            probes AS (
+                SELECT query_id, qv, c_id AS probe FROM (
+                    SELECT q.query_id, q.qv, c.c_id,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY {_duck_dot('q.qv', 'c.c_vec')}
+                                        / ({_duck_norm('q.qv')}
+                                           * {_duck_norm('c.c_vec')}) DESC,
+                                        c.c_id
+                           ) AS rn
+                    FROM q CROSS JOIN c
+                ) WHERE rn <= 4
+            ),
+            cand AS (
+                SELECT p.query_id, p.qv, a.vec_id, a.v_vec
+                FROM assigned a JOIN probes p ON a.centroid_id = p.probe
+                WHERE a.vec_id <> p.query_id
+            ),
+            sim AS (
+                SELECT query_id, vec_id,
+                       {_duck_dot('qv', 'v_vec')}
+                       / ({_duck_norm('qv')} * {_duck_norm('v_vec')}) AS cs
                 FROM cand
             ),
             ranked AS (

@@ -138,6 +138,78 @@ def ann_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
+def ivf_assign(emb: DataFrame, n_centroids: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign each vector to its most-cosine-
+    similar centroid. Centroids are the first ``n_centroids`` vectors
+    by id — a deterministic sample (at real scale a k-means pass or a
+    reservoir sample feeds the exact same plan; the assignment stage
+    doesn't care where the centroids came from). One narrow pass of
+    n x K dot products, centroids broadcast; argmax via min-struct
+    ((-cos, centroid_id) — deterministic tie-break)."""
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_score", dot("v_vec", "c_vec") / (norm("v_vec") * norm("c_vec"))
+        )
+    )
+    best = F.min(F.struct((-F.col("_score")).alias("neg"), "c_id")).alias("_b")
+    return (
+        scored.groupBy("vec_id", "v_vec").agg(best)
+        .select("vec_id", "v_vec", F.col("_b.c_id").alias("centroid_id"))
+    )
+
+
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat ANN: queries probe their ``n_probe`` nearest centroid
+    lists, exact cosine re-rank inside the probed lists. Candidate
+    cost ~ n * n_probe / n_centroids per query; at 100 TB the inverted
+    lists ARE the partitioning (repartition by centroid_id), so a
+    query touches n_probe partitions, not the table."""
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    queries = emb.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("_score"), F.asc("c_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_score", dot("q_vec", "c_vec") / (norm("q_vec") * norm("c_vec"))
+        )
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "q_vec", F.col("c_id").alias("probe_centroid"))
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(probes),
+            F.col("centroid_id") == F.col("probe_centroid"),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "vec_id", "v_vec")
+    )
+    sim = cand.withColumn(
+        "cos_sim", dot("q_vec", "v_vec") / (norm("q_vec") * norm("v_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
                             n_planes: int = 8, dim: int = 64,
                             n_tables: int = 4,

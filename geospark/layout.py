@@ -51,6 +51,27 @@ def write_cell_sorted(points: DataFrame, path: str,
     )
 
 
+def write_cell_bucketed(points: DataFrame, table_name: str, path: str,
+                        n_buckets: int = 64, zoom: int = CELL_ZOOM,
+                        lat: str = "lat", lng: str = "lng") -> None:
+    """Write points as a cell-BUCKETED table: two tables bucketed the
+    same way join and aggregate on ``cell`` with NO shuffle of either
+    side (bucket pruning + co-located reads replace the exchange).
+    This is the repeated-join layout at 100 TB — pay the shuffle once
+    at write time, every subsequent cell join is exchange-free. The
+    Iceberg equivalent is the ``bucket(n, cell)`` partition transform
+    plus storage-partitioned joins."""
+    df = with_linear_cell_at_zoom(points, zoom, lat, lng, "cell")
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell")
+        .saveAsTable(table_name)
+    )
+
+
 def scan_cells(spark: SparkSession, path: str, cells: list[int],
                zoom: int = CELL_ZOOM) -> DataFrame:
     """Read only the rows in ``cells``: the filter reaches the parquet

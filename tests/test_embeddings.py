@@ -165,3 +165,26 @@ def test_ann_and_neardup_recall_scaling(spark):
     assert recall_multi >= recall_single  # tables only add recall
     # no false positives by construction (exact refine)
     assert got <= truth
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """Probing every centroid list makes IVF exact — must equal
+    cosine_topk; partial probe results are a subset ranked the same."""
+    df, rows = _emb_df(spark)
+    exact = [
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in E.cosine_topk(df, [0, 5], k=5).collect()
+    ]
+    full = [
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in E.ivf_topk(df, [0, 5], k=5, n_centroids=8, n_probe=8).collect()
+    ]
+    assert sorted(full) == sorted(exact)
+
+    part = E.ivf_topk(df, [0], k=5, n_centroids=8, n_probe=2).collect()
+    got = {(r["vec_id"], r["cos_sim"]) for r in part}
+    allowed = {
+        (r["vec_id"], r["cos_sim"])
+        for r in E.cosine_topk(df, [0], k=40).collect()
+    }
+    assert got <= allowed  # every reported hit carries its exact score

@@ -70,3 +70,36 @@ def test_prefix_of_matches_column(spark, tmp_path):
     df = spark.read.parquet(path).select("cell", "cell_prefix").collect()
     for r in df:
         assert _prefix_of(r["cell"], 8) == r["cell_prefix"]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two cell-bucketed tables must join on cell WITHOUT an Exchange
+    on either side (the pay-shuffle-once layout for repeated joins)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from geospark.layout import write_cell_bucketed
+
+    pts = _points(spark, 3000)
+    write_cell_bucketed(pts, "t_buck_a", str(tmp_path / "ba"), n_buckets=8, zoom=8)
+    write_cell_bucketed(pts, "t_buck_b", str(tmp_path / "bb"), n_buckets=8, zoom=8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.table("t_buck_a").alias("a")
+            b = spark.table("t_buck_b").alias("b")
+            joined = a.join(b, "cell").groupBy("cell").count()
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain("formatted")
+            txt = buf.getvalue()
+            assert "Exchange" not in txt, txt
+            # and the join is correct
+            n = joined.count()
+            assert n > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_buck_a")
+        spark.sql("DROP TABLE IF EXISTS t_buck_b")
