@@ -1,0 +1,170 @@
+"""Physical-plan audit: assert the plan SHAPE claims the engine makes
+(broadcast joins, pushed filters, whole-stage codegen, no Python in
+hot paths) against `.explain("formatted")`, and write the evidence to
+PLANS.md. Run with AQE off so codegen markers are visible.
+
+Usage: python scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from geospark import geodata as G
+    from geospark.session import get_spark
+
+    spark = get_spark(
+        "plan-audit", master="local[8]", shuffle_partitions=8,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # AQE hides codegen markers in explain output
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections: list[tuple[str, str, list[str]]] = []
+    failures: list[str] = []
+
+    def audit(name: str, df, must: list[str], must_not: list[str],
+              notes: str) -> None:
+        txt = plan_of(df)
+        checks = []
+        for m in must:
+            ok = m in txt
+            checks.append(f"- [{'x' if ok else ' '}] contains `{m}`")
+            if not ok:
+                failures.append(f"{name}: missing {m}")
+        for m in must_not:
+            ok = m not in txt
+            checks.append(f"- [{'x' if ok else ' '}] free of `{m}`")
+            if not ok:
+                failures.append(f"{name}: contains {m}")
+        sections.append((name, notes, checks))
+
+    q = E.queries()
+
+    # 1. tile assignment: one codegen'd scan->project->agg, no Python
+    audit(
+        "tile_assign (P3 webmercator tile keys)",
+        q["tile_assign"](spark, sf_dir),
+        must=["* HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="pure Column projection folds into the scan stage; "
+              "partial+final hash aggregation.",
+    )
+
+    # 2. PIP join: broadcast build side, codegen ray-cast refine
+    audit(
+        "pip_join (Q14 point-in-polygon, <=512-edge Column refine)",
+        q["pip_join"](spark, sf_dir),
+        must=["* BroadcastHashJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"],
+        notes="cell-cover build side broadcast (no shuffle of the "
+              "point table); the polygon compiles into the plan — the "
+              "refine is JVM codegen, zero Python.",
+    )
+
+    # 3. radius join: broadcast cover + codegen haversine refine
+    audit(
+        "radius_join (Q2 filter-refine radius query)",
+        q["radius_join"](spark, sf_dir),
+        must=["* BroadcastHashJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="per-center buffered-bbox cover cells broadcast; exact "
+              "haversine refine stays in codegen.",
+    )
+
+    # 4. box query: predicate reaches the parquet scan
+    pts = G.events_points(spark, sf_dir).select("event_id", "lat", "lng")
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="plan_audit_")
+    from geospark.layout import write_cell_sorted
+
+    write_cell_sorted(pts, f"{tmp}/pts", zoom=8, partitions=4)
+    scan = spark.read.parquet(f"{tmp}/pts").filter(
+        (F.col("lat") > 10.0) & (F.col("lat") < 20.0)
+        & (F.col("lng") > -5.0) & (F.col("lng") < 5.0)
+    )
+    audit(
+        "box_query on cell-sorted layout (Q5; the table IS the index)",
+        scan,
+        must=["PushedFilters", "* Filter"],
+        must_not=["BatchEvalPython"],
+        notes="lat/lng predicates are pushed into the parquet scan; on "
+              "the cell-sorted layout the row-group min/max stats prune "
+              "like R-tree node descent.",
+    )
+
+    # 5. polyline length: higher-order array fold, one agg, no Python
+    audit(
+        "polyline_length (L1 zip_with/aggregate fold)",
+        q["polyline_length"](spark, sf_dir),
+        must=["HashAggregate", "ObjectHashAggregate"],
+        must_not=["BatchEvalPython"],
+        notes="segment haversine folds JVM-side inside the collect_list "
+              "aggregation stage; no Python anywhere.",
+    )
+
+    # 6. exact polyline distance: min-struct aggregate (no window sort)
+    audit(
+        "polyline_dist (L6/S8 min-struct argmin)",
+        q["polyline_dist"](spark, sf_dir),
+        must=["SortAggregate", "BroadcastNestedLoopJoin"],
+        must_not=["BatchEvalPython", "Window"],
+        notes="argmin is a partial-aggregatable min(struct) — no window "
+              "sort of the exploded segments; centers broadcast.",
+    )
+
+    # 7. doc exact dedup: single hash shuffle
+    audit(
+        "doc_dedup_exact (one shuffle on the md5 content key)",
+        q["doc_dedup_exact"](spark, sf_dir),
+        must=["Exchange", "hashpartitioning", "Window"],
+        must_not=["BatchEvalPython"],
+        notes="canonical-id + group-size via one hash exchange.",
+    )
+
+    out = ["# PLANS — physical-plan audit (generated by "
+           "scripts/plan_audit.py; AQE off)", ""]
+    for name, notes, checks in sections:
+        out.append(f"## {name}")
+        out.append("")
+        out.append(notes)
+        out.append("")
+        out.extend(checks)
+        out.append("")
+    if failures:
+        out.append("## FAILURES")
+        out.extend(f"- {f}" for f in failures)
+    (REPO / "PLANS.md").write_text("\n".join(out) + "\n")
+    print("\n".join(failures) if failures else "ALL PLAN CHECKS PASS")
+    spark.stop()
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
