@@ -126,6 +126,25 @@ def _q_box_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return box_query(pts, *BOX)
 
 
+def _q_box_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 semi/anti joins (free from Spark, absent in the reference):
+    per-user event totals split by whether the user has >=1 point in
+    the demo box — LeftSemi and LeftAnti joins against the box query."""
+    pts = G.events_points(spark, sf_dir).select("user_id", "event_id", "lat", "lng")
+    inside = box_query(pts, *BOX).select(F.col("user_id").alias("b_user"))
+    parts = []
+    for how, side in (("left_semi", "semi"), ("left_anti", "anti")):
+        j = pts.join(
+            inside, F.col("user_id") == F.col("b_user"), how
+        )
+        parts.append(
+            j.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+            .withColumn("side", F.lit(side))
+        )
+    return parts[0].unionByName(parts[1])
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = G.events_points(spark, sf_dir).select("event_id", "lat", "lng")
     out = knn_join(pts, G.DEMO_CENTERS, k=KNN_K, id_col="event_id")
@@ -149,6 +168,27 @@ def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_rollup(
         z8, [F.sum("n_points").alias("n_points")], to_zoom=ROLLUP_Z, from_zoom=TILE_Z
     ).select("tile_x", "tile_y", "n_points")
+
+
+def _q_tile_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/P13 pyramid rollup for zooms 5..8 in ONE shuffle: explode the
+    zoom delta, group by (zoom, shifted coords) — the GROUPING-SETS
+    shape of a multi-level rollup (each point feeds every ancestor
+    level; partial aggregation still applies)."""
+    pts = G.events_points(spark, sf_dir)
+    z8 = with_tile(pts, TILE_Z).select("tile_x", "tile_y")
+    lev = z8.select(
+        "tile_x", "tile_y",
+        F.explode(F.sequence(F.lit(0), F.lit(TILE_Z - ROLLUP_Z))).alias("dz"),
+    )
+    return (
+        lev.groupBy(
+            (F.lit(TILE_Z) - F.col("dz")).cast("int").alias("zoom"),
+            F.expr("shiftright(tile_x, dz)").alias("tile_x"),
+            F.expr("shiftright(tile_y, dz)").alias("tile_y"),
+        )
+        .agg(F.count("*").alias("n_points"))
+    )
 
 
 def _q_bearing_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,9 +703,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haversine_topk": _q_haversine_topk,
         "radius_join": _q_radius_join,
         "box_query": _q_box_query,
+        "box_semi_anti": _q_box_semi_anti,
         "knn": _q_knn,
         "pip_join": _q_pip_join,
         "tile_rollup": _q_tile_rollup,
+        "tile_multi_rollup": _q_tile_multi_rollup,
         "bearing_seq": _q_bearing_seq,
         "box_buffer": _q_box_buffer,
     }
@@ -1356,6 +1398,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE lat > {repr(lat_min)} AND lat < {repr(lat_max)}
               AND lng > {repr(lng_min)} AND lng < {repr(lng_max)}
         """,
+        "box_semi_anti": f"""
+            WITH pts AS ({pts}),
+            inbox AS (
+                SELECT DISTINCT user_id FROM pts
+                WHERE lat > {repr(lat_min)} AND lat < {repr(lat_max)}
+                  AND lng > {repr(lng_min)} AND lng < {repr(lng_max)}
+            )
+            SELECT user_id, count(*) AS n_events, 'semi' AS side
+            FROM pts WHERE user_id IN (SELECT user_id FROM inbox)
+            GROUP BY user_id
+            UNION ALL
+            SELECT user_id, count(*) AS n_events, 'anti' AS side
+            FROM pts WHERE user_id NOT IN (SELECT user_id FROM inbox)
+            GROUP BY user_id
+        """,
         "knn": f"""
             WITH pts AS ({pts}),
             ranked AS (
@@ -1383,6 +1440,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tile_y >> {TILE_Z - ROLLUP_Z} AS BIGINT) AS tile_y,
                    CAST(sum(n_points) AS BIGINT) AS n_points
             FROM z8 GROUP BY 1, 2
+        """,
+        "tile_multi_rollup": f"""
+            WITH pts AS ({pts}),
+            z8 AS (SELECT {tx} AS tile_x, {ty} AS tile_y FROM pts)
+            SELECT CAST({TILE_Z} - dz AS INTEGER) AS zoom,
+                   CAST(tile_x >> dz AS BIGINT) AS tile_x,
+                   CAST(tile_y >> dz AS BIGINT) AS tile_y,
+                   count(*) AS n_points
+            FROM z8 CROSS JOIN
+                 (SELECT unnest(generate_series(0, {TILE_Z - ROLLUP_Z})) AS dz)
+            GROUP BY 1, 2, 3
         """,
         "bearing_seq": f"""
             WITH pts AS ({pts}),
