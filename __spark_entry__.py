@@ -555,35 +555,50 @@ def _q_approx_polyline_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_polyline_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6/S8: EXACT distance to per-user trajectories from the demo
     centers — merc-projected closest-on-segment (angle tests + law of
-    sines), min-struct argmin, first-segment tie-break."""
-    from geospark import lines as L
+    sines), min-struct argmin, first-segment tie-break.
 
+    Plan shape: segments come straight from a lag() window over the
+    event order — no collect_list array build, no posexplode; the
+    array-column API (lines.distance_to_polyline) computes the same
+    thing for stored polylines and is parity-tested in
+    tests/test_lines_spark.py."""
     pts = G.events_points(spark, sf_dir)
-    traj = (
-        pts.groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "lat", "lng"))
-            ).alias("seq")
-        )
-        .withColumn(
-            "line", F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))")
-        )
-        .filter(F.size("line") >= 2)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.select("user_id", "ts", "event_id", "lat", "lng")
+        .withColumn("f_lat", F.lag("lat").over(w))
+        .withColumn("f_lng", F.lag("lng").over(w))
+        .withColumn("seg_idx", (F.row_number().over(w) - 2).cast("int"))
+        .filter(F.col("f_lat").isNotNull())
     )
     centers = spark.createDataFrame(
         [(q, la, ln) for q, la, ln in G.DEMO_CENTERS],
         "query_id long, q_lat double, q_lng double",
     )
-    pairs = traj.crossJoin(F.broadcast(centers))
-    out = L.distance_to_polyline(
-        pairs, "q_lat", "q_lng", "line", ["query_id", "user_id"]
+    pairs = seg.crossJoin(F.broadcast(centers))
+    c_lat, c_lng = K.closest_on_segment(
+        F.col("q_lat"), F.col("q_lng"),
+        F.col("f_lat"), F.col("f_lng"), F.col("lat"), F.col("lng"),
     )
-    return out.select(
-        "query_id", "user_id", "seg_idx",
-        F.floor("dist_m").alias("dist_floor_m"),
-        F.round("closest_lat", 6).alias("c_lat"),
-        F.round("closest_lng", 6).alias("c_lng"),
+    scored = (
+        pairs.withColumn("closest_lat", c_lat)
+        .withColumn("closest_lng", c_lng)
+        .withColumn("dist_m", K.distance(
+            F.col("q_lat"), F.col("q_lng"),
+            F.col("closest_lat"), F.col("closest_lng")))
+    )
+    best = F.min(
+        F.struct("dist_m", "seg_idx", "closest_lat", "closest_lng")
+    ).alias("_b")
+    return (
+        scored.groupBy("query_id", "user_id").agg(best)
+        .select(
+            "query_id", "user_id",
+            F.col("_b.seg_idx").alias("seg_idx"),
+            F.floor("_b.dist_m").alias("dist_floor_m"),
+            F.round("_b.closest_lat", 6).alias("c_lat"),
+            F.round("_b.closest_lng", 6).alias("c_lng"),
+        )
     )
 
 

@@ -147,3 +147,40 @@ def test_cluster_nearby_spark_matches_reference(spark):
     ref_labels = canon({i: int(ref[i]) for i in range(n)})
     got_labels = canon(got)
     assert got_labels == ref_labels
+
+
+def test_cluster_second_contraction_round_parity(spark):
+    """Forcing the second distributed contraction round
+    (second_round_threshold=0) must produce identical labels — the
+    reduced spanning pairs preserve connectivity exactly."""
+    from geospark.cluster import cluster_nearby
+
+    rng = np.random.RandomState(11)
+    # chains crossing region borders: points spaced ~700m so edges
+    # span cells and the contracted graph is non-empty
+    lats, lngs = [], []
+    for k in range(6):
+        base_lat, base_lng = 40.0 + k * 0.5, 7.0 + k * 0.3
+        for j in range(8):
+            lats.append(base_lat + j * 0.006)
+            lngs.append(base_lng)
+    n = len(lats)
+    df = spark.createDataFrame(
+        [(i, float(lats[i]), float(lngs[i])) for i in range(n)],
+        "point_id long, lat double, lng double",
+    )
+    base = {
+        r["point_id"]: r["cluster_id"]
+        for r in cluster_nearby(df, 1000.0, max_refine_size=0).collect()
+    }
+    forced = {
+        r["point_id"]: r["cluster_id"]
+        for r in cluster_nearby(
+            df, 1000.0, max_refine_size=0, second_round_threshold=0
+        ).collect()
+    }
+    assert base == forced
+    # sanity: the chains actually merged into multi-member components
+    from collections import Counter
+    sizes = Counter(base.values())
+    assert max(sizes.values()) >= 8
