@@ -189,8 +189,12 @@ def lang_id(docs: DataFrame, text_col: str = "text",
 def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id_a, doc_id_b, jaccard) for pairs with shingle-set Jaccard
-    >= threshold. Shuffle keys: shingle (intersection), doc (sizes)."""
-    sh = shingles(docs, n, text_col, id_col)
+    >= threshold. Shuffle keys: shingle (intersection), doc (sizes).
+    The shingle set feeds three consumers (intersection self-join +
+    both size joins) — materialize it once instead of re-exploding the
+    corpus per consumer (at warehouse scale: a persisted signatures /
+    shingles table)."""
+    sh = shingles(docs, n, text_col, id_col).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -219,12 +223,11 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup — the scale path
 # ---------------------------------------------------------------------------
-def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id",
-                       hash_fn: str = "md5") -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}): k minhashes of the shingle set via
-    xxhash64(shingle, seed_i). One scan + one shuffle (the groupBy)."""
-    sh = shingles(docs, n, text_col, id_col).withColumn(
+def minhash_signatures_from_shingles(sh: DataFrame, k: int = 16,
+                                     hash_fn: str = "md5") -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) from a prepared (doc_id, shingle)
+    relation: k permuted-hash minima in one groupBy."""
+    hx = sh.withColumn(
         "_x", F.expr(f"pmod({hash60_sql('shingle', hash_fn)}, {HASH_P})")
     )
     aggs = []
@@ -233,7 +236,17 @@ def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3,
         aggs.append(
             F.min(F.expr(f"pmod({a} * _x + {b}, {HASH_P})")).alias(f"mh_{i}")
         )
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hx.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       hash_fn: str = "md5") -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): k minhashes of the shingle set.
+    One scan + one shuffle (the groupBy)."""
+    return minhash_signatures_from_shingles(
+        shingles(docs, n, text_col, id_col), k, hash_fn
+    )
 
 
 def lsh_candidates(sigs: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
@@ -268,11 +281,12 @@ def minhash_neardup_pairs(docs: DataFrame, threshold: float, k: int = 16,
                           hash_fn: str = "md5") -> DataFrame:
     """LSH candidates -> exact-Jaccard refine (filter-refine, like the
     spatial joins: cheap bucket equi-join, exact verify only on
-    candidates)."""
+    candidates). The shingle set is materialized once — it feeds the
+    signatures AND the exact-Jaccard refine (sizes + intersection)."""
+    sh = shingles(docs, n, text_col, id_col).localCheckpoint(eager=True)
     cand = lsh_candidates(
-        minhash_signatures(docs, k, n, text_col, id_col, hash_fn), k, bands
+        minhash_signatures_from_shingles(sh, k, hash_fn), k, bands
     )
-    sh = shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand.join(sh.alias("a"), cand["doc_id_a"] == F.col("a.doc_id"))
