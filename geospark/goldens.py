@@ -270,6 +270,13 @@ def closest_on_segment(x, f, t):
         return math.acos(rel)
 
     sv_x, sv_y = mx - fx, my - fy
+    # denormal guard: |v|^2 can underflow to 0.0 for sub-femtometer
+    # offsets (the C++ reference divides by 0 there — UB); treat x as
+    # coincident with the endpoint
+    if sv_x * sv_x + sv_y * sv_y == 0.0 or (
+        (tx - mx) ** 2 + (ty - my) ** 2 == 0.0
+    ):
+        return x
     if angle(sv_x, sv_y) >= math.pi / 2.0:
         return f
     if angle(tx - mx, ty - my) >= math.pi / 2.0:
