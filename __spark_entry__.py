@@ -191,6 +191,21 @@ def _q_tile_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster x time rollup (the batch hypertable shape): per-(day,
+    z6 tile) point counts. The day bucket is integer epoch arithmetic
+    (engine-neutral, timezone-free); partial aggregation applies."""
+    pts = G.events_points(spark, sf_dir)
+    tiled = with_tile(pts, 6)
+    return (
+        tiled.groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+            "tile_x", "tile_y",
+        )
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
 def _q_bearing_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = G.events_points(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("event_id")
@@ -723,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": _q_pip_join,
         "tile_rollup": _q_tile_rollup,
         "tile_multi_rollup": _q_tile_multi_rollup,
+        "tile_time_rollup": _q_tile_time_rollup,
         "bearing_seq": _q_bearing_seq,
         "box_buffer": _q_box_buffer,
     }
@@ -1455,6 +1471,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tile_y >> {TILE_Z - ROLLUP_Z} AS BIGINT) AS tile_y,
                    CAST(sum(n_points) AS BIGINT) AS n_points
             FROM z8 GROUP BY 1, 2
+        """,
+        "tile_time_rollup": f"""
+            WITH pts AS ({pts})
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                   {G.tile_x_sql('lng', 6)} AS tile_x,
+                   {G.tile_y_sql('lat', 6)} AS tile_y,
+                   count(*) AS n_points
+            FROM pts GROUP BY 1, 2, 3
         """,
         "tile_multi_rollup": f"""
             WITH pts AS ({pts}),

@@ -59,11 +59,21 @@ def with_linear_cell_at_zoom(df: DataFrame, zoom: int, lat: str = "lat",
     references its input ~32x (measured 40s/12M rows inlined in a join
     key) while this references each pixel coordinate exactly once
     (~2s/12M). Morton (S10 parity, prefix algebra) stays the public
-    cell; linear is the physical join key."""
-    px = K.merc_to_pixel_x(K.latlng_to_merc_x(F.col(lng)), 16, tile_size=1)
-    py = K.merc_to_pixel_y(K.latlng_to_merc_y(F.col(lat)), 16, tile_size=1)
-    d = CELL_ZOOM - zoom
-    cell = F.shiftleft(F.shiftright(py, d), zoom) + F.shiftright(px, d)
+    cell; linear is the physical join key.
+
+    ``zoom`` <= 16 derives from the z=16 pixel (bit-compatible with the
+    S10 quadkey prefix space); zoom > 16 projects directly at the
+    requested zoom — a finer uniform grid for sub-cell-size
+    neighborhood joins (tiny cluster radii), not a quadkey level."""
+    if zoom <= CELL_ZOOM:
+        px = K.merc_to_pixel_x(K.latlng_to_merc_x(F.col(lng)), 16, tile_size=1)
+        py = K.merc_to_pixel_y(K.latlng_to_merc_y(F.col(lat)), 16, tile_size=1)
+        d = CELL_ZOOM - zoom
+        cell = F.shiftleft(F.shiftright(py, d), zoom) + F.shiftright(px, d)
+    else:
+        px = K.merc_to_pixel_x(K.latlng_to_merc_x(F.col(lng)), zoom, tile_size=1)
+        py = K.merc_to_pixel_y(K.latlng_to_merc_y(F.col(lat)), zoom, tile_size=1)
+        cell = F.shiftleft(py, zoom) + px
     return df.withColumn(col, cell)
 
 

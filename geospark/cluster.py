@@ -37,33 +37,40 @@ from geospark.functions import numpy_kernels as NK
 
 
 def _zoom_for_dist(max_dist_m: float) -> int:
-    """Finest zoom where a 3x3 cell neighborhood is guaranteed to
-    contain every point within max_dist. Cell height at the equator is
-    ~40075 km / 2^z; mercator cells only get shorter (in ground m)
-    toward the poles in y... x-width in ground meters SHRINKS with
-    latitude, so neighbor coverage in x holds everywhere; y coverage
-    uses the equatorial minimum. Conservative: require cell edge ≥
-    max_dist at the equator."""
+    """Zoom whose EQUATORIAL cell edge is ~max_dist. NOTE mercator
+    cells shrink in ground meters as cos(lat) on BOTH axes, so a fixed
+    3x3 neighborhood under-covers at high latitude (a measured missed-
+    edge bug at lat 60) — the edge build therefore uses the latitude-
+    aware buffered-bbox COVER below, which enumerates however many
+    cells the disk needs at the point's latitude. The zoom cap is 22
+    (grids finer than z16 are plain uniform grids, not quadkey levels)
+    so metre-scale radii in dense cities don't quadratically blow up
+    inside coarse cells."""
     earth = 40075016.686
     z = 0
-    while z < 15 and earth / (1 << (z + 1)) >= max_dist_m:
+    while z < 22 and earth / (1 << (z + 1)) >= max_dist_m:
         z += 1
     return z
 
 
-def _neighbor_cells_expr(zoom: int):
-    """For each point emit its 3x3 neighbor cell ids (for the edge
-    self-join): fully vectorized (numpy broadcast + Arrow ListArray,
-    no per-row Python — see joins.neighbor_cells_series)."""
+def _neighbor_cells_expr(zoom: int, max_dist_m: float):
+    """For each point emit the cell COVER of its max_dist disk (for the
+    edge self-join): the reference's box::extend buffer in degrees +
+    one pad ring, so coverage holds at every latitude. Fully vectorized
+    (numpy broadcast + Arrow ListArray, no per-row Python)."""
     from pyspark.sql.functions import pandas_udf
 
-    from geospark.joins import neighbor_cells_series
+    from geospark.joins import cover_cells_series
 
     @pandas_udf("array<long>")
     def _neigh(lat: pd.Series, lng: pd.Series) -> pd.Series:
-        return neighbor_cells_series(
-            lat.to_numpy(np.float64), lng.to_numpy(np.float64), zoom
-        )
+        la = lat.to_numpy(np.float64)
+        ln = lng.to_numpy(np.float64)
+        d_lat = max_dist_m / 111000.0
+        lat_lo, lat_hi = la - d_lat, la + d_lat
+        lng_lo = ln - np.abs(max_dist_m / (111200.0 * np.cos(np.radians(lat_lo))))
+        lng_hi = ln + np.abs(max_dist_m / (111200.0 * np.cos(np.radians(lat_hi))))
+        return cover_cells_series(lat_lo, lng_lo, lat_hi, lng_hi, zoom, pad=1)
 
     return _neigh
 
@@ -115,7 +122,9 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
     ).select(
         F.col(id_col).alias("qid"), F.col(lat).alias("qlat"),
         F.col(lng).alias("qlng"), "region_b",
-        F.explode(_neighbor_cells_expr(zoom)(F.col(lat), F.col(lng))).alias("cell"),
+        F.explode(
+            _neighbor_cells_expr(zoom, max_dist_m)(F.col(lat), F.col(lng))
+        ).alias("cell"),
     )
 
     # float32 haversine parity: refine with float64 expr then confirm

@@ -1,0 +1,118 @@
+"""Operator-scale evidence: run the core join/cluster family on a
+points table 100x the sf0.1 driver input (extracted from the synthetic
+pages cache) and append wall times to BENCH.md. The sf tables verify
+CORRECTNESS; this shows the same plans at data volumes where a wrong
+shuffle would be minutes, not noise.
+
+Usage: python scripts/stress_bench.py [n_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+
+    from pyspark.sql import functions as F
+
+    from geospark.session import get_spark
+
+    spark = get_spark(
+        "stress-bench", master="local[32]", shuffle_partitions=64,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path = f"/tmp/geospark_bench_pages_{n_pages}"
+    pts_path = f"/tmp/geospark_stress_points_{n_pages}"
+    if not os.path.exists(f"{pages_path}/_SUCCESS"):
+        from geospark.pages import synth_pages
+
+        synth_pages(spark, n_pages).write.mode("overwrite").parquet(pages_path)
+    if not os.path.exists(f"{pts_path}/_SUCCESS"):
+        from geospark.extract import extract_points
+
+        pts = extract_points(spark.read.parquet(pages_path)).withColumn(
+            "point_uid", F.monotonically_increasing_id()
+        )
+        pts.write.mode("overwrite").parquet(pts_path)
+
+    points = spark.read.parquet(pts_path).select(
+        F.col("point_uid").alias("point_id"), "lat", "lng"
+    )
+    n_points = points.count()
+    results: dict[str, dict] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        rows = fn()
+        secs = time.time() - t0
+        results[name] = {
+            "sec": round(secs, 1), "rows_out": rows,
+            "pts_per_sec": round(n_points / secs),
+        }
+        print(f"  {name}: {secs:.1f}s rows={rows}")
+
+    # 50k query centers against the full point table (DataFrame form)
+    centers = points.filter(F.col("point_id") % 997 == 0).select(
+        F.col("point_id").alias("query_id"),
+        F.col("lat").alias("q_lat"), F.col("lng").alias("q_lng"),
+    ).limit(50_000)
+    from geospark.joins import knn_join_df, radius_join_df
+
+    run("radius_join_df_50k_centers_2km", lambda: radius_join_df(
+        points, centers, max_m=2000.0).count())
+
+    knn_centers = centers.limit(2_000)
+    run("knn_join_df_2k_centers_k10", lambda: knn_join_df(
+        points, knn_centers, k=10, id_col="point_id").count())
+
+    from geospark import geodata as G
+    from geospark.joins import pip_join
+
+    run("pip_join_demo_layer", lambda: pip_join(points, G.demo_layer()).count())
+
+    from geospark.cells import with_tile
+
+    run("tile_assign_z10_agg", lambda: with_tile(points, 10)
+        .groupBy("tile_x", "tile_y").count().count())
+
+    from geospark.cluster import cluster_nearby
+
+    run("cluster_10m", lambda: cluster_nearby(points, 10.0)
+        .groupBy("cluster_id").count().count())
+
+    out = {"n_pages": n_pages, "n_points": n_points, "ops": results,
+           "cpus": 32, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    print(json.dumps(out))
+
+    lines = [
+        "",
+        f"## Operator scale run {out['ts']} — {n_points:,} points "
+        f"(from {n_pages:,} pages), local[32]",
+        "",
+        "| operator | wall s | rows out | points/sec |",
+        "| --- | --- | --- | --- |",
+    ]
+    for name, r in results.items():
+        lines.append(
+            f"| {name} | {r['sec']} | {r['rows_out']} | {r['pts_per_sec']} |"
+        )
+    lines.append("")
+    with open(REPO / "BENCH.md", "a") as f:
+        f.write("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

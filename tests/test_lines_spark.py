@@ -184,3 +184,32 @@ def test_cluster_second_contraction_round_parity(spark):
     from collections import Counter
     sizes = Counter(base.values())
     assert max(sizes.values()) >= 8
+
+
+def test_cluster_high_latitude_edges(spark):
+    """Mercator cells shrink as cos(lat): a fixed 3x3 neighborhood
+    sized at the equator MISSES near-threshold pairs at high latitude
+    (found at 12M-point stress scale). The disk-cover edge build must
+    merge ~900m pairs at lat 60 and 84 with max_dist=1000."""
+    import math
+
+    from geospark.cluster import _zoom_for_dist, cluster_nearby
+
+    z = _zoom_for_dist(1000.0)
+    cell_deg = 360.0 / (1 << z)
+    rows, pid = [], 0
+    expected_pairs = []
+    for lat in (60.0, 75.0, 84.0, -60.0):
+        dlng = 900.0 / (111320.0 * math.cos(math.radians(lat)))
+        base = 8.0 - (8.0 % cell_deg) + 0.9 * cell_deg  # straddle a boundary
+        rows.append((pid, lat, base))
+        rows.append((pid + 1, lat, base + dlng))
+        expected_pairs.append((pid, pid + 1))
+        pid += 2
+    df = spark.createDataFrame(rows, "point_id long, lat double, lng double")
+    out = {r["point_id"]: r["cluster_id"]
+           for r in cluster_nearby(df, 1000.0).collect()}
+    for a, b in expected_pairs:
+        assert out[a] == out[b], (a, b, out)
+    # distinct latitude bands stay separate
+    assert len(set(out.values())) == len(expected_pairs)
