@@ -362,7 +362,7 @@ def _pick_cover_zoom(centers: list[tuple[int, float, float]], radius_m: float,
     """Finest zoom whose per-center bbox cover stays under the cell
     budget — keeps the broadcast build side tiny while maximizing
     pruning selectivity."""
-    for z in range(16, -1, -1):
+    for z in range(20, -1, -1):
         worst = 0
         for _, lat, lng in centers:
             bb = _buffered_bbox(lat, lng, radius_m)
@@ -567,7 +567,7 @@ def radius_join_df(points: DataFrame, centers: DataFrame, max_m: float,
         # bbox covers then stay at a handful of cells per center
         earth = 40075016.686
         z = 0
-        while z < 15 and earth / (1 << (z + 1)) >= max_m:
+        while z < 20 and earth / (1 << (z + 1)) >= max_m:
             z += 1
         cover_zoom = z
     zoom = cover_zoom

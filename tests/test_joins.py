@@ -211,3 +211,37 @@ def test_pip_join_multipolygon_with_hole(spark):
     pts = spark.createDataFrame(rows, "point_id long, lat double, lng double")
     got = pip_join(pts, layer).select("point_id").collect()
     assert sorted(x["point_id"] for x in got) == [1, 2]
+
+
+def test_radius_join_high_latitude_vs_brute(spark):
+    """Cover completeness at high latitude (mercator cells shrink as
+    cos(lat)): radius results must equal the brute-force cross join."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geospark.functions import kernels as K
+    from geospark.joins import radius_join
+
+    rng = np.random.RandomState(5)
+    lat0, lng0 = 78.0, 16.0  # Svalbard-ish
+    rows = [
+        (i, float(lat0 + rng.uniform(-0.3, 0.3)),
+         float(lng0 + rng.uniform(-1.5, 1.5)))
+        for i in range(400)
+    ]
+    pts = spark.createDataFrame(rows, "event_id long, lat double, lng double")
+    centers = [(1, lat0, lng0), (2, lat0 + 0.2, lng0 - 1.0)]
+    r = 9000.0
+    got = sorted(
+        (x["query_id"], x["event_id"])
+        for x in radius_join(pts, centers, max_m=r).collect()
+    )
+    brute = []
+    for qid, qla, qln in centers:
+        d = K.distance(F.lit(qla), F.lit(qln), F.col("lat"), F.col("lng"))
+        brute += [
+            (qid, x["event_id"])
+            for x in pts.withColumn("d", d).filter(F.col("d") < r).collect()
+        ]
+    assert got == sorted(brute)
+    assert len(got) > 10
