@@ -373,7 +373,12 @@ def _q_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data ops: documents + embeddings
 # ---------------------------------------------------------------------------
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the testdata ships one small file per table -> one input split;
+    # spread the docs so the explode-heavy stages use every core (real
+    # corpora arrive in many splits and skip this)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

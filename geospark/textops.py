@@ -77,17 +77,28 @@ def tokens(docs: DataFrame, text_col: str = "text",
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    toks = f"split({text_col}, '\\\\s+')"
-    # CASE guards docs shorter than n tokens (sequence() runs
-    # backwards when stop < start)
-    return docs.select(
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    Shingle i concatenates n O(1) index accesses — ``slice(toks, i,
+    n)`` inside the transform is O(tokens) per position, i.e. a
+    quadratic scan per document (measured 4x the whole minhash
+    pipeline at 500-token docs)."""
+    parts = ", ".join(f"_t[i + {j}]" for j in range(n))
+    # stage the token array once (inlining the split text per element
+    # access would re-evaluate it); CASE guards docs shorter than n
+    # tokens (sequence() runs backwards when stop < start); [] is
+    # 0-based
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.expr(f"split({text_col}, '\\\\s+')").alias("_t"),
+    )
+    return base.select(
+        "doc_id",
         F.explode(
             F.expr(
-                f"CASE WHEN size({toks}) >= {n} THEN "
-                f"transform(sequence(1, size({toks}) - {n} + 1), "
-                f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+                f"CASE WHEN size(_t) >= {n} THEN "
+                f"transform(sequence(0, size(_t) - {n}), "
+                f"i -> concat_ws(' ', {parts})) "
                 f"ELSE CAST(array() AS array<string>) END"
             )
         ).alias("shingle"),
