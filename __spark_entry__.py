@@ -540,21 +540,18 @@ def _q_fixed_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_approx_polyline_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7/S9: approx squared distance to per-user trajectories from the
-    demo centers — argmin over segments, first-segment tie-break."""
-    from geospark import lines as L
-
+    demo centers — argmin over segments, first-segment tie-break.
+    Lag-window segment derivation (see _q_polyline_dist); the
+    array-column API (lines.approx_distance_to_polyline) is
+    parity-tested in tests/test_lines_spark.py."""
     pts = G.events_points(spark, sf_dir)
-    traj = (
-        pts.groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "lat", "lng"))
-            ).alias("seq")
-        )
-        .withColumn(
-            "line", F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))")
-        )
-        .filter(F.size("line") >= 2)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.select("user_id", "ts", "event_id", "lat", "lng")
+        .withColumn("f_lat", F.lag("lat").over(w))
+        .withColumn("f_lng", F.lag("lng").over(w))
+        .withColumn("seg_idx", (F.row_number().over(w) - 2).cast("int"))
+        .filter(F.col("f_lat").isNotNull())
     )
     centers = spark.createDataFrame(
         [(q, la, ln) for q, la, ln in G.DEMO_CENTERS],
@@ -562,13 +559,21 @@ def _q_approx_polyline_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "scale", K.approx_distance_lng_degrees(F.col("q_lat"), F.col("q_lng"))
     )
-    pairs = traj.crossJoin(F.broadcast(centers))
-    out = L.approx_distance_to_polyline(
-        pairs, "q_lat", "q_lng", "line", ["query_id", "user_id"], "scale"
+    pairs = seg.crossJoin(F.broadcast(centers))
+    _, _, c_sq = K.approx_closest_on_segment(
+        F.col("q_lat"), F.col("q_lng"),
+        F.col("f_lat"), F.col("f_lng"), F.col("lat"), F.col("lng"),
+        F.col("scale"),
     )
-    return out.select(
-        "query_id", "user_id", "seg_idx",
-        F.floor("approx_sq").alias("sq_floor"),
+    scored = pairs.withColumn("approx_sq", c_sq)
+    best = F.min(F.struct("approx_sq", "seg_idx")).alias("_b")
+    return (
+        scored.groupBy("query_id", "user_id").agg(best)
+        .select(
+            "query_id", "user_id",
+            F.col("_b.seg_idx").alias("seg_idx"),
+            F.floor("_b.approx_sq").alias("sq_floor"),
+        )
     )
 
 
