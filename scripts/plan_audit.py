@@ -128,14 +128,18 @@ def main() -> None:
               "aggregation stage; no Python anywhere.",
     )
 
-    # 6. exact polyline distance: min-struct aggregate (no window sort)
+    # 6. exact polyline distance: min-struct aggregate argmin (the lag
+    # window derives SEGMENTS per user — one small-keyed window over the
+    # event table — but the 5x-amplified per-center scoring aggregates
+    # with partial aggregation, never window-sorts)
     audit(
         "polyline_dist (L6/S8 min-struct argmin)",
         q["polyline_dist"](spark, sf_dir),
-        must=["SortAggregate", "BroadcastNestedLoopJoin"],
-        must_not=["BatchEvalPython", "Window"],
-        notes="argmin is a partial-aggregatable min(struct) — no window "
-              "sort of the exploded segments; centers broadcast.",
+        must=["SortAggregate", "BroadcastNestedLoopJoin", "partial_min"],
+        must_not=["BatchEvalPython"],
+        notes="argmin is a partial-aggregatable min(struct); the only "
+              "window is the per-user lag() that derives segments "
+              "BEFORE the x5 center amplification.",
     )
 
     # 7. doc exact dedup: single hash shuffle
