@@ -675,7 +675,8 @@ def knn_join_df(points: DataFrame, centers: DataFrame, k: int,
         )
         if remaining.limit(1).count() == 0:
             break
-        z -= 2
+        z -= 4  # coarsen 16x per miss: phase 2 prunes with per-center
+        #         radii, so a loose d_k costs less than extra rounds
     dk_all = None
     for p in dk_parts:
         dk_all = p if dk_all is None else dk_all.unionByName(p)
@@ -823,7 +824,7 @@ def knn_join(points: DataFrame, centers: list[tuple[int, float, float]], k: int,
             else:
                 still.append((qid, clat, clng))
         remaining = still
-        z -= 2  # coarsen 4x per miss
+        z -= 4  # coarsen 16x per miss (phase 2 re-prunes per center)
 
     # --- phase 2: exact radius join with PER-CENTER radius d_k (one
     # sparse-area center must not inflate every center's cover), top-k
