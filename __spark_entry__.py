@@ -552,6 +552,7 @@ def _q_approx_polyline_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("f_lng", F.lag("lng").over(w))
         .withColumn("seg_idx", (F.row_number().over(w) - 2).cast("int"))
         .filter(F.col("f_lat").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)  # see _q_polyline_dist
     )
     centers = spark.createDataFrame(
         [(q, la, ln) for q, la, ln in G.DEMO_CENTERS],
@@ -595,6 +596,9 @@ def _q_polyline_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("f_lng", F.lag("lng").over(w))
         .withColumn("seg_idx", (F.row_number().over(w) - 2).cast("int"))
         .filter(F.col("f_lat").isNotNull())
+        # AQE coalesces the tiny window shuffle to ~2 partitions; the
+        # 5x-amplified transcendental scoring below must fan out
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     centers = spark.createDataFrame(
         [(q, la, ln) for q, la, ln in G.DEMO_CENTERS],
