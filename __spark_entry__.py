@@ -305,6 +305,7 @@ def _q_simplify_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line", F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))")
         )
         .filter(F.size("line") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)  # fan out the DP UDF
         .withColumn("mask", L.make_simplify_mask_udf()(F.col("line")))
     )
     z0 = L.apply_simplify_mask_udf(0)(F.col("mask"), F.col("line"))
@@ -333,6 +334,7 @@ def _q_polyline_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "line", F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))")
         )
+        .repartition(spark.sparkContext.defaultParallelism)  # fan out the codec UDF
         .withColumn("enc", L.encode_polyline_udf(5)(F.col("line")))
         .withColumn("dec", L.decode_polyline_udf(5)(F.col("enc")))
         .withColumn(
@@ -382,7 +384,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # single-file table -> one input split; spread for the array-fold
+    # heavy similarity stages (see _docs)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 EMB_QUERY_IDS = [3, 57, 111, 222, 404]
