@@ -693,11 +693,15 @@ def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tmp = tempfile.mkdtemp(prefix="geospark_stream_")
-    spool, ckpt = f"{tmp}/spool", f"{tmp}/ckpt"
-    # 2 files / 2 per trigger = one micro-batch: the contract query pays
-    # trigger latency once; multi-batch watermark semantics are covered
-    # by tests/test_runtime.py
-    synth_pages(spark, 2000, partitions=2).write.mode("overwrite").parquet(spool)
+    ckpt = f"{tmp}/ckpt"
+    # the spool content is a pure function of (n, partitions) — cache it
+    # across runs (the checkpoint dir stays fresh per run); 2 files / 2
+    # per trigger = one micro-batch, so the contract query pays trigger
+    # latency once; multi-batch watermark semantics are covered by
+    # tests/test_runtime.py
+    spool = "/tmp/geospark_stream_spool_2000_2"
+    if not os.path.exists(f"{spool}/_SUCCESS"):
+        synth_pages(spark, 2000, partitions=2).write.mode("overwrite").parquet(spool)
     stream = read_pages_stream(spark, spool, max_files_per_trigger=2)
     agg = streaming_tile_counts(stream, zoom=6, window="60 minutes")
     # the stateful agg creates one state-store instance PER shuffle
