@@ -165,9 +165,12 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
         d = NK.gc_distance_f(b_lat, b_lng, a_lat, a_lng)
         return pd.Series(in_box & (np.asarray(d) <= np.float32(max_dist_m)))
 
+    # no distinct needed: q's cover list holds unique cells, so each
+    # (pid, qid) pair joins exactly once (p's single cell matches at
+    # most one entry of q's cover)
     edges = edges.filter(_f32_within(F.col("plat"), F.col("plng"),
                                      F.col("qlat"), F.col("qlng"))) \
-                 .select("pid", "qid", "region_a", "region_b").distinct()
+                 .select("pid", "qid", "region_a", "region_b")
 
     # ---- stage 1b: connected components by GRAPH CONTRACTION --------------
     # Flat label propagation needs O(component diameter) rounds — measured

@@ -245,3 +245,46 @@ def test_radius_join_high_latitude_vs_brute(spark):
         ]
     assert got == sorted(brute)
     assert len(got) > 10
+
+
+def test_radius_join_antimeridian(spark):
+    """Covers crossing the +-180 line must wrap, not collapse — both
+    the driver-list and DataFrame-centers forms, vs brute force."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geospark.functions import kernels as K
+    from geospark.joins import radius_join, radius_join_df
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(300):
+        lng = 179.0 + rng.uniform(0.0, 2.0)  # straddles the antimeridian
+        if lng >= 180.0:
+            lng -= 360.0
+        rows.append((i, float(10.0 + rng.uniform(-0.5, 0.5)), float(lng)))
+    pts = spark.createDataFrame(rows, "event_id long, lat double, lng double")
+    centers = [(1, 10.0, 179.95), (2, 10.2, -179.9)]
+    r = 40000.0
+
+    def brute(qla, qln):
+        d = K.distance(F.lit(qla), F.lit(qln), F.col("lat"), F.col("lng"))
+        return {
+            x["event_id"]
+            for x in pts.withColumn("d", d).filter(F.col("d") < r).collect()
+        }
+
+    got_list = {}
+    for x in radius_join(pts, centers, max_m=r).collect():
+        got_list.setdefault(x["query_id"], set()).add(x["event_id"])
+    cdf = spark.createDataFrame(
+        centers, "query_id long, q_lat double, q_lng double"
+    )
+    got_df = {}
+    for x in radius_join_df(pts, cdf, max_m=r).collect():
+        got_df.setdefault(x["query_id"], set()).add(x["event_id"])
+    for qid, qla, qln in centers:
+        expect = brute(qla, qln)
+        assert got_list.get(qid, set()) == expect, qid
+        assert got_df.get(qid, set()) == expect, qid
+        assert len(expect) > 5
