@@ -101,3 +101,33 @@ def test_shingles(spark):
     assert "the quick brown" in got
     assert "the lazy dog" in got
     assert len(got) == 7  # 9 tokens -> 7 trigrams, all distinct
+
+
+def test_xxhash64_fast_path_semantics(spark):
+    """hash_fn='xxhash64' (the production fast path) must keep the
+    operators' semantics: near-dup pairs still carry exact Jaccard
+    values; simhash stays a positive 60-bit signature; fingerprints
+    stay order-sensitive."""
+    docs = _docs_df(spark)
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in T.minhash_neardup_pairs(
+            docs, threshold=0.3, hash_fn="xxhash64"
+        ).collect()
+    }
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in T.jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs  # the duplicate docs collide in some band
+    for k, v in pairs.items():
+        assert exact[k] == v  # refine stage reports the exact value
+
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in T.simhash(docs, hash_fn="xxhash64").collect()}
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+
+    fps = {r["doc_id"]: r["fingerprint"]
+           for r in T.fingerprint(docs, hash_fn="xxhash64").collect()}
+    assert fps[0] == fps[1]  # identical docs, identical fingerprints
+    assert len(set(fps.values())) > 1
