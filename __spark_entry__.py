@@ -25,6 +25,18 @@ from geospark.cells import tile_rollup, with_tile
 from geospark.functions import kernels as K
 from geospark.joins import box_query, knn_join, pip_join, radius_join
 
+
+def _round_half_up(v: float, nd: int) -> float:
+    """Golden-row rounding twin of Spark's F.round on DOUBLE:
+    BigDecimal.valueOf (shortest decimal repr — Python's repr matches)
+    then setScale HALF_UP. Python's builtin round() is half-to-even and
+    would flake the exact-match harness on a .5 tie."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(v)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+    )
+
 SF0001 = "/root/testdata/sf0.001"
 
 # demo box chosen off the 0.01° event lattice (strict vs non-strict agree)
@@ -699,9 +711,34 @@ def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per trigger = one micro-batch, so the contract query pays trigger
     # latency once; multi-batch watermark semantics are covered by
     # tests/test_runtime.py
-    spool = "/tmp/geospark_stream_spool_2000_2"
+    # cache key includes a content hash of the generator source: if
+    # synth_pages changes, the key changes and the spool regenerates
+    # (a stale spool vs a fresh golden oracle is a confusing red).
+    import hashlib
+    import inspect
+    import uuid
+
+    from geospark import pages as _pages_mod
+
+    gen_ver = hashlib.md5(
+        inspect.getsource(_pages_mod).encode()
+    ).hexdigest()[:10]
+    spool = f"/tmp/geospark_stream_spool_2000_2_{gen_ver}"
     if not os.path.exists(f"{spool}/_SUCCESS"):
-        synth_pages(spark, 2000, partitions=2).write.mode("overwrite").parquet(spool)
+        # write to a private dir, then rename atomically — concurrent
+        # runs never observe a half-written spool
+        stage_dir = f"{spool}.stage-{uuid.uuid4().hex[:8]}"
+        synth_pages(spark, 2000, partitions=2).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+        try:
+            os.rename(stage_dir, spool)
+        except OSError:
+            if not os.path.exists(f"{spool}/_SUCCESS"):
+                raise  # lost a race AND the winner's spool is absent
+            import shutil
+
+            shutil.rmtree(stage_dir, ignore_errors=True)
     stream = read_pages_stream(spark, spool, max_files_per_trigger=2)
     agg = streaming_tile_counts(stream, zoom=6, window="60 minutes")
     # the stateful agg creates one state-store instance PER shuffle
@@ -983,7 +1020,7 @@ def oracle_sql() -> dict[str, str]:
             d, si, (cla, cln) = GO.distance_to_polyline((qla, qln), line)
             pd_rows.append((
                 qid, uid, si, int(math.floor(d)),
-                round(cla, 6), round(cln, 6),
+                _round_half_up(cla, 6), _round_half_up(cln, 6),
             ))
     ev_ids, ev_lats, ev_lngs = _oracle_points()
     cl_rows = [
@@ -1305,18 +1342,13 @@ def oracle_sql() -> dict[str, str]:
             ),
             th AS (SELECT doc_id, w, {_duck_md5_60('token')} AS h FROM tok),
             sums AS (SELECT doc_id, {sim_sums} FROM th GROUP BY doc_id),
-            sig AS (SELECT doc_id, ({sim_sig}) AS simhash FROM sums),
-            b AS (
-                SELECT doc_id, simhash, band,
-                       (simhash >> (band * 16)) & 65535 AS val
-                FROM sig CROSS JOIN
-                     (SELECT unnest(generate_series(0, 3)) AS band)
-            )
-            SELECT DISTINCT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b,
+            sig AS (SELECT doc_id, ({sim_sig}) AS simhash FROM sums)
+            -- EXACT all-pairs hamming join (the semantic spec, not the
+            -- banding plan): green certifies full recall at radius 8.
+            SELECT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b,
                    CAST(bit_count(xor(a.simhash, b2.simhash)) AS INTEGER)
                        AS hamming
-            FROM b a JOIN b b2
-              ON a.band = b2.band AND a.val = b2.val AND a.doc_id < b2.doc_id
+            FROM sig a JOIN sig b2 ON a.doc_id < b2.doc_id
             WHERE bit_count(xor(a.simhash, b2.simhash)) <= 8
         """,
         "multimodal_features": """

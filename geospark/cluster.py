@@ -114,14 +114,20 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
             + F.shiftright(tx.cast("long"), shift)
         )
 
-    # edges: a in cell c, b in any of a's 3x3 neighborhood; region_b is
-    # the q-side region computed directly from (qlat, qlng) — identical
-    # to _region_of(q's cell) because pixel shifts compose
+    # edges: a in cell c, b covering a's max_dist disk; region_b MUST be
+    # derived from q's own FINE cell via the same shift `_region_of`
+    # uses on the p side. Projecting directly at region_zoom is NOT
+    # equivalent for zoom > 16: pixel-y ROUNDS at each projection zoom,
+    # so shifts don't compose across independently-projected zooms
+    # (~1/32 of points land in a different region at z17). A mismatched
+    # region_b misclassifies internal edges, handing one pid to two
+    # union-find buckets → conflicting roots → duplicate output rows.
     neigh = with_linear_cell_at_zoom(
-        points, region_zoom, lat=lat, lng=lng, col="region_b"
+        points, zoom, lat=lat, lng=lng, col="_qcell"
     ).select(
         F.col(id_col).alias("qid"), F.col(lat).alias("qlat"),
-        F.col(lng).alias("qlng"), "region_b",
+        F.col(lng).alias("qlng"),
+        _region_of(F.col("_qcell")).alias("region_b"),
         F.explode(
             _neighbor_cells_expr(zoom, max_dist_m)(F.col(lat), F.col(lng))
         ).alias("cell"),
@@ -192,8 +198,10 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
     # contraction levels removed from data volume.
     import time as _time
 
+    from geospark.spool import spool
+
     _t_edges = _time.time()
-    edges = edges.localCheckpoint(eager=True)
+    edges = spool(edges, "cluster_edges")
     if verbose:
         print(f"cluster_nearby: edges materialized in "
               f"{_time.time() - _t_edges:.1f}s")
@@ -252,8 +260,8 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
         )
         .groupBy("_b")
         .applyInPandas(_local_cc, "pid long, root long")
-        .localCheckpoint(eager=True)
     )
+    local = spool(local, "cluster_local_cc")
     if verbose:
         print(f"cluster_nearby: local CC in {_time.time() - _t_local:.1f}s")
 
@@ -270,76 +278,99 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
         )
         .filter(F.col("root_a") != F.col("root_b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    contracted = spool(contracted, "cluster_contracted")
     n_contracted = contracted.count()
     if verbose:
         print(f"cluster_nearby: edges+local CC in {_time.time() - _t_edges:.1f}s; "
               f"contracted edges={n_contracted}")
 
-    # (c) second contraction round when the border graph is still big:
-    # group contracted edges by the root's region at a 16x-coarser zoom
-    # and emit each group's union-find spanning pairs — connectivity-
-    # preserving, but ~#distinct-nodes rows instead of #edges.
-    if n_contracted > second_round_threshold and region_zoom > 0:
-        rz2 = max(region_zoom - 4, 0)
-        shift2 = region_zoom - rz2
+    # (c) ADAPTIVE contraction: while the border graph is still big,
+    # group contracted edges by the root's region at a 16x-coarser
+    # zoom and reduce each group to its union-find spanning pairs —
+    # connectivity-preserving, but ~#distinct-nodes rows instead of
+    # #edges. Loops until the graph fits the driver budget or the
+    # region grid collapses to a single cell (at which point one last
+    # reduce has already shrunk the graph to a spanning forest — the
+    # minimum representation of its connectivity).
+    def _reduce_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
 
-        def _region2_of(region_col):
-            tx = F.pmod(region_col, F.lit(1 << region_zoom))
-            ty = (region_col - tx) / F.lit(1 << region_zoom)
-            return (
-                F.shiftleft(F.shiftright(ty.cast("long"), shift2), rz2)
-                + F.shiftright(tx.cast("long"), shift2)
-            )
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
 
-        # root_a lives in the cross edge's own region_a, carried on the
-        # contracted rows — re-key by column expr, no join
+        for a, b in zip(pdf["root_a"].to_numpy(), pdf["root_b"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        nodes = np.unique(
+            np.concatenate([pdf["root_a"].to_numpy(), pdf["root_b"].to_numpy()])
+        ).astype(np.int64)
+        roots = np.array([find(int(x)) for x in nodes], dtype=np.int64)
+        m = nodes != roots
+        return pd.DataFrame({
+            "region": np.full(int(m.sum()), int(pdf["region"].iloc[0]),
+                              dtype=np.int64),
+            "root_a": nodes[m],
+            "root_b": roots[m],
+        })
+
+    cur_zoom = region_zoom
+    contracted = contracted.withColumnRenamed("region_a", "region")
+    threshold = max(second_round_threshold, 1)
+    while n_contracted > threshold and cur_zoom > 0:
+        rz2 = max(cur_zoom - 4, 0)
+        shift2 = cur_zoom - rz2
+
+        # root_a lives in the cross edge's own region (carried on the
+        # contracted rows) — re-key by column expr, no join
+        tx = F.pmod(F.col("region"), F.lit(1 << cur_zoom))
+        ty = (F.col("region") - tx) / F.lit(1 << cur_zoom)
+        region2 = (
+            F.shiftleft(F.shiftright(ty.cast("long"), shift2), rz2)
+            + F.shiftright(tx.cast("long"), shift2)
+        )
         e2 = contracted.select(
-            _region2_of(F.col("region_a")).alias("region2"), "root_a", "root_b"
+            region2.alias("region"), "root_a", "root_b"
         )
-
-        def _reduce_edges(pdf: pd.DataFrame) -> pd.DataFrame:
-            parent: dict[int, int] = {}
-
-            def find(x: int) -> int:
-                r = x
-                while parent.get(r, r) != r:
-                    r = parent[r]
-                while parent.get(x, x) != x:
-                    parent[x], x = r, parent[x]
-                return r
-
-            for a, b in zip(pdf["root_a"].to_numpy(), pdf["root_b"].to_numpy()):
-                ra, rb = find(int(a)), find(int(b))
-                if ra != rb:
-                    if ra < rb:
-                        parent[rb] = ra
-                    else:
-                        parent[ra] = rb
-            nodes = np.unique(
-                np.concatenate([pdf["root_a"].to_numpy(), pdf["root_b"].to_numpy()])
-            ).astype(np.int64)
-            roots = np.array([find(int(x)) for x in nodes], dtype=np.int64)
-            m = nodes != roots
-            return pd.DataFrame({"root_a": nodes[m], "root_b": roots[m]})
-
-        contracted = e2.groupBy("region2").applyInPandas(
-            _reduce_edges, "root_a long, root_b long"
+        contracted = spool(
+            e2.groupBy("region").applyInPandas(
+                _reduce_edges, "region long, root_a long, root_b long"
+            ),
+            "cluster_contracted",
         )
+        prev, n_contracted = n_contracted, contracted.count()
+        cur_zoom = rz2
+        if verbose:
+            print(f"cluster_nearby: contraction round at rz{rz2}: "
+                  f"{prev} -> {n_contracted} edges")
+        if n_contracted >= prev:
+            break  # spanning forest reached — coarsening can't shrink it
 
     # (d) finish the contracted remainder with driver-side union-find.
     # Contraction shrinks the graph to cross-region border components
-    # only — scales with region perimeters, not area; round (c) takes
-    # the collect a second level away from data volume. The budget
-    # guard + coarser-region retry keep the collect bounded.
+    # only — scales with region perimeters, not area; each round (c)
+    # takes the collect another level away from data volume. The budget
+    # guard is the honest backstop for a graph whose spanning forest
+    # itself exceeds driver memory.
     spark = points.sparkSession
-    c_rows = contracted.limit(contract_budget + 1).collect()
+    c_rows = contracted.select("root_a", "root_b").limit(
+        contract_budget + 1
+    ).collect()
     if len(c_rows) > contract_budget:
         raise RuntimeError(
             f"cluster_nearby: contracted graph exceeds budget "
-            f"({contract_budget}); re-run with a coarser region "
-            f"(larger max_dist regions) or raise contract_budget"
+            f"({contract_budget}) even after contracting to region zoom "
+            f"{cur_zoom}; the spanning forest itself is that large — "
+            f"raise contract_budget"
         )
     parent: dict[int, int] = {}
 
@@ -401,8 +432,8 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
     w = Window.partitionBy("label")
     # materialize once: the small/big branches below would otherwise
     # each replay the label-composition joins + the window count
-    member = member.withColumn("_n", F.count("*").over(w)).localCheckpoint(
-        eager=True
+    member = spool(
+        member.withColumn("_n", F.count("*").over(w)), "cluster_member"
     )
     if verbose:
         print(f"cluster_nearby: member labels in {_time.time() - _t_member:.1f}s")

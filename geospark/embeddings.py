@@ -210,11 +210,29 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
+def neardup_plane_count(n_rows: int, n_tables: int,
+                        target_candidates: int) -> int:
+    """Scale-aware sign-LSH sizing: solve the expected unrelated-pair
+    candidate count L * C(n,2) / 2^planes <= target for the plane
+    count. Clamped to [6, 30]: below 6 buckets stop selecting; above
+    30 per-table recall at cos 0.95 drops under ~1% and more tables,
+    not more planes, is the right lever."""
+    import math
+
+    if n_rows < 2:
+        return 6
+    need = math.log2(max(n_tables * n_rows * (n_rows - 1) / 2.0
+                         / max(target_candidates, 1), 1.0))
+    return max(6, min(30, math.ceil(need)))
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
-                            n_planes: int = 8, dim: int = 64,
+                            n_planes: int | None = 8, dim: int = 64,
                             n_tables: int = 4,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            target_candidates: int = 50_000_000,
+                            n_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup: MULTI-TABLE sign-LSH (L independent
     plane blocks; a pair is a candidate if it collides in ANY table)
     -> exact cosine refine -> pairs above threshold.
@@ -224,7 +242,25 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
     for a true near-dup at angle theta — L tables push overall recall
     to 1-(1-p)^L while keeping each self-join 2^n_planes-bucketed
     (e.g. L=4, n_planes=8: ~64x fewer pairs than a 16-bucket join and
-    ~0.90 recall at cos 0.95)."""
+    ~0.90 recall at cos 0.95).
+
+    ``n_planes=None`` sizes the plane count FROM THE DATA: the table
+    is counted (or ``n_rows`` passed to skip the scan) and n_planes
+    solves L*C(n,2)/2^planes <= ``target_candidates`` — a fixed
+    default at 10^9 vectors would otherwise hand the self-join ~10^16
+    candidate pairs. The chosen sizing and expected candidate count
+    are logged."""
+    if n_planes is None:
+        n = int(n_rows) if n_rows is not None else emb.count()
+        n_planes = neardup_plane_count(n, n_tables, target_candidates)
+        expected = n_tables * n * max(n - 1, 0) / 2.0 / (2 ** n_planes)
+        import logging
+
+        logging.getLogger("geospark.embeddings").info(
+            "embedding_neardup_pairs: n=%d tables=%d -> n_planes=%d "
+            "(expected unrelated candidates ~%.0f, target %d)",
+            n, n_tables, n_planes, expected, target_candidates,
+        )
     sides = []
     for t in range(n_tables):
         b = lsh_bucket(emb, n_planes, dim, vec_col, table=t).select(

@@ -635,7 +635,10 @@ def knn_join_df(points: DataFrame, centers: DataFrame, k: int,
         F.col(q_id).alias("query_id"),
         F.col(q_lat).alias("c_lat"),
         F.col(q_lng).alias("c_lng"),
-    ).localCheckpoint(eager=True)
+    )
+    from geospark.spool import spool
+
+    remaining = spool(remaining, "knn_centers")
     dk_parts: list[DataFrame] = []
     z = start_zoom
     def _neigh_udf(_z: int):
@@ -665,13 +668,14 @@ def knn_join_df(points: DataFrame, centers: DataFrame, k: int,
             .filter(F.col("_rn") <= k)
             .groupBy("query_id")
             .agg(F.count("*").alias("_n"), F.max("dist_m").alias("_dk"))
-        ).localCheckpoint(eager=True)
+        )
+        summary = spool(summary, "knn_summary")
         sat = summary.filter(F.col("_n") >= k).select(
             "query_id", (F.col("_dk") * (1.0 + 1e-9) + eps).alias("knn_radius")
         )
-        dk_parts.append(sat.localCheckpoint(eager=True))
-        remaining = remaining.join(sat, "query_id", "left_anti").localCheckpoint(
-            eager=True
+        dk_parts.append(spool(sat, "knn_sat"))
+        remaining = spool(
+            remaining.join(sat, "query_id", "left_anti"), "knn_remaining"
         )
         if remaining.limit(1).count() == 0:
             break

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from geospark.spool import spool
+
 # ---------------------------------------------------------------------------
 # engine-neutral hashing
 # ---------------------------------------------------------------------------
@@ -205,7 +207,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3,
     both size joins) — materialize it once instead of re-exploding the
     corpus per consumer (at warehouse scale: a persisted signatures /
     shingles table)."""
-    sh = shingles(docs, n, text_col, id_col).localCheckpoint(eager=True)
+    sh = spool(shingles(docs, n, text_col, id_col), "shingles")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -294,7 +296,7 @@ def minhash_neardup_pairs(docs: DataFrame, threshold: float, k: int = 16,
     spatial joins: cheap bucket equi-join, exact verify only on
     candidates). The shingle set is materialized once — it feeds the
     signatures AND the exact-Jaccard refine (sizes + intersection)."""
-    sh = shingles(docs, n, text_col, id_col).localCheckpoint(eager=True)
+    sh = spool(shingles(docs, n, text_col, id_col), "shingles")
     cand = lsh_candidates(
         minhash_signatures_from_shingles(sh, k, hash_fn), k, bands
     )
@@ -357,19 +359,49 @@ def simhash(docs: DataFrame, text_col: str = "text",
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_bands(n_bands: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """Split ``bits`` into ``n_bands`` contiguous (offset, width) chunks,
+    widths as equal as possible (the narrowest band bounds the bucket
+    selectivity, so equal widths maximize it)."""
+    base, extra = divmod(bits, n_bands)
+    out, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
                   text_col: str = "text", id_col: str = "doc_id",
-                  hash_fn: str = "md5") -> DataFrame:
-    """Pairs with hamming(simhash) <= max_hamming via 4x16-bit banding
-    (pigeonhole guarantees recall for max_hamming <= 3; larger radii
-    keep the same plan as a high-recall heuristic) + bit_count verify."""
+                  hash_fn: str = "md5", n_bands: int | None = None) -> DataFrame:
+    """All pairs with hamming(simhash) <= max_hamming — banded bucket
+    join + exact bit_count verify, with GUARANTEED recall: the
+    signature is split into ``n_bands`` contiguous chunks (default
+    ``max_hamming + 1``), and by pigeonhole any pair differing in at
+    most ``n_bands - 1`` bits agrees on at least one full band, so
+    every qualifying pair surfaces as a candidate. Precision is exact
+    (candidates are verified with bit_count on the full signature).
+
+    Scale note: recall-complete banding at radius r needs r+1 bands of
+    ~60/(r+1) bits, so buckets coarsen as the radius grows —
+    candidates ~ n_bands * sum(bucket^2). For billion-doc corpora at
+    large radii the next step is multi-index probing (enumerate
+    <=floor(r/m)-bit flips inside wider bands), which keeps buckets
+    fine at the same recall guarantee; at warehouse scale the banded
+    join below is the same plan with a larger exploded build side."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands > SIMHASH_BITS:
+        raise ValueError(f"n_bands {n_bands} > signature bits {SIMHASH_BITS}")
     sig = simhash(docs, text_col, id_col, hash_fn)
     chunks = F.array(*[
         F.struct(
             F.lit(c).alias("band"),
-            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+            F.shiftright(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << w) - 1)).alias("val"),
         )
-        for c in range(4)
+        for c, (off, w) in enumerate(simhash_bands(n_bands))
     ])
     buckets = sig.select("doc_id", "simhash", F.explode(chunks).alias("bs")).select(
         "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.val").alias("val")

@@ -188,3 +188,33 @@ def test_ivf_full_probe_equals_exact(spark):
         for r in E.cosine_topk(df, [0], k=40).collect()
     }
     assert got <= allowed  # every reported hit carries its exact score
+
+def test_neardup_plane_count_sizing():
+    """Auto-sizing solves L*n^2/2^(p+1) <= target and clamps."""
+    from geospark.embeddings import neardup_plane_count
+
+    # 5M vectors, 4 tables, 50M candidate budget -> ~19 planes
+    p = neardup_plane_count(5_000_000, 4, 50_000_000)
+    assert 4 * 5e6 * (5e6 - 1) / 2 / 2 ** p <= 50_000_000
+    assert 4 * 5e6 * (5e6 - 1) / 2 / 2 ** (p - 1) > 50_000_000 or p in (6, 30)
+    # 10^9 vectors hits the clamp (more tables is the lever past 30)
+    assert neardup_plane_count(1_000_000_000, 4, 50_000_000) == 30
+    # tiny inputs floor at 6 (buckets must still select)
+    assert neardup_plane_count(100, 4, 50_000_000) == 6
+    assert neardup_plane_count(1, 4, 1) == 6
+
+
+def test_embedding_neardup_auto_sizing_runs(spark):
+    """n_planes=None derives the plane count from n; precision stays
+    exact (refine), every reported pair is above threshold."""
+    from geospark.embeddings import embedding_neardup_pairs
+
+    df, rows = _emb_df(spark)
+    out = embedding_neardup_pairs(
+        df, threshold=0.2, n_planes=None, dim=DIM, n_tables=4,
+        target_candidates=1000, n_rows=len(rows),
+    ).collect()
+    assert out, "expected some near-dup pairs at threshold 0.2"
+    for r in out:
+        assert r["cos_sim"] >= 0.2
+        assert r["vec_id_a"] < r["vec_id_b"]

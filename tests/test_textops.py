@@ -131,3 +131,55 @@ def test_xxhash64_fast_path_semantics(spark):
            for r in T.fingerprint(docs, hash_fn="xxhash64").collect()}
     assert fps[0] == fps[1]  # identical docs, identical fingerprints
     assert len(set(fps.values())) > 1
+
+def test_simhash_pairs_full_recall_at_radius(spark):
+    """Recall GUARANTEE: banding into max_hamming+1 chunks must surface
+    every pair within the radius (pigeonhole), not just pairs agreeing
+    on a coarse band. Oracle = exact all-pairs hamming over the same
+    signatures."""
+    import random
+
+    rng = random.Random(17)
+    words = [f"w{i:03d}" for i in range(60)]
+    docs = []
+    base = rng.sample(words, 25)
+    for d in range(30):
+        toks = list(base)
+        # mutate 0..6 tokens -> a spread of hamming distances incl. 4..8
+        for _ in range(rng.randint(0, 6)):
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+        rng.shuffle(toks)
+        docs.append((d, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = T.simhash(df)
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in sig.alias("a").crossJoin(sig.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+        .collect()
+    }
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in T.simhash_pairs(df, max_hamming=8).collect()
+    }
+    assert got == exact
+    # the fixture must actually exercise the radius-4..8 regime the old
+    # 4x16 banding could drop
+    assert any(4 <= h <= 8 for h in exact.values()), sorted(exact.values())
+
+
+def test_simhash_bands_cover_signature(spark):
+    bands = T.simhash_bands(9)
+    assert sum(w for _, w in bands) == T.SIMHASH_BITS
+    assert len(bands) == 9
+    offs = [o for o, _ in bands]
+    assert offs == sorted(offs) and offs[0] == 0
+    assert max(w for _, w in bands) - min(w for _, w in bands) <= 1
