@@ -100,6 +100,52 @@ class Area:
             self.inners = [[] for _ in self.outers]
         self.inners = [[np.asarray(r, np.float64) for r in hs] for hs in self.inners]
 
+    def densified_great_circle(self, max_seg_deg: float = 0.25) -> "Area":
+        """SPHERICAL edge semantics via densification: the reference's
+        within() (src/polygon.cc:38-41, boost::geometry spherical)
+        treats ring edges as great circles, while this engine's refine
+        is planar in lat/lng — the two disagree for long edges at high
+        latitude (a 90°-of-longitude edge at lat 60 bulges poleward to
+        ~67.8° at its midpoint). Slerping extra vertices along each
+        edge until every segment subtends <= ``max_seg_deg`` makes the
+        planar ray-cast converge to the spherical verdict (error
+        O(max_seg_deg²·tan(lat)) degrees of latitude) while keeping the
+        refine pure-planar/codegen. Driver-side, layer-build-time cost
+        only."""
+        def dens(ring: np.ndarray) -> np.ndarray:
+            la = np.radians(ring[:, 0])
+            ln = np.radians(ring[:, 1])
+            v = np.stack([
+                np.cos(la) * np.cos(ln), np.cos(la) * np.sin(ln), np.sin(la)
+            ], axis=1)
+            out = []
+            n = len(ring)
+            for i in range(n):
+                a, b = v[i], v[(i + 1) % n]
+                dot = float(np.clip(np.dot(a, b), -1.0, 1.0))
+                ang = np.degrees(np.arccos(dot))
+                steps = max(1, int(np.ceil(ang / max_seg_deg)))
+                ts = np.arange(steps) / steps
+                if ang < 1e-12:
+                    seg = np.repeat(a[None, :], steps, axis=0)
+                else:
+                    w = np.radians(ang)
+                    seg = (
+                        np.sin((1 - ts)[:, None] * w) * a[None, :]
+                        + np.sin(ts[:, None] * w) * b[None, :]
+                    ) / np.sin(w)
+                out.append(seg)
+            p = np.vstack(out)
+            lat = np.degrees(np.arcsin(np.clip(p[:, 2], -1.0, 1.0)))
+            lng = np.degrees(np.arctan2(p[:, 1], p[:, 0]))
+            return np.stack([lat, lng], axis=1)
+
+        return Area(
+            self.area_id,
+            [dens(r) for r in self.outers],
+            [[dens(h) for h in hs] for hs in self.inners],
+        )
+
     def bbox(self) -> tuple[float, float, float, float]:
         allpts = np.vstack(self.outers)
         return (
@@ -180,6 +226,20 @@ class PolygonLayer:
         return spark.createDataFrame(self.cover(), "cell_cov long, area_id long")
 
 
+def _balanced_reduce(terms: list[Column], op) -> Column:
+    """Pairwise (balanced) reduction: a left-deep chain of N boolean
+    ops builds an O(N)-deep Column tree that overflows Catalyst's
+    recursive converters around ~500 terms (measured StackOverflowError
+    on a densified ring); balancing makes the depth O(log N) with the
+    identical value (XOR/AND/OR are associative)."""
+    while len(terms) > 1:
+        terms = [
+            op(terms[i], terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
 def _ring_contains_expr(ring: np.ndarray, lat: Column, lng: Column) -> Column:
     """Even-odd ray-cast parity for a FIXED ring as a pure Column
     expression (identical arithmetic to _ring_contains): the polygon
@@ -187,7 +247,7 @@ def _ring_contains_expr(ring: np.ndarray, lat: Column, lng: Column) -> Column:
     Python. Horizontal edges skipped exactly as the numpy twin does."""
     ys, xs = ring[:, 0], ring[:, 1]
     n = len(ring)
-    parity: Column | None = None
+    terms: list[Column] = []
     for i in range(n):
         y1, x1 = float(ys[i]), float(xs[i])
         y2, x2 = float(ys[(i + 1) % n]), float(xs[(i + 1) % n])
@@ -195,20 +255,23 @@ def _ring_contains_expr(ring: np.ndarray, lat: Column, lng: Column) -> Column:
             continue
         crosses = (F.lit(y1) > lat) != (F.lit(y2) > lat)
         xint = (F.lit(x2 - x1)) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
-        term = crosses & (lng < xint)
-        parity = term if parity is None else (parity != term)
-    return F.lit(False) if parity is None else parity
+        terms.append(crosses & (lng < xint))
+    if not terms:
+        return F.lit(False)
+    return _balanced_reduce(terms, lambda a, b: a != b)
 
 
 def area_contains_expr(area: Area, lat: Column, lng: Column) -> Column:
     """Q15 as a Column expression: OR over (outer AND NOT holes)."""
-    result: Column | None = None
+    parts: list[Column] = []
     for outer, holes in zip(area.outers, area.inners):
         e = _ring_contains_expr(outer, lat, lng)
         for h in holes:
             e = e & ~_ring_contains_expr(h, lat, lng)
-        result = e if result is None else (result | e)
-    return F.lit(False) if result is None else result
+        parts.append(e)
+    if not parts:
+        return F.lit(False)
+    return _balanced_reduce(parts, lambda a, b: a | b)
 
 
 def pip_join(points: DataFrame, layer: PolygonLayer,
@@ -247,13 +310,13 @@ def pip_join(points: DataFrame, layer: PolygonLayer,
     ) + sum(len(r) for a in areas.values() for hs in a.inners for r in hs)
 
     if total_edges <= max_expr_edges:
-        pred: Column | None = None
-        for aid, area in areas.items():
-            e = (F.col("area_id") == aid) & area_contains_expr(
+        preds = [
+            (F.col("area_id") == aid) & area_contains_expr(
                 area, F.col(lat), F.col(lng)
             )
-            pred = e if pred is None else (pred | e)
-        return cand.filter(pred)
+            for aid, area in areas.items()
+        ]
+        return cand.filter(_balanced_reduce(preds, lambda a, b: a | b))
 
     @pandas_udf("boolean")
     def _is_within(lat_s: pd.Series, lng_s: pd.Series, aid_s: pd.Series) -> pd.Series:

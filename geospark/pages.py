@@ -140,6 +140,70 @@ def synth_pages(spark: SparkSession, n_pages: int, partitions: int | None = None
     return rng.mapInArrow(gen, PAGES_SCHEMA)
 
 
+def synth_documents_batch(ids: np.ndarray, n_docs: int, n_tokens: int = 40,
+                          vocab: int = 50_000,
+                          dup_frac: float = 0.15) -> pa.RecordBatch:
+    """Pure function doc-id array -> (doc_id, text) batch with
+    CONTROLLED duplicate structure for dedup benchmarks:
+
+    - the first ``n_docs//20`` ids are canonical source docs;
+    - each other id is, with probability ``dup_frac``, a mutation of a
+      random source (0..3 token substitutions: 0 = exact duplicate,
+      1-3 = near-duplicate at known token distance);
+    - everything else is an independent random token sequence.
+
+    Token sequences are splitmix64-driven — stable under any
+    partitioning, so candidate/recall numbers are reproducible."""
+    ids = ids.astype(np.uint64)
+    n = ids.size
+    n_src = max(n_docs // 20, 1)
+    u_dup = _u01(_splitmix64(ids * np.uint64(13) + np.uint64(5)))
+    src = _splitmix64(ids * np.uint64(13) + np.uint64(6)) % np.uint64(n_src)
+    is_dup = (u_dup < dup_frac) & (ids >= np.uint64(n_src))
+    base = np.where(is_dup, src, ids).astype(np.uint64)
+    n_mut = np.where(
+        is_dup,
+        (_splitmix64(ids * np.uint64(13) + np.uint64(7)) % np.uint64(4)).astype(np.int64),
+        0,
+    )
+
+    toks = np.empty((n, n_tokens), dtype=np.uint64)
+    for j in range(n_tokens):
+        toks[:, j] = _splitmix64(
+            base * np.uint64(1009) + np.uint64(j)
+        ) % np.uint64(vocab)
+    max_mut = 3
+    for k in range(max_mut):
+        pos = (_splitmix64(ids * np.uint64(31) + np.uint64(200 + k))
+               % np.uint64(n_tokens)).astype(np.int64)
+        sub = _splitmix64(ids * np.uint64(31) + np.uint64(300 + k)) % np.uint64(vocab)
+        m = n_mut > k
+        toks[m, pos[m]] = sub[m]
+
+    texts = [" ".join(f"t{int(t):05d}" for t in row) for row in toks]
+    return pa.record_batch(
+        [pa.array(ids.astype(np.int64), pa.int64()), pa.array(texts, pa.string())],
+        names=["doc_id", "text"],
+    )
+
+
+def synth_documents(spark: SparkSession, n_docs: int, n_tokens: int = 40,
+                    vocab: int = 50_000, dup_frac: float = 0.15,
+                    partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic documents table for dedup stress —
+    same embarrassingly-parallel shape as :func:`synth_pages`."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            yield synth_documents_batch(
+                b.column(0).to_numpy(), n_docs, n_tokens, vocab, dup_frac
+            )
+
+    rng = (spark.range(0, n_docs, numPartitions=partitions)
+           if partitions else spark.range(n_docs))
+    return rng.mapInArrow(gen, "doc_id long, text string")
+
+
 def extract_text_from_html(html: bytes) -> bytes:
     """The 'reference extractor': deterministic text from html bytes.
 

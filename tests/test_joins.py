@@ -288,3 +288,62 @@ def test_radius_join_antimeridian(spark):
         assert got_list.get(qid, set()) == expect, qid
         assert got_df.get(qid, set()) == expect, qid
         assert len(expect) > 5
+
+def test_pip_planar_vs_spherical_divergence(spark):
+    """Documents the ONE semantic gap vs the reference: within() there
+    (src/polygon.cc:38-41) is boost::geometry SPHERICAL winding (edges
+    are great circles); this engine's refine is PLANAR in lat/lng. For
+    the quad (60,0)-(60,90)-(50,90)-(50,0) BOTH 90°-of-longitude edges
+    bulge poleward at lng 45 — the top one to ~67.8°, the bottom one to
+    ~59.3° — so the spherical polygon is a lens lying strictly ABOVE
+    parts of the planar one. Divergence in both directions:
+      - (65, 45): planar OUTSIDE, spherical INSIDE
+      - (55, 45): planar INSIDE,  spherical OUTSIDE
+    Area.densified_great_circle() opts into spherical (reference)
+    parity while keeping the planar/codegen refine."""
+    import math
+
+    outer = [(60.0, 0.0), (60.0, 90.0), (50.0, 90.0), (50.0, 0.0)]
+    area = Area(1, [outer])
+
+    # great-circle latitude of the (60,0)->(60,90) edge at lng 45:
+    # tan(lat) = (tan(l1) sin(g2-g) + tan(l2) sin(g-g1)) / sin(g2-g1)
+    t = math.degrees(math.atan(
+        (math.tan(math.radians(60.0)) * math.sin(math.radians(45.0))
+         + math.tan(math.radians(60.0)) * math.sin(math.radians(45.0)))
+        / math.sin(math.radians(90.0))
+    ))
+    assert t > 67.5  # the spherical top edge really does pass above 65N
+
+    lat = np.array([65.0, 63.0, 55.0])
+    lng = np.array([45.0, 45.0, 45.0])
+    planar = area_contains(area, lat, lng)
+    assert planar.tolist() == [False, False, True]  # shipped semantics
+
+    sph = area.densified_great_circle(0.25)
+    spherical = area_contains(sph, lat, lng)
+    assert spherical.tolist() == [True, True, False]  # reference semantics
+
+    # the full pip_join honors whichever layer was built
+    pts = spark.createDataFrame(
+        [(0, 65.0, 45.0), (1, 63.0, 45.0), (2, 55.0, 45.0)],
+        "point_id long, lat double, lng double",
+    )
+    got_planar = {r["point_id"] for r in pip_join(
+        pts, PolygonLayer([area], cover_zoom=4)).collect()}
+    got_sph = {r["point_id"] for r in pip_join(
+        pts, PolygonLayer([sph], cover_zoom=4)).collect()}
+    assert got_planar == {2}
+    assert got_sph == {0, 1}
+
+
+def test_densified_ring_preserves_planar_regions(spark):
+    """Densifying a small low-latitude polygon is a no-op semantically:
+    verdicts for interior/exterior points are unchanged."""
+    outer = [(10.0, 10.0), (10.0, 11.0), (9.0, 11.0), (9.0, 10.0)]
+    area = Area(3, [outer])
+    d = area.densified_great_circle(0.1)
+    lat = np.array([9.5, 8.5, 9.5])
+    lng = np.array([10.5, 10.5, 12.0])
+    assert area_contains(area, lat, lng).tolist() == [True, False, False]
+    assert area_contains(d, lat, lng).tolist() == [True, False, False]
