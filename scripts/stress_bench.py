@@ -89,8 +89,21 @@ def main() -> None:
 
     from geospark.cluster import cluster_nearby
 
-    run("cluster_10m", lambda: cluster_nearby(points, 10.0)
-        .groupBy("cluster_id").count().count())
+    def _cluster():
+        # one aggregation pass validates output INTEGRITY at scale —
+        # every point labeled exactly once (duplicate point_id rows
+        # were the visible symptom of the zoom>16 region bug) — and
+        # returns the cluster count
+        r = cluster_nearby(points, 10.0).agg(
+            F.count("*").alias("rows"),
+            F.count_distinct("point_id").alias("pids"),
+            F.count_distinct("cluster_id").alias("clusters"),
+        ).collect()[0]
+        assert r["rows"] == n_points, (r["rows"], n_points)
+        assert r["pids"] == n_points, (r["pids"], n_points)
+        return r["clusters"]
+
+    run("cluster_10m", _cluster)
 
     out = {"n_pages": n_pages, "n_points": n_points, "ops": results,
            "cpus": 32, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
