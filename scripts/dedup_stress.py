@@ -32,7 +32,12 @@ def main() -> None:
 
     spark = get_spark(
         "dedup-stress", master="local[32]", shuffle_partitions=64,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # the spooled shingle relation is ~40x the corpus rows;
+            # cache blocks + Arrow batches need real heap at 5M docs
+            "spark.driver.memory": "48g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
