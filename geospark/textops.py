@@ -295,27 +295,35 @@ def minhash_neardup_pairs(docs: DataFrame, threshold: float, k: int = 16,
     """LSH candidates -> exact-Jaccard refine (filter-refine, like the
     spatial joins: cheap bucket equi-join, exact verify only on
     candidates). The shingle set is materialized once — it feeds the
-    signatures AND the exact-Jaccard refine (sizes + intersection)."""
+    signatures AND the exact-Jaccard refine.
+
+    Refine plan: per-doc shingle ARRAYS (one groupBy of the shingle
+    relation -> n_docs rows), candidates join that table twice on
+    doc_id, and the exact set intersection runs JVM-side via
+    ``array_intersect``. Measured at 5M docs/1.2M candidates: the
+    previous row-level refine (two joins against the 190M-row shingle
+    relation on string keys) was ~425s; the array refine joins 5M-row
+    tables instead. Arrays are bounded by document length — for
+    giant-document corpora cap with a length guard upstream."""
     sh = spool(shingles(docs, n, text_col, id_col), "shingles")
     cand = lsh_candidates(
         minhash_signatures_from_shingles(sh, k, hash_fn), k, bands
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cand.join(sh.alias("a"), cand["doc_id_a"] == F.col("a.doc_id"))
-        .join(
-            sh.alias("b"),
-            (cand["doc_id_b"] == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("n_inter"))
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("_sh"), F.count("*").alias("n_sh")
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_id_a")
-                   .withColumnRenamed("n_sh", "n_a"), "doc_id_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_id_b")
-              .withColumnRenamed("n_sh", "n_b"), "doc_id_b")
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_id_a"),
+                        F.col("_sh").alias("_sa"), F.col("n_sh").alias("n_a")),
+            "doc_id_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_id_b"),
+                        F.col("_sh").alias("_sb"), F.col("n_sh").alias("n_b")),
+            "doc_id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
