@@ -690,6 +690,55 @@ def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pages_spool(spark: SparkSession, n_pages: int, partitions: int) -> str:
+    """Cached deterministic pages parquet for the contract queries.
+    The cache key includes a content hash of the generator source: if
+    synth_pages changes, the key changes and the spool regenerates
+    (a stale spool vs a fresh golden oracle is a confusing red).
+    Writes land in a private dir renamed atomically — concurrent runs
+    never observe a half-written spool."""
+    import hashlib
+    import inspect
+    import uuid
+
+    from geospark import pages as _pages_mod
+    from geospark.pages import synth_pages
+
+    gen_ver = hashlib.md5(
+        inspect.getsource(_pages_mod).encode()
+    ).hexdigest()[:10]
+    spool = f"/tmp/geospark_stream_spool_{n_pages}_{partitions}_{gen_ver}"
+    if not os.path.exists(f"{spool}/_SUCCESS"):
+        stage_dir = f"{spool}.stage-{uuid.uuid4().hex[:8]}"
+        synth_pages(spark, n_pages, partitions=partitions).write.mode(
+            "overwrite"
+        ).parquet(stage_dir)
+        try:
+            os.rename(stage_dir, spool)
+        except OSError:
+            if not os.path.exists(f"{spool}/_SUCCESS"):
+                raise  # lost a race AND the winner's spool is absent
+            import shutil
+
+            shutil.rmtree(stage_dir, ignore_errors=True)
+    return spool
+
+
+def _q_pages_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-pipeline query: canonical host (lowercased authority from
+    the url) -> page count + distinct langs over the deterministic
+    2000-page spool. Golden-VALUES oracle from the independent twin
+    goldens.page_host_stats. At warehouse scale this is the classic
+    per-host crawl-health aggregation: one shuffle on host, map-side
+    partial aggregation."""
+    pages = spark.read.parquet(_pages_spool(spark, 2000, 2))
+    host = F.lower(F.regexp_extract("url", "^https?://([^/]+)", 1))
+    return pages.groupBy(host.alias("host")).agg(
+        F.count("*").alias("n_pages"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
 def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Structured Streaming ingest — synthetic pages spool
     -> watermarked windowed tile aggregation (availableNow trigger) —
@@ -711,34 +760,7 @@ def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per trigger = one micro-batch, so the contract query pays trigger
     # latency once; multi-batch watermark semantics are covered by
     # tests/test_runtime.py
-    # cache key includes a content hash of the generator source: if
-    # synth_pages changes, the key changes and the spool regenerates
-    # (a stale spool vs a fresh golden oracle is a confusing red).
-    import hashlib
-    import inspect
-    import uuid
-
-    from geospark import pages as _pages_mod
-
-    gen_ver = hashlib.md5(
-        inspect.getsource(_pages_mod).encode()
-    ).hexdigest()[:10]
-    spool = f"/tmp/geospark_stream_spool_2000_2_{gen_ver}"
-    if not os.path.exists(f"{spool}/_SUCCESS"):
-        # write to a private dir, then rename atomically — concurrent
-        # runs never observe a half-written spool
-        stage_dir = f"{spool}.stage-{uuid.uuid4().hex[:8]}"
-        synth_pages(spark, 2000, partitions=2).write.mode(
-            "overwrite"
-        ).parquet(stage_dir)
-        try:
-            os.rename(stage_dir, spool)
-        except OSError:
-            if not os.path.exists(f"{spool}/_SUCCESS"):
-                raise  # lost a race AND the winner's spool is absent
-            import shutil
-
-            shutil.rmtree(stage_dir, ignore_errors=True)
+    spool = _pages_spool(spark, 2000, 2)
     stream = read_pages_stream(spark, spool, max_files_per_trigger=2)
     agg = streaming_tile_counts(stream, zoom=6, window="60 minutes")
     # the stateful agg creates one state-store instance PER shuffle
@@ -760,6 +782,7 @@ def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "streaming_tiles": _q_streaming_tiles,
+        "pages_host_stats": _q_pages_host_stats,
         "approx_distance": _q_approx_distance,
         "xyz_chord": _q_xyz_chord,
         "fixed_codec": _q_fixed_codec,
@@ -1029,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
     st_rows = [
         (int(tx), int(ty), int(c)) for tx, ty, c in GO.stream_tile_counts(2000, 6)
     ]
+    ph_rows = [(h, int(c), int(nl)) for h, c, nl in GO.page_host_stats(2000)]
 
     qlat_r, qlng_r = repr(G.DEMO_CENTERS[0][1]), repr(G.DEMO_CENTERS[0][2])
     mensa_scale = G.approx_lng_scale_sql(qlat_r, qlng_r)
@@ -1404,6 +1428,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_tiles": _values_sql(
             st_rows,
             [("tile_x", "BIGINT"), ("tile_y", "BIGINT"), ("n_points", "BIGINT")],
+        ),
+        "pages_host_stats": _values_sql(
+            ph_rows,
+            [("host", "VARCHAR"), ("n_pages", "BIGINT"), ("n_langs", "BIGINT")],
         ),
         "polyline_length": f"""
             WITH pts AS ({pts}),

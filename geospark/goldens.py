@@ -434,3 +434,27 @@ def stream_tile_counts(n_pages: int, zoom: int) -> list[tuple[int, int, int]]:
             tx, ty = tile_of(float(m.group(1)), float(m.group(2)), zoom)
             counts[(tx, ty)] = counts.get((tx, ty), 0) + 1
     return sorted((tx, ty, c) for (tx, ty), c in counts.items())
+
+
+_HOST = re.compile(r"^https?://([^/]+)")
+
+
+def page_host_stats(n_pages: int) -> list[tuple[str, int, int]]:
+    """Independent twin of the pages_host_stats driver query: per
+    canonical (lowercased) host, page count + distinct langs. Input
+    rows come from the shared deterministic generator (same pattern as
+    stream_tile_counts); the url parse + aggregation are re-derived
+    here in plain Python."""
+    from geospark.pages import synth_pages_batch
+
+    batch = synth_pages_batch(np.arange(n_pages, dtype=np.int64))
+    urls = batch.column("url").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    counts: dict[str, int] = {}
+    lang_sets: dict[str, set] = {}
+    for u, lg in zip(urls, langs):
+        m = _HOST.match(u)
+        host = m.group(1).lower()
+        counts[host] = counts.get(host, 0) + 1
+        lang_sets.setdefault(host, set()).add(lg)
+    return sorted((h, c, len(lang_sets[h])) for h, c in counts.items())
