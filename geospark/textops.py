@@ -342,17 +342,18 @@ SIMHASH_BITS = 60  # md5_60 hash width; bits 60-63 of the signature are 0
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", hash_fn: str = "md5") -> DataFrame:
     """(doc_id, simhash): 60-bit simhash over whitespace tokens with
-    term-frequency weights. One scan + one shuffle: the 60 bit-sums are
-    60 aggregate expressions in a single groupBy."""
-    tok = tokens(docs, text_col, id_col).groupBy("doc_id", "token").agg(
-        F.count("*").alias("w")
-    )
+    term-frequency weights. One scan + ONE shuffle: bit-sums are
+    linear, so summing ±1 per token OCCURRENCE is exactly the
+    TF-weighted sum over distinct tokens — no (doc_id, token)
+    pre-aggregation shuffle needed (that extra 195M-row shuffle was
+    ~40% of simhash wall at 5M docs). The 60 bit-sums are 60
+    partial-aggregatable expressions in a single groupBy."""
+    tok = tokens(docs, text_col, id_col)
     tok = tok.withColumn("_h", F.expr(hash60_sql("token", hash_fn)))
     sums = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1,
-                   F.col("w"))
-            .otherwise(-F.col("w"))
+                   F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"s_{j}")
         for j in range(SIMHASH_BITS)
     ]

@@ -29,7 +29,12 @@ def main() -> None:
 
     spark = get_spark(
         "stress-bench", master="local[32]", shuffle_partitions=64,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # 60M-point runs: edge spools + shuffle buffers need real
+            # heap (the 8g default OOMed cluster_10m at 40M pages)
+            "spark.driver.memory": "48g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
