@@ -465,44 +465,62 @@ def cluster_nearby(points: DataFrame, max_dist_m: float,
     )
     big = member.filter(F.col("_n") >= 3).drop("_n")
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        # expects pid-sorted rows (refine_bucket pre-sorts the bucket)
-        n = len(pdf)
-        if n > max_refine_size:
-            # the reference's complete-linkage is O(n²·rounds) —
-            # intractable for percolated giant components; keep the
-            # single-linkage label (documented deviation, only
-            # reachable when max_dist percolates).
-            return pd.DataFrame({
-                "pid": pdf["pid"],
-                "cluster_id": np.full(n, int(pdf["pid"].min()), dtype=np.int64),
-            })
-        cl = NK.make_complete_linkage_clusters(
-            pdf["plat"].to_numpy(np.float32), pdf["plng"].to_numpy(np.float32),
-            max_dist_m,
-        )
-        # canonicalize: min pid per refined cluster
-        pid = pdf["pid"].to_numpy(np.int64)
-        out = np.empty(n, dtype=np.int64)
-        for c in np.unique(cl):
-            m = cl == c
-            out[m] = pid[m].min()
-        return pd.DataFrame({"pid": pid, "cluster_id": out})
-
-    # batch SL components per Python call (hash-bucketed labels): the
-    # per-group Arrow overhead on thousands of 3-4 member components is
-    # 10-50x the refinement itself; a pandas groupby inside the bucket
-    # costs ~0.1 ms per component instead.
+    # batch SL components per Python call (hash-bucketed labels), and
+    # work on RAW numpy segments: a pandas groupby + DataFrame per
+    # component costs ~0.3-1 ms — at 60M points the refine stage holds
+    # millions of 3-point components and that overhead alone was ~370s
+    # of a 566s run. Segments come from one sort + boundary scan;
+    # 3-point components (the dominant class) skip per-component
+    # python entirely via the closed-form table below.
     def refine_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one sort for the whole bucket beats a sort per 3-row group
-        pdf = pdf.sort_values(["label", "pid"]).reset_index(drop=True)
-        outs = [refine(g) for _, g in pdf.groupby("label", sort=False)]
-        if not outs:
-            return pd.DataFrame({
-                "pid": pd.Series(dtype="int64"),
-                "cluster_id": pd.Series(dtype="int64"),
-            })
-        return pd.concat(outs, ignore_index=True)
+        pdf = pdf.sort_values(["label", "pid"])
+        lab = pdf["label"].to_numpy(np.int64)
+        pid = pdf["pid"].to_numpy(np.int64)
+        la = pdf["plat"].to_numpy(np.float32)
+        ln = pdf["plng"].to_numpy(np.float32)
+        n_rows = lab.size
+        out = np.empty(n_rows, np.int64)
+        if n_rows == 0:
+            return pd.DataFrame({"pid": pid, "cluster_id": out})
+        starts = np.flatnonzero(np.r_[True, lab[1:] != lab[:-1]])
+        ends = np.r_[starts[1:], n_rows]
+        sizes = ends - starts
+        # components of size 3..16 (the overwhelming majority) run
+        # BATCHED: padded (m, K, K) tensors, no per-component python.
+        # Components above max_refine_size keep SL labels (handled by
+        # the loop's shortcut), so they must NOT enter the batch.
+        K = 16
+        mb = sizes <= min(K, max_refine_size)
+        sb, szb = starts[mb], sizes[mb]
+        if sb.size:
+            idx = sb[:, None] + np.arange(K)[None, :]
+            idx = np.minimum(idx, (sb + szb - 1)[:, None])  # clamp padding
+            cl = NK.make_complete_linkage_clusters_batch(
+                la[idx], ln[idx], szb, max_dist_m
+            )
+            # canonical min-pid label: pids are sorted within the
+            # segment, so it's the pid at the FIRST position sharing
+            # the cluster index (argmax of the first True)
+            fp = (cl[:, None, :] == cl[:, :, None]).argmax(axis=2)
+            outb = pid[idx][np.arange(sb.size)[:, None], fp]
+            pos = np.arange(K)[None, :] < szb[:, None]
+            out[idx[pos]] = outb[pos]
+        for s, e in zip(starts[~mb], ends[~mb]):
+            n = int(e - s)
+            if n > max_refine_size:
+                # the reference's complete-linkage is O(n²·rounds) —
+                # intractable for percolated giant components; keep the
+                # single-linkage label (documented deviation, only
+                # reachable when max_dist percolates).
+                out[s:e] = pid[s:e].min()
+                continue
+            cl = NK.make_complete_linkage_clusters(la[s:e], ln[s:e], max_dist_m)
+            p = pid[s:e]
+            seg = out[s:e]
+            for c in np.unique(cl):
+                msk = cl == c
+                seg[msk] = p[msk].min()
+        return pd.DataFrame({"pid": pid, "cluster_id": out})
 
     # explicit repartition count: AQE otherwise coalesces this tiny
     # shuffle to ~3 tasks and serializes the Python work

@@ -166,3 +166,41 @@ def test_spool_table_backend_materializes(spark, tmp_path):
         assert any("t-" in d for d in os.listdir(tmp_path / "sp"))
     finally:
         spark.conf.set("spark.geospark.spool", "local")
+
+
+def test_batched_cl_matches_reference_kernel():
+    """The batched padded-tensor complete-linkage (sizes 3..16) must
+    reproduce the per-component kernel bit-for-bit, including with
+    poisoned padding (padding coords duplicating real points must not
+    merge)."""
+    rng = np.random.RandomState(41)
+    T = 1000.0
+    K = 16
+    comps = []
+    for _ in range(1500):
+        n = int(rng.randint(3, K + 1))
+        lat0 = rng.uniform(-80, 80)
+        lng0 = rng.uniform(-179, 179)
+        r = rng.uniform(0.1, 2.5, n) * T
+        th = rng.uniform(0, 2 * np.pi, n)
+        la = (lat0 + r * np.cos(th) / 111000.0).astype(np.float32)
+        ln = (lng0 + r * np.sin(th)
+              / (111200.0 * np.cos(np.radians(lat0)))).astype(np.float32)
+        comps.append((la, ln))
+    m = len(comps)
+    sizes = np.array([c[0].size for c in comps], np.int64)
+    laB = np.zeros((m, K), np.float32)
+    lnB = np.zeros((m, K), np.float32)
+    for i, (la, ln) in enumerate(comps):
+        laB[i, :la.size] = la
+        lnB[i, :la.size] = ln
+        laB[i, la.size:] = la[0]   # poison: duplicate of point 0
+        lnB[i, la.size:] = ln[0]
+    cl = NK.make_complete_linkage_clusters_batch(laB, lnB, sizes, T)
+    outcomes = set()
+    for i, (la, ln) in enumerate(comps):
+        want = NK.make_complete_linkage_clusters(la, ln, T)
+        got = cl[i, :la.size]
+        assert (got == want).all(), (i, got, want)
+        outcomes.add(len(np.unique(want)))
+    assert len(outcomes) >= 3, outcomes  # merged / split / singleton mixes

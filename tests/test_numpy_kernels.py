@@ -242,3 +242,40 @@ def test_cluster_small_groups_short_circuit():
     lngs = [20.0, 20.00001]
     out = nk.cluster_nearby(lats, lngs, 50.0)
     assert out[0] == out[1]
+
+
+def test_complete_linkage_three_way_parity():
+    """scalar port (reference-literal) == per-round vectorized ==
+    O(n²) incremental, across random components of size 2..40 at
+    several latitudes/scales (near-threshold ties included)."""
+    rng = np.random.RandomState(97)
+    for case in range(120):
+        n = int(rng.randint(2, 41))
+        lat0 = rng.uniform(-75, 75)
+        lng0 = rng.uniform(-179, 179)
+        scale = rng.choice([0.3, 1.0, 2.0])
+        T = 500.0
+        r = rng.uniform(0, 2.2, n) * scale * T
+        th = rng.uniform(0, 2 * np.pi, n)
+        la = (lat0 + r * np.cos(th) / 111000.0).astype(np.float32)
+        ln = (lng0 + r * np.sin(th)
+              / (111200.0 * np.cos(np.radians(lat0)))).astype(np.float32)
+        a = nk.make_complete_linkage_clusters_scalar(la, ln, T)
+        b = nk.make_complete_linkage_clusters_per_round(la, ln, T)
+        c = nk.make_complete_linkage_clusters(la, ln, T)
+        assert (a == b).all(), (case, n, a, b)
+        assert (b == c).all(), (case, n, b, c)
+
+
+def test_complete_linkage_incremental_matches_per_round_large():
+    """Big-component equality (scalar too slow at this size): a dense
+    300-point city-core blob plus chains — the size class where the
+    incremental version's speedup matters."""
+    rng = np.random.RandomState(13)
+    n = 300
+    la = (48.1 + rng.uniform(-0.004, 0.004, n)).astype(np.float32)
+    ln = (11.5 + rng.uniform(-0.006, 0.006, n)).astype(np.float32)
+    T = 120.0
+    b = nk.make_complete_linkage_clusters_per_round(la, ln, T)
+    c = nk.make_complete_linkage_clusters(la, ln, T)
+    assert (b == c).all()
