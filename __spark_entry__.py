@@ -739,6 +739,69 @@ def _q_pages_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+S2_CHECK_MOD = 97003
+S2_AGG_LEVEL, S2_AGG_PARENT = 3, 1
+S2_JOIN_LEVEL = 3
+
+
+def _q_s2_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cell index (functions/s2cell.py): leaf encode once in ONE
+    Arrow-batched pandas UDF pass, then every re-level is a pure
+    Column bit-op (JVM, codegen) — per level-3 cell: count, event-id
+    extrema, and a mod-sum checksum over the LEAF ids (so the oracle
+    verifies every 64-bit leaf id without embedding 10k rows).
+    Golden-VALUES oracle from the independent scalar twin
+    goldens.s2_cell_agg. At warehouse scale: one Arrow pass + one
+    shuffle on the coarse cell, partial-aggregatable."""
+    from geospark.functions import s2cell as S2
+
+    pts = G.events_points(spark, sf_dir)
+    df = pts.withColumn("leaf", S2.s2_cell_udf(30)("lat", "lng"))
+    return (
+        df.withColumn("cell_l3", S2.s2_parent_col("leaf", S2_AGG_LEVEL))
+        .withColumn("cell_l1", S2.s2_parent_col("leaf", S2_AGG_PARENT))
+        .groupBy("cell_l3", "cell_l1")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.pmod(F.sum(F.pmod("leaf", F.lit(S2_CHECK_MOD))),
+                   F.lit(S2_CHECK_MOD)).alias("leaf_check"),
+        )
+    )
+
+
+def _q_s2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 containment as a broadcast RANGE join: each demo center's
+    level-3 cell becomes ONE [range_min, range_max] leaf-id interval
+    (the S2 hierarchy property) — no cover explosion, no hash shuffle
+    on an exploded key. Per center: matched-event count, min event_id,
+    xor of the leaf ids' low 32 bits. Oracle: independent scalar twin
+    goldens.s2_range_join."""
+    import numpy as np
+
+    from geospark.functions import s2cell as S2
+
+    pts = G.events_points(spark, sf_dir)
+    df = pts.withColumn("leaf", S2.s2_cell_udf(30)("lat", "lng"))
+    rows = []
+    for cid, cla, cln in G.DEMO_CENTERS:
+        cell = S2.s2_cell_np(np.array([cla]), np.array([cln]), S2_JOIN_LEVEL)
+        lo, hi = S2.s2_range_np(cell)
+        rows.append((cid, int(S2.as_int64(lo)[0]), int(S2.as_int64(hi)[0])))
+    centers = spark.createDataFrame(rows, "center_id long, lo long, hi long")
+    joined = df.join(
+        F.broadcast(centers),
+        (F.col("leaf") >= F.col("lo")) & (F.col("leaf") <= F.col("hi")),
+    )
+    return joined.groupBy("center_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_event_id"),
+        F.bit_xor(F.col("leaf").bitwiseAND(F.lit(0xFFFFFFFF)))
+        .alias("leaf_xor_low32"),
+    )
+
+
 def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Structured Streaming ingest — synthetic pages spool
     -> watermarked windowed tile aggregation (availableNow trigger) —
@@ -783,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "streaming_tiles": _q_streaming_tiles,
         "pages_host_stats": _q_pages_host_stats,
+        "s2_cell_agg": _q_s2_cell_agg,
+        "s2_range_join": _q_s2_range_join,
         "approx_distance": _q_approx_distance,
         "xyz_chord": _q_xyz_chord,
         "fixed_codec": _q_fixed_codec,
@@ -1053,6 +1118,10 @@ def oracle_sql() -> dict[str, str]:
         (int(tx), int(ty), int(c)) for tx, ty, c in GO.stream_tile_counts(2000, 6)
     ]
     ph_rows = [(h, int(c), int(nl)) for h, c, nl in GO.page_host_stats(2000)]
+    s2a_rows = GO.s2_cell_agg(ev_lats, ev_lngs, ev_ids, S2_AGG_LEVEL,
+                              S2_AGG_PARENT, S2_CHECK_MOD)
+    s2r_rows = GO.s2_range_join(ev_lats, ev_lngs, ev_ids, G.DEMO_CENTERS,
+                                S2_JOIN_LEVEL)
 
     qlat_r, qlng_r = repr(G.DEMO_CENTERS[0][1]), repr(G.DEMO_CENTERS[0][2])
     mensa_scale = G.approx_lng_scale_sql(qlat_r, qlng_r)
@@ -1432,6 +1501,17 @@ def oracle_sql() -> dict[str, str]:
         "pages_host_stats": _values_sql(
             ph_rows,
             [("host", "VARCHAR"), ("n_pages", "BIGINT"), ("n_langs", "BIGINT")],
+        ),
+        "s2_cell_agg": _values_sql(
+            s2a_rows,
+            [("cell_l3", "BIGINT"), ("cell_l1", "BIGINT"),
+             ("n_events", "BIGINT"), ("min_event_id", "BIGINT"),
+             ("max_event_id", "BIGINT"), ("leaf_check", "BIGINT")],
+        ),
+        "s2_range_join": _values_sql(
+            s2r_rows,
+            [("center_id", "BIGINT"), ("n_events", "BIGINT"),
+             ("min_event_id", "BIGINT"), ("leaf_xor_low32", "BIGINT")],
         ),
         "polyline_length": f"""
             WITH pts AS ({pts}),

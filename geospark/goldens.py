@@ -458,3 +458,113 @@ def page_host_stats(n_pages: int) -> list[tuple[str, int, int]]:
         counts[host] = counts.get(host, 0) + 1
         lang_sets.setdefault(host, set()).add(lg)
     return sorted((h, c, len(lang_sets[h])) for h, c in counts.items())
+
+
+# ---------------------------------------------------------------------------
+# S2 cell-id scalar twin (published spec: s2geometry.io cell hierarchy;
+# cube face + quadratic u->s + Hilbert curve). Independently written
+# plain-Python counterpart of functions/s2cell.py's numpy kernels —
+# scalar control flow, per-quadrant descent, math module only.
+# ---------------------------------------------------------------------------
+_S2_POS_OF = {  # orientation -> (i_bit, j_bit) -> curve position
+    0: {(0, 0): 0, (0, 1): 1, (1, 1): 2, (1, 0): 3},
+    1: {(0, 0): 0, (1, 0): 1, (1, 1): 2, (0, 1): 3},
+    2: {(1, 1): 0, (1, 0): 1, (0, 0): 2, (0, 1): 3},
+    3: {(1, 1): 0, (0, 1): 1, (0, 0): 2, (1, 0): 3},
+}
+_S2_ORIENT_DELTA = (1, 0, 0, 3)  # swap=1, invert=2
+
+
+def _s2_st(u: float) -> float:
+    if u >= 0.0:
+        return 0.5 * math.sqrt(1.0 + 3.0 * u)
+    return 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * u)
+
+
+def s2_cell_id_scalar(lat: float, lng: float, level: int = 30) -> int:
+    """S2 cell id at ``level`` as a Python int (unsigned 64-bit)."""
+    phi, lam = math.radians(lat), math.radians(lng)
+    p = (math.cos(phi) * math.cos(lam), math.cos(phi) * math.sin(lam),
+         math.sin(phi))
+    axis = 0
+    if abs(p[1]) > abs(p[axis]):
+        axis = 1
+    if abs(p[2]) > abs(p[axis]):
+        axis = 2
+    face = axis if p[axis] >= 0 else axis + 3
+    if face == 0:
+        u, v = p[1] / p[0], p[2] / p[0]
+    elif face == 1:
+        u, v = -p[0] / p[1], p[2] / p[1]
+    elif face == 2:
+        u, v = -p[0] / p[2], -p[1] / p[2]
+    elif face == 3:
+        u, v = p[2] / p[0], p[1] / p[0]
+    elif face == 4:
+        u, v = p[2] / p[1], -p[0] / p[1]
+    else:
+        u, v = -p[1] / p[2], -p[0] / p[2]
+    lim = 1 << 30
+    i = min(lim - 1, max(0, int(math.floor(_s2_st(u) * lim))))
+    j = min(lim - 1, max(0, int(math.floor(_s2_st(v) * lim))))
+    pos = 0
+    orient = face & 1
+    for k in range(29, -1, -1):
+        q = _S2_POS_OF[orient][((i >> k) & 1, (j >> k) & 1)]
+        pos = pos * 4 + q
+        orient ^= _S2_ORIENT_DELTA[q]
+    leaf = (face << 61) | (pos << 1) | 1
+    if level >= 30:
+        return leaf
+    lsb = 1 << (2 * (30 - level))
+    return (leaf & ~(lsb - 1)) | lsb
+
+
+def s2_range_scalar(cell_id: int) -> tuple[int, int]:
+    lsb = cell_id & (-cell_id)
+    return cell_id - (lsb - 1), cell_id + (lsb - 1)
+
+
+def _to_i64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def s2_cell_agg(lats, lngs, event_ids, level: int, parent_level: int,
+                check_mod: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Twin of the s2_cell_agg driver query: per level-``level`` cell,
+    (cell int64, parent int64, n, min/max event_id, leaf checksum)."""
+    rows: dict[int, list] = {}
+    for la, ln, eid in zip(lats, lngs, event_ids):
+        leaf = s2_cell_id_scalar(la, ln, 30)
+        cell = s2_cell_id_scalar(la, ln, level)
+        r = rows.setdefault(cell, [0, None, None, 0])
+        r[0] += 1
+        r[1] = eid if r[1] is None else min(r[1], eid)
+        r[2] = eid if r[2] is None else max(r[2], eid)
+        r[3] = (r[3] + _to_i64(leaf) % check_mod) % check_mod
+    out = []
+    for cell, (n, lo, hi, chk) in rows.items():
+        lsb = 1 << (2 * (30 - parent_level))
+        parent = (cell & ~(lsb - 1)) | lsb
+        out.append((_to_i64(cell), _to_i64(parent), n, lo, hi, chk))
+    return sorted(out)
+
+
+def s2_range_join(lats, lngs, event_ids, centers,
+                  level: int) -> list[tuple[int, int, int, int]]:
+    """Twin of the s2_range_join driver query: per center, events whose
+    leaf id falls in the center's level-``level`` cell range ->
+    (center_id, n, min_event_id, leaf_xor_low32)."""
+    out = []
+    for cid, cla, cln in centers:
+        lo, hi = s2_range_scalar(s2_cell_id_scalar(cla, cln, level))
+        n, mn, xr = 0, None, 0
+        for la, ln, eid in zip(lats, lngs, event_ids):
+            leaf = s2_cell_id_scalar(la, ln, 30)
+            if lo <= leaf <= hi:
+                n += 1
+                mn = eid if mn is None else min(mn, eid)
+                xr ^= leaf & 0xFFFFFFFF
+        if n:
+            out.append((cid, n, mn, xr))
+    return sorted(out)

@@ -142,6 +142,23 @@ def main() -> None:
               "BEFORE the x5 center amplification.",
     )
 
+    # 6b. S2 containment: broadcast RANGE join on the [min,max] leaf
+    # interval — no exploded cover relation; the ONE ArrowEvalPython is
+    # the vectorized leaf encode (the sanctioned Arrow-batched UDF),
+    # everything after it is JVM bit-ops + hash agg
+    audit(
+        "s2_range_join (S2 hierarchy containment as a range join)",
+        q["s2_range_join"](spark, sf_dir),
+        must=["BroadcastNestedLoopJoin", "ArrowEvalPython",
+              "HashAggregate"],
+        must_not=["BatchEvalPython", "Generate", "SortMergeJoin"],
+        notes="each query cell is one [range_min, range_max] interval "
+              "(S2's contiguous-descendants property); containment is "
+              "a broadcast range join — no cover explosion, no shuffle "
+              "of the point table. Leaf encode is a single "
+              "Arrow-batched numpy pass; re-leveling stays JVM-side.",
+    )
+
     # 7. doc exact dedup: single hash shuffle
     audit(
         "doc_dedup_exact (one shuffle on the md5 content key)",
