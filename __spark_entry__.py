@@ -802,6 +802,23 @@ def _q_s2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_s2_radius_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius join THROUGH the S2 index: cover_cap's mixed-level
+    cell cover of each center's cap -> merged [lo, hi] leaf intervals
+    (broadcast, ~40 per center, no explosion of the point side) ->
+    BETWEEN range join -> exact haversine refine. The oracle is the
+    PLAIN haversine cross-join filter — a true semantic oracle (the
+    cover must be complete or rows go missing), not a plan echo."""
+    from geospark.functions import s2cell as S2
+
+    pts = G.events_points(spark, sf_dir).select("event_id", "lat", "lng")
+    pts = pts.withColumn("leaf", S2.s2_cell_udf(30)("lat", "lng"))
+    out = S2.s2_radius_join(pts, G.DEMO_CENTERS, max_m=RADIUS_M)
+    return out.select(
+        "query_id", "event_id", F.floor("dist_m").alias("dist_floor_m")
+    )
+
+
 def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: Structured Streaming ingest — synthetic pages spool
     -> watermarked windowed tile aggregation (availableNow trigger) —
@@ -848,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_host_stats": _q_pages_host_stats,
         "s2_cell_agg": _q_s2_cell_agg,
         "s2_range_join": _q_s2_range_join,
+        "s2_radius_query": _q_s2_radius_query,
         "approx_distance": _q_approx_distance,
         "xyz_chord": _q_xyz_chord,
         "fixed_codec": _q_fixed_codec,
@@ -1513,6 +1531,13 @@ def oracle_sql() -> dict[str, str]:
             [("center_id", "BIGINT"), ("n_events", "BIGINT"),
              ("min_event_id", "BIGINT"), ("leaf_xor_low32", "BIGINT")],
         ),
+        "s2_radius_query": f"""
+            WITH pts AS ({pts})
+            SELECT query_id, event_id,
+                   CAST(floor({hav}) AS BIGINT) AS dist_floor_m
+            FROM pts CROSS JOIN {_centers_values()}
+            WHERE {hav} < {repr(RADIUS_M)}
+        """,
         "polyline_length": f"""
             WITH pts AS ({pts}),
             seq AS (

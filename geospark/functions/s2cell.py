@@ -218,3 +218,158 @@ def s2_range_cols(cell):
     c = cell if not isinstance(cell, str) else F.col(cell)
     lsb = c.bitwiseAND(-c)
     return c - (lsb - F.lit(1)), c + (lsb - F.lit(1))
+
+
+# --- cap covering (mixed-level cell cover of a radius query) ----------------
+_EARTH_R = 6371000.0  # kernels.EARTH_RADIUS_M (haversine radius)
+
+
+def _st_to_uv(st: float) -> float:
+    # inverse of the quadratic projection
+    if st >= 0.5:
+        return (4.0 * st * st - 1.0) / 3.0
+    return (1.0 - 4.0 * (1.0 - st) * (1.0 - st)) / 3.0
+
+
+def _face_uv_to_xyz(face: int, u: float, v: float):
+    if face == 0:
+        p = (1.0, u, v)
+    elif face == 1:
+        p = (-u, 1.0, v)
+    elif face == 2:
+        p = (-u, -v, 1.0)
+    elif face == 3:
+        p = (-1.0, -v, -u)
+    elif face == 4:
+        p = (v, -1.0, -u)
+    else:
+        p = (v, u, -1.0)
+    import math as m
+
+    n = m.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2])
+    return (p[0] / n, p[1] / n, p[2] / n)
+
+
+def _angle(a, b) -> float:
+    import math as m
+
+    d = max(-1.0, min(1.0, a[0] * b[0] + a[1] * b[1] + a[2] * b[2]))
+    return m.acos(d)
+
+
+def cover_cap(lat: float, lng: float, radius_m: float,
+              max_cells: int = 48, max_level: int = 16) -> list[int]:
+    """Mixed-level cell cover of the spherical cap (conservative:
+    never misses an intersecting cell). Driver-side scalar BFS over
+    the quadtree — output is <= max_cells ids, small by construction.
+
+    Disjointness test: a cell is contained in the cap around its own
+    center with its circumradius cr, so center-distance > r + cr
+    proves cap∩cell = ∅; everything else is kept or subdivided.
+    """
+    import math as m
+
+    c = _face_uv_to_xyz  # noqa: F841 (alias kept for clarity below)
+    phi, lam = m.radians(lat), m.radians(lng)
+    center = (m.cos(phi) * m.cos(lam), m.cos(phi) * m.sin(lam), m.sin(phi))
+    r = radius_m / _EARTH_R
+
+    def cell_geom(face: int, level: int, i0: int, j0: int):
+        size = 1 << (MAX_LEVEL - level)
+        corners = []
+        for di in (0, size):
+            for dj in (0, size):
+                u = _st_to_uv((i0 + di) / _LIMIT)
+                v = _st_to_uv((j0 + dj) / _LIMIT)
+                corners.append(_face_uv_to_xyz(face, u, v))
+        um = _st_to_uv((i0 + size / 2) / _LIMIT)
+        vm = _st_to_uv((j0 + size / 2) / _LIMIT)
+        ctr = _face_uv_to_xyz(face, um, vm)
+        cr = max(_angle(ctr, q) for q in corners)
+        return ctr, cr
+
+    def cell_id(face: int, level: int, i0: int, j0: int) -> int:
+        # Hilbert position of the cell's min corner, truncated to level
+        pos = 0
+        orient = face & 1
+        for k in range(MAX_LEVEL - 1, MAX_LEVEL - 1 - level, -1):
+            q = int(_IJ_TO_POS[orient, ((i0 >> k) & 1) * 2 + ((j0 >> k) & 1)])
+            pos = pos * 4 + q
+            orient ^= int(_POS_TO_ORIENT[q])
+        pos = pos << (2 * (MAX_LEVEL - level))
+        leafish = (face << 61) | (pos << 1) | 1
+        lsb = 1 << (2 * (MAX_LEVEL - level))
+        return (leafish & ~(lsb - 1)) | lsb
+
+    queue: list[tuple[int, int, int, int]] = [(f, 0, 0, 0) for f in range(6)]
+    out: list[int] = []
+    while queue:
+        face, level, i0, j0 = queue.pop(0)
+        ctr, cr = cell_geom(face, level, i0, j0)
+        d = _angle(center, ctr)
+        if d > r + cr:
+            continue
+        full_inside = d + cr <= r
+        budget_left = max_cells - len(out) - len(queue)
+        if full_inside or level >= max_level or budget_left < 4:
+            out.append(cell_id(face, level, i0, j0))
+        else:
+            half = 1 << (MAX_LEVEL - level - 1)
+            for di in (0, half):
+                for dj in (0, half):
+                    queue.append((face, level + 1, i0 + di, j0 + dj))
+    return out
+
+
+def merge_ranges(cell_ids: list[int]) -> list[tuple[int, int]]:
+    """Inclusive [lo, hi] leaf intervals of the cells, with adjacent /
+    overlapping intervals coalesced (fewer BETWEEN branches)."""
+    ivs = sorted(
+        (int(lo), int(hi))
+        for lo, hi in zip(*s2_range_np(np.array(cell_ids, dtype=np.uint64)))
+    )
+    merged: list[list[int]] = []
+    for lo, hi in ivs:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return [(lo, hi) for lo, hi in merged]
+
+
+def s2_radius_join(points, centers: list[tuple[int, float, float]],
+                   max_m: float, max_cells: int = 48,
+                   leaf_col: str = "leaf"):
+    """Exact radius join via the S2 index: per center, cover_cap ->
+    merged leaf-id intervals (broadcast) -> BETWEEN range join ->
+    exact haversine refine. Same semantics as joins.radius_join, with
+    the S2 interval set replacing the quadkey cover explosion.
+
+    ``points`` must already carry the leaf id column (one Arrow encode
+    pass, amortized across every S2 consumer of the table).
+    """
+    from pyspark.sql import functions as F
+
+    from geospark.functions import kernels as K
+
+    spark = points.sparkSession
+    rows = []
+    for cid, cla, cln in centers:
+        for lo, hi in merge_ranges(cover_cap(cla, cln, max_m, max_cells)):
+            # intervals are unsigned-sorted; int64 reinterpretation is
+            # sign-consistent per interval (within one face)
+            lo64 = lo - (1 << 64) if lo >= (1 << 63) else lo
+            hi64 = hi - (1 << 64) if hi >= (1 << 63) else hi
+            rows.append((cid, cla, cln, lo64, hi64))
+    ivs = spark.createDataFrame(
+        rows, "query_id long, q_lat double, q_lng double, lo long, hi long"
+    )
+    leaf = F.col(leaf_col)
+    cand = points.join(
+        F.broadcast(ivs), (leaf >= F.col("lo")) & (leaf <= F.col("hi"))
+    )
+    dist = K.distance(F.col("q_lat"), F.col("q_lng"), F.col("lat"),
+                      F.col("lng"))
+    return (cand.withColumn("dist_m", dist)
+            .filter(F.col("dist_m") < max_m)
+            .drop("lo", "hi", "q_lat", "q_lng"))

@@ -92,6 +92,37 @@ def main() -> None:
     run("tile_assign_z10_agg", lambda: with_tile(points, 10)
         .groupBy("tile_x", "tile_y").count().count())
 
+    from geospark.functions import s2cell as S2
+
+    def _s2_encode_agg():
+        # Arrow-batched leaf encode over the full table + JVM re-level
+        # + count per level-8 cell — the north-star "encode to S2 cells
+        # in batched pandas UDFs" leg at operator scale
+        df = points.withColumn("leaf", S2.s2_cell_udf(30)("lat", "lng"))
+        return (df.withColumn("cell", S2.s2_parent_col("leaf", 8))
+                .groupBy("cell").count().count())
+
+    run("s2_encode_leaf_agg_l8", _s2_encode_agg)
+
+    def _s2_cell_join():
+        # 50k single-level query cells: containment at a FIXED level is
+        # equality of the level-12 ancestor, so the scalable plan is a
+        # broadcast EQUI-join on the re-leveled id (the BETWEEN range
+        # join — the driver query — is the mixed-level form; a 50k-
+        # interval nested loop would be the wrong plan at this scale)
+        c = centers.limit(50_000).toPandas()
+        cells = S2.s2_cell_np(c["q_lat"].to_numpy(), c["q_lng"].to_numpy(), 12)
+        cdf = spark.createDataFrame(
+            list(zip(c["query_id"].tolist(), S2.as_int64(cells).tolist())),
+            "query_id long, cell12 long",
+        ).dropDuplicates(["cell12"])
+        df = points.withColumn("leaf", S2.s2_cell_udf(30)("lat", "lng"))
+        return (df.withColumn("cell12", S2.s2_parent_col("leaf", 12))
+                .join(F.broadcast(cdf), "cell12")
+                .groupBy("query_id").count().count())
+
+    run("s2_cell_join_50k_cells_l12", _s2_cell_join)
+
     from geospark.cluster import cluster_nearby
 
     def _cluster():

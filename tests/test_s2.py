@@ -139,3 +139,52 @@ def test_range_join_is_broadcast_no_explosion(spark):
     plan = E._q_s2_range_join(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Generate" not in plan  # no explode
+
+
+def test_cover_cap_completeness():
+    """Conservative cover: no point within the cap may fall outside
+    every covered interval (random caps incl. polar/antimeridian)."""
+    import math
+
+    rng = np.random.default_rng(5)
+    R = 6371000.0
+
+    def hav(a1, b1, a2, b2):
+        p1, p2 = math.radians(a1), math.radians(a2)
+        dl, dp = math.radians(b2 - b1), math.radians(a2 - a1)
+        a = (math.sin(dp / 2) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+        return 2 * R * math.asin(min(1.0, math.sqrt(a)))
+
+    caps = [(float(rng.uniform(-85, 85)), float(rng.uniform(-180, 180)),
+             float(rng.uniform(500, 2e6))) for _ in range(8)]
+    caps += [(89.5, 0.0, 100_000.0), (0.0, 179.9, 200_000.0)]
+    for cla, cln, r in caps:
+        ivs = S2.merge_ranges(S2.cover_cap(cla, cln, r))
+        assert 1 <= len(ivs) <= 48
+        lat = rng.uniform(max(-90, cla - 30), min(90, cla + 30), 800)
+        lng = ((rng.uniform(cln - 45, cln + 45, 800) + 180) % 360) - 180
+        leafs = S2.s2_leaf_np(lat, lng).tolist()
+        for la, ln, lf in zip(lat, lng, leafs):
+            if hav(cla, cln, la, ln) < r:
+                assert any(lo <= lf <= hi for lo, hi in ivs), (cla, cln, r,
+                                                               la, ln)
+
+
+def test_s2_radius_join_matches_brute_force(spark):
+    from geospark import geodata as G
+    from geospark.functions import kernels as K
+    from pyspark.sql import functions as F
+
+    pts = G.events_points(spark, SF).select("event_id", "lat", "lng")
+    enc = pts.withColumn("leaf", S2.s2_cell_udf(30)("lat", "lng"))
+    got = {
+        (r["query_id"], r["event_id"])
+        for r in S2.s2_radius_join(enc, G.DEMO_CENTERS, 750_000.0).collect()
+    }
+    want = set()
+    for cid, cla, cln in G.DEMO_CENTERS:
+        d = K.distance(F.lit(cla), F.lit(cln), F.col("lat"), F.col("lng"))
+        want |= {(cid, r["event_id"])
+                 for r in pts.filter(d < 750_000.0).collect()}
+    assert got == want
