@@ -210,6 +210,52 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
+def neardup_lsh_params(n_rows: int, threshold: float = 0.95,
+                       target_recall: float = 0.9,
+                       target_candidates: int = 50_000_000,
+                       max_tables: int = 256) -> tuple[int, int]:
+    """Jointly size (n_planes, n_tables) for sign-LSH near-dup so that
+    BOTH the candidate budget and the recall floor hold:
+
+    - per-table collision prob for a pair at cos=threshold:
+      ``p1(k) = (1 - acos(threshold)/pi) ** k``
+    - tables needed for overall recall r: ``L(k) =
+      ceil(log(1-r) / log(1-p1(k)))`` (recall = 1-(1-p1)^L)
+    - expected unrelated candidates: ``L * C(n,2) / 2^k``
+
+    Candidates fall as k grows (2^k outruns L(k)), so the smallest k
+    meeting the budget minimizes total plane work L*k. The fixed
+    (8 planes, 4 tables) default tops out around n~10^5 at a 50M
+    budget; at n=5x10^6 this returns (23, 26) and at n=10^9 (41, 181)
+    — the price of recall 0.9 at cos 0.95, which is why the arrow
+    bucketer computes all L*k signs in ONE BLAS pass per batch."""
+    import math
+
+    if n_rows < 2:
+        return 6, 1
+    theta = math.acos(max(min(threshold, 1.0), -1.0))
+    cos_frac = 1.0 - theta / math.pi
+    pairs = n_rows * (n_rows - 1) / 2.0
+
+    def tables_for(k: int) -> int:
+        p1 = cos_frac ** k
+        if p1 >= 1.0:
+            return 1
+        return max(1, math.ceil(math.log(max(1.0 - target_recall, 1e-12))
+                                / math.log(1.0 - p1)))
+
+    for k in range(6, 63):
+        L = tables_for(k)
+        if L > max_tables:
+            # recall floor unreachable under the table cap — back off
+            # to the largest k the cap allows (caller sees the log)
+            k = max(6, k - 1)
+            return k, min(tables_for(k), max_tables)
+        if L * pairs / (2.0 ** k) <= target_candidates:
+            return k, L
+    return 62, min(tables_for(62), max_tables)
+
+
 def neardup_plane_count(n_rows: int, n_tables: int,
                         target_candidates: int) -> int:
     """Scale-aware sign-LSH sizing: solve the expected unrelated-pair
@@ -226,51 +272,78 @@ def neardup_plane_count(n_rows: int, n_tables: int,
     return max(6, min(30, math.ceil(need)))
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
-                            n_planes: int | None = 8, dim: int = 64,
-                            n_tables: int = 4,
-                            id_col: str = "vec_id",
-                            vec_col: str = "embedding",
-                            target_candidates: int = 50_000_000,
-                            n_rows: int | None = None) -> DataFrame:
-    """Embedding-cosine near-dup: MULTI-TABLE sign-LSH (L independent
-    plane blocks; a pair is a candidate if it collides in ANY table)
-    -> exact cosine refine -> pairs above threshold.
+def lsh_bucket_arrow(emb: DataFrame, n_planes: int, dim: int,
+                     n_tables: int, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """All L tables' sign-buckets in ONE scan: per Arrow batch, a
+    single float64 BLAS matmul against the (L*k, dim) plane matrix,
+    bit-packed per table, exploded to (vid, tbl, bucket) rows.
 
-    Scale bound: expected candidate pairs ~ L * n^2 / 2^n_planes for
-    unrelated vectors, with per-table recall (1 - theta/pi)^n_planes
-    for a true near-dup at angle theta — L tables push overall recall
-    to 1-(1-p)^L while keeping each self-join 2^n_planes-bucketed
-    (e.g. L=4, n_planes=8: ~64x fewer pairs than a 16-bucket join and
-    ~0.90 recall at cos 0.95).
+    Same planes as :func:`lsh_bucket` — table t uses rows
+    [t*k, (t+1)*k) of the deterministic plane sequence — so buckets
+    agree with the SQL-expression path bit-for-bit (both compute the
+    dot in float64; order-of-summation sign flips would need
+    |dot| ~ 1e-16, never observed on unit vectors). The SQL path costs
+    L separate scans and L*k codegen'd array folds per row; this path
+    is the scale engine for the auto-sized configs (e.g. 26 tables x
+    23 planes at n=5M) where L*k ~ 600."""
+    import numpy as np
+    import pyarrow as pa
 
-    ``n_planes=None`` sizes the plane count FROM THE DATA: the table
-    is counted (or ``n_rows`` passed to skip the scan) and n_planes
-    solves L*C(n,2)/2^planes <= ``target_candidates`` — a fixed
-    default at 10^9 vectors would otherwise hand the self-join ~10^16
-    candidate pairs. The chosen sizing and expected candidate count
-    are logged."""
-    if n_planes is None:
-        n = int(n_rows) if n_rows is not None else emb.count()
-        n_planes = neardup_plane_count(n, n_tables, target_candidates)
-        expected = n_tables * n * max(n - 1, 0) / 2.0 / (2 ** n_planes)
-        import logging
+    W = np.array(_plane_weights(n_tables * n_planes, dim), dtype=np.float64)
+    k = n_planes
+    L = n_tables
+    pows = (np.uint64(1) << np.arange(k, dtype=np.uint64))
+    tbl_ids = np.arange(L, dtype=np.int64)
 
-        logging.getLogger("geospark.embeddings").info(
-            "embedding_neardup_pairs: n=%d tables=%d -> n_planes=%d "
-            "(expected unrelated candidates ~%.0f, target %d)",
-            n, n_tables, n_planes, expected, target_candidates,
-        )
-    sides = []
-    for t in range(n_tables):
-        b = lsh_bucket(emb, n_planes, dim, vec_col, table=t).select(
-            F.col(id_col).alias("vid"), "bucket", F.lit(t).alias("tbl")
-        )
-        sides.append(b)
-    buckets = sides[0]
-    for s in sides[1:]:
-        buckets = buckets.unionByName(s)
-    cand = (
+    def bucketize(batches):
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            flat = b.column(1).values.to_numpy(zero_copy_only=False)
+            X = flat.reshape(len(ids), dim).astype(np.float64)
+            bits = (X @ W.T) > 0.0  # (n, L*k)
+            bk = (bits.reshape(len(ids), L, k).astype(np.uint64)
+                  * pows[None, None, :]).sum(axis=2).astype(np.int64)
+            n = len(ids)
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(ids, L), pa.int64()),
+                    pa.array(np.tile(tbl_ids, n), pa.int64()),
+                    pa.array(bk.reshape(-1), pa.int64()),
+                ],
+                names=["vid", "tbl", "bucket"],
+            )
+
+    return emb.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col)
+    ).mapInArrow(bucketize, "vid long, tbl long, bucket long")
+
+
+def neardup_candidates(emb: DataFrame, n_planes: int, dim: int = 64,
+                       n_tables: int = 4, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       engine: str = "sql") -> DataFrame:
+    """Candidate (vec_id_a, vec_id_b) pairs colliding in ANY table:
+    bucketed self-join on (tbl, bucket), distinct. ``engine`` picks
+    how buckets are computed — "sql" (L scans of codegen'd folds,
+    oracle-replicable in DuckDB) or "arrow" (one numpy-BLAS scan; the
+    scale path for auto-sized L*k ~ hundreds)."""
+    if engine == "arrow":
+        buckets = lsh_bucket_arrow(emb, n_planes, dim, n_tables,
+                                   id_col, vec_col)
+    else:
+        sides = []
+        for t in range(n_tables):
+            sides.append(
+                lsh_bucket(emb, n_planes, dim, vec_col, table=t).select(
+                    F.col(id_col).alias("vid"), "bucket",
+                    F.lit(t).alias("tbl"),
+                )
+            )
+        buckets = sides[0]
+        for s in sides[1:]:
+            buckets = buckets.unionByName(s)
+    return (
         buckets.alias("a")
         .join(buckets.alias("b"), ["tbl", "bucket"])
         .filter(F.col("a.vid") < F.col("b.vid"))
@@ -280,6 +353,14 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
         )
         .distinct()
     )
+
+
+def refine_pairs(emb: DataFrame, cand: DataFrame, threshold: float,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine refine: fetch both vectors for each candidate
+    pair, keep pairs at/above threshold. Precision is exact by
+    construction; LSH only bounds recall."""
     vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     pairs = (
         cand.join(vecs.alias("va"), F.col("vec_id_a") == F.col("va.vid"))
@@ -295,3 +376,57 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
     return sim.filter(F.col("cos_sim") >= threshold).select(
         "vec_id_a", "vec_id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
+                            n_planes: int | None = 8, dim: int = 64,
+                            n_tables: int | None = 4,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            target_candidates: int = 50_000_000,
+                            target_recall: float = 0.9,
+                            n_rows: int | None = None,
+                            engine: str = "sql") -> DataFrame:
+    """Embedding-cosine near-dup: MULTI-TABLE sign-LSH (L independent
+    plane blocks; a pair is a candidate if it collides in ANY table)
+    -> exact cosine refine -> pairs above threshold.
+
+    Scale bound: expected candidate pairs ~ L * n^2 / 2^n_planes for
+    unrelated vectors, with per-table recall (1 - theta/pi)^n_planes
+    for a true near-dup at angle theta — L tables push overall recall
+    to 1-(1-p)^L while keeping each self-join 2^n_planes-bucketed
+    (e.g. L=4, n_planes=8: ~64x fewer pairs than a 16-bucket join and
+    ~0.90 recall at cos 0.95).
+
+    ``n_planes=None`` sizes the LSH FROM THE DATA: the table is
+    counted (or ``n_rows`` passed to skip the scan) and, when
+    ``n_tables`` is also None, (n_planes, n_tables) are JOINTLY
+    solved by :func:`neardup_lsh_params` so the candidate budget AND
+    the ``target_recall`` floor at ``threshold`` both hold — a fixed
+    (8, 4) at 10^9 vectors would hand the self-join ~10^16 candidate
+    pairs, while planes-only sizing silently trades recall away (20+
+    planes with 4 tables is ~0.4 recall at cos 0.95). With an explicit
+    ``n_tables``, only the plane count is solved (legacy behavior).
+    The chosen sizing and expected candidate count are logged."""
+    if n_planes is None:
+        n = int(n_rows) if n_rows is not None else emb.count()
+        if n_tables is None:
+            n_planes, n_tables = neardup_lsh_params(
+                n, threshold, target_recall, target_candidates
+            )
+        else:
+            n_planes = neardup_plane_count(n, n_tables, target_candidates)
+        expected = n_tables * n * max(n - 1, 0) / 2.0 / (2 ** n_planes)
+        import logging
+
+        logging.getLogger("geospark.embeddings").info(
+            "embedding_neardup_pairs: n=%d -> n_planes=%d n_tables=%d "
+            "(expected unrelated candidates ~%.0f, target %d)",
+            n, n_planes, n_tables, expected, target_candidates,
+        )
+    elif n_tables is None:
+        n_tables = 4
+    cand = neardup_candidates(
+        emb, n_planes, dim, n_tables, id_col, vec_col, engine
+    )
+    return refine_pairs(emb, cand, threshold, id_col, vec_col)

@@ -204,6 +204,91 @@ def synth_documents(spark: SparkSession, n_docs: int, n_tokens: int = 40,
     return rng.mapInArrow(gen, "doc_id long, text string")
 
 
+def _gauss_mat(seed_ids: np.ndarray, dim: int, stream: int) -> np.ndarray:
+    """Deterministic (n, dim) standard-normal matrix: Box-Muller over
+    two splitmix64 streams keyed on (seed id, dimension, stream)."""
+    j = np.arange(dim, dtype=np.uint64)
+    base = seed_ids[:, None] * np.uint64(1013) + j[None, :] * np.uint64(7919)
+    h1 = _splitmix64(base + np.uint64(1_000_003 * (stream + 1)))
+    h2 = _splitmix64(base + np.uint64(2_000_033 * (stream + 1)))
+    u1 = np.maximum(_u01(h1), 1e-12)
+    u2 = _u01(h2)
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
+def synth_embeddings_batch(ids: np.ndarray, n_vecs: int, dim: int = 64,
+                           dup_frac: float = 0.15,
+                           min_cos: float = 0.90) -> pa.RecordBatch:
+    """Pure function vec-id array -> (vec_id, embedding, src_id,
+    is_dup) batch with PLANTED near-duplicate structure for ANN/dedup
+    benchmarks (the embedding twin of :func:`synth_documents_batch`):
+
+    - the first ``n_vecs//20`` ids are canonical source vectors
+      (iid unit gaussians, normalized);
+    - each other id is, with probability ``dup_frac``, a spherical
+      perturbation of a random source at angle theta with cos(theta)
+      uniform in [min_cos, 1] — the PLANTED pair (src_id, vec_id) has
+      a known cosine, so measured recall is interpretable;
+    - everything else is an independent random unit vector.
+
+    All values derive from splitmix64 hashes of the id — stable under
+    any partitioning, reproducible across runs."""
+    ids = ids.astype(np.uint64)
+    n = ids.size
+    n_src = max(n_vecs // 20, 1)
+    u_dup = _u01(_splitmix64(ids * np.uint64(7) + np.uint64(11)))
+    src = _splitmix64(ids * np.uint64(7) + np.uint64(12)) % np.uint64(n_src)
+    is_dup = (u_dup < dup_frac) & (ids >= np.uint64(n_src))
+    base = np.where(is_dup, src, ids).astype(np.uint64)
+
+    v = _gauss_mat(base, dim, stream=0)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # perturbation direction: own-id gaussian orthogonalized against v
+    g = _gauss_mat(ids + np.uint64(0xABCD_1234), dim, stream=1)
+    g -= (g * v).sum(axis=1, keepdims=True) * v
+    g /= np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-30)
+    cos_t = (min_cos
+             + (1.0 - min_cos) * _u01(_splitmix64(ids * np.uint64(7)
+                                                  + np.uint64(13))))
+    sin_t = np.sqrt(np.maximum(1.0 - cos_t * cos_t, 0.0))
+    out = np.where(is_dup[:, None], v * cos_t[:, None] + g * sin_t[:, None], v)
+    out = out.astype(np.float32)
+
+    flat = pa.array(out.reshape(-1), pa.float32())
+    emb = pa.FixedSizeListArray.from_arrays(flat, dim).cast(
+        pa.list_(pa.float32())
+    )
+    return pa.record_batch(
+        [
+            pa.array(ids.astype(np.int64), pa.int64()),
+            emb,
+            pa.array(np.where(is_dup, src, ids).astype(np.int64), pa.int64()),
+            pa.array(is_dup),
+        ],
+        names=["vec_id", "embedding", "src_id", "is_dup"],
+    )
+
+
+def synth_embeddings(spark: SparkSession, n_vecs: int, dim: int = 64,
+                     dup_frac: float = 0.15, min_cos: float = 0.90,
+                     partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic embeddings table with planted
+    near-dups — same embarrassingly-parallel mapInArrow shape as
+    :func:`synth_pages`."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            yield synth_embeddings_batch(
+                b.column(0).to_numpy(), n_vecs, dim, dup_frac, min_cos
+            )
+
+    rng = (spark.range(0, n_vecs, numPartitions=partitions)
+           if partitions else spark.range(n_vecs))
+    return rng.mapInArrow(
+        gen, "vec_id long, embedding array<float>, src_id long, is_dup boolean"
+    )
+
+
 def extract_text_from_html(html: bytes) -> bytes:
     """The 'reference extractor': deterministic text from html bytes.
 

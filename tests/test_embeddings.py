@@ -218,3 +218,93 @@ def test_embedding_neardup_auto_sizing_runs(spark):
     for r in out:
         assert r["cos_sim"] >= 0.2
         assert r["vec_id_a"] < r["vec_id_b"]
+
+
+def test_neardup_lsh_params_joint_sizing():
+    """Joint (planes, tables) sizing meets BOTH the candidate budget
+    and the recall floor — the planes-only sizer can't (20+ planes at
+    4 fixed tables is ~0.4 recall at cos 0.95)."""
+    import math
+
+    from geospark.embeddings import neardup_lsh_params
+
+    for n in (100_000, 5_000_000, 1_000_000_000):
+        k, L = neardup_lsh_params(n, 0.95, 0.9, 50_000_000)
+        p1 = (1 - math.acos(0.95) / math.pi) ** k
+        recall = 1 - (1 - p1) ** L
+        cand = L * n * (n - 1) / 2 / 2 ** k
+        assert recall >= 0.9, (n, k, L, recall)
+        assert cand <= 50_000_000, (n, k, L, cand)
+    # the documented operating points
+    assert neardup_lsh_params(5_000_000, 0.95, 0.9, 50_000_000) == (23, 26)
+    assert neardup_lsh_params(1_000_000_000, 0.95, 0.9, 50_000_000) == (41, 181)
+    assert neardup_lsh_params(1, 0.95, 0.9, 50_000_000) == (6, 1)
+
+
+def test_arrow_bucketer_matches_sql(spark):
+    """lsh_bucket_arrow reproduces the SQL-expression buckets
+    bit-for-bit for every table (same deterministic planes, float64
+    dots on both sides)."""
+    from pyspark.sql import functions as F
+
+    df, rows = _emb_df(spark, n=60)
+    n_planes, n_tables = 6, 3
+    arrow = {
+        (r["vid"], r["tbl"]): r["bucket"]
+        for r in E.lsh_bucket_arrow(
+            df, n_planes, DIM, n_tables
+        ).collect()
+    }
+    assert len(arrow) == 60 * n_tables
+    for t in range(n_tables):
+        sql = {
+            (r["vec_id"], t): r["bucket"]
+            for r in E.lsh_bucket(df, n_planes, DIM, "embedding", table=t)
+            .select("vec_id", "bucket").collect()
+        }
+        for key, b in sql.items():
+            assert arrow[key] == b, (key, arrow[key], b)
+
+
+def test_neardup_engines_agree(spark):
+    """engine="arrow" and engine="sql" produce the same near-dup
+    pairs (same buckets -> same candidates -> same exact refine)."""
+    df, rows = _emb_df(spark, n=50)
+    kw = dict(threshold=0.9, n_planes=6, dim=DIM, n_tables=3)
+    sql_pairs = sorted(
+        (r["vec_id_a"], r["vec_id_b"], r["cos_sim"])
+        for r in E.embedding_neardup_pairs(df, engine="sql", **kw).collect()
+    )
+    arrow_pairs = sorted(
+        (r["vec_id_a"], r["vec_id_b"], r["cos_sim"])
+        for r in E.embedding_neardup_pairs(df, engine="arrow", **kw).collect()
+    )
+    assert sql_pairs == arrow_pairs
+    assert sql_pairs, "expected pairs within the 4 tight clusters"
+
+
+def test_synth_embeddings_planted_structure(spark):
+    """The deterministic embedding synthesizer: unit norms, planted
+    (src, dup) pairs land in [min_cos, 1], values stable under
+    partitioning (splitmix64 of the id, not the partition)."""
+    from geospark.pages import synth_embeddings
+
+    a = synth_embeddings(spark, 500, dim=16, dup_frac=0.3,
+                         min_cos=0.9, partitions=2).collect()
+    b = synth_embeddings(spark, 500, dim=16, dup_frac=0.3,
+                         min_cos=0.9, partitions=7).collect()
+    am = {r["vec_id"]: r for r in a}
+    bm = {r["vec_id"]: r for r in b}
+    assert len(am) == 500
+    for k in am:
+        assert am[k]["embedding"] == bm[k]["embedding"]
+        assert am[k]["src_id"] == bm[k]["src_id"]
+    V = {k: np.array(r["embedding"], np.float64) for k, r in am.items()}
+    dups = [r for r in a if r["is_dup"]]
+    assert len(dups) > 50
+    for r in dups:
+        v, s = V[r["vec_id"]], V[r["src_id"]]
+        cos = float(v @ s / (np.linalg.norm(v) * np.linalg.norm(s)))
+        assert 0.9 - 1e-5 <= cos <= 1.0 + 1e-9, (r["vec_id"], cos)
+    for k, v in V.items():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-4
