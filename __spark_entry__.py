@@ -744,6 +744,96 @@ S2_AGG_LEVEL, S2_AGG_PARENT = 3, 1
 S2_JOIN_LEVEL = 3
 
 
+HEX_RES = 7        # circumradius ~4.4 km in mercator meters
+HEX_ROLLUP_RES = 3  # ~216 km — coarse enough that parents aggregate
+HEX_RING_RES = 4   # ~82 km — k=2 ring spans a metro region
+HEX_RING_K = 2
+
+
+def _q_hex_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style hex binning (functions/hexgrid.py): aperture-7
+    mercator hex index, pure JVM Column arithmetic (codegen, no UDF),
+    closed-form DuckDB twin. One shuffle on the cell id,
+    partial-aggregatable."""
+    from geospark.functions import hexgrid as HX
+
+    pts = G.events_points(spark, sf_dir)
+    return (
+        pts.withColumn("hex", HX.hex_cell("lat", "lng", HEX_RES))
+        .groupBy("hex")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("event_id").alias("min_event"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def _q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aperture-7 rollup: child-level counts re-keyed by the ALGEBRAIC
+    parent (inverse sublattice basis — trig-free integer math, no
+    re-projection), then re-aggregated. The two-stage shape is the
+    100-TB plan: the child agg is the expensive shuffle, the rollup
+    rides on ~7x fewer rows."""
+    from geospark.functions import hexgrid as HX
+
+    pts = G.events_points(spark, sf_dir)
+    child = (
+        pts.withColumn("hex", HX.hex_cell("lat", "lng", HEX_ROLLUP_RES))
+        .groupBy("hex").agg(F.count("*").alias("n"))
+    )
+    return (
+        child.withColumn("hex_parent", HX.hex_parent("hex"))
+        .groupBy("hex_parent")
+        .agg(
+            F.sum("n").alias("n_points"),
+            F.count("*").alias("n_children"),
+        )
+    )
+
+
+def _q_hex_kring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ring neighbor join: each center's k=2 ring (19 cells) comes
+    from pure integer shifts on the packed id — the join stays a
+    broadcastable equi-join on the cell id, no geometry at join time.
+    Per center: total points and non-empty cells within the ring."""
+    from geospark.functions import hexgrid as HX
+
+    pts = G.events_points(spark, sf_dir)
+    cells = (
+        pts.withColumn("hex", HX.hex_cell("lat", "lng", HEX_RING_RES))
+        .groupBy("hex").agg(F.count("*").alias("n"))
+    )
+    centers = pts.filter(F.col("event_id") < 40).select(
+        "event_id", HX.hex_cell("lat", "lng", HEX_RING_RES).alias("c_hex")
+    )
+    probes = centers.select(
+        "event_id",
+        F.explode(F.array(*[
+            HX.hex_shift("c_hex", dq, dr)
+            for dq, dr in HX.kring_offsets(HEX_RING_K)
+        ])).alias("hex"),
+    )
+    # inner broadcast join (build side = tiny probe list; the big
+    # cell relation streams), then a broadcast fill-join so centers
+    # with an empty ring still report zeros
+    hits = (
+        cells.join(F.broadcast(probes), "hex")
+        .groupBy("event_id")
+        .agg(
+            F.sum("n").alias("_n_in_ring"),
+            F.count("n").alias("_n_cells_hit"),
+        )
+    )
+    return centers.select("event_id").join(
+        F.broadcast(hits), "event_id", "left"
+    ).select(
+        "event_id",
+        F.coalesce("_n_in_ring", F.lit(0)).alias("n_in_ring"),
+        F.coalesce("_n_cells_hit", F.lit(0)).alias("n_cells_hit"),
+    )
+
+
 def _q_s2_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell index (functions/s2cell.py): leaf encode once in ONE
     Arrow-batched pandas UDF pass, then every re-level is a pure
@@ -863,6 +953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "streaming_tiles": _q_streaming_tiles,
         "pages_host_stats": _q_pages_host_stats,
+        "hex_assign": _q_hex_assign,
+        "hex_rollup": _q_hex_rollup,
+        "hex_kring_join": _q_hex_kring_join,
         "s2_cell_agg": _q_s2_cell_agg,
         "s2_range_join": _q_s2_range_join,
         "s2_radius_query": _q_s2_radius_query,
@@ -1015,7 +1108,16 @@ def _values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from geospark.functions import hexgrid as HX
+
     pts = G.EVENTS_POINTS_SQL
+    _hex_sql = HX.hex_cell_sql("lat", "lng", HEX_RES)
+    _hex_rollup_sql = HX.hex_cell_sql("lat", "lng", HEX_ROLLUP_RES)
+    _hex_parent_sql = HX.hex_parent_sql("hex")
+    _hex_ring_sql = HX.hex_cell_sql("lat", "lng", HEX_RING_RES)
+    _hex_offs = ", ".join(
+        f"({dq}, {dr})" for dq, dr in HX.kring_offsets(HEX_RING_K)
+    )
     hav = G.haversine_sql("q_lat", "q_lng", "lat", "lng")
     hav0 = G.haversine_sql(
         repr(G.DEMO_CENTERS[0][1]), repr(G.DEMO_CENTERS[0][2]), "lat", "lng"
@@ -1578,6 +1680,46 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_points,
                    min(event_id) AS min_event, max(event_id) AS max_event
             FROM pts GROUP BY 1, 2
+        """,
+        "hex_assign": f"""
+            WITH pts AS ({pts})
+            SELECT {_hex_sql} AS hex,
+                   count(*) AS n_points,
+                   min(event_id) AS min_event,
+                   round(avg(value), 6) AS avg_value
+            FROM pts GROUP BY 1
+        """,
+        "hex_rollup": f"""
+            WITH pts AS ({pts}),
+            child AS (
+                SELECT {_hex_rollup_sql} AS hex, count(*) AS n
+                FROM pts GROUP BY 1
+            )
+            SELECT {_hex_parent_sql} AS hex_parent,
+                   CAST(sum(n) AS BIGINT) AS n_points,
+                   count(*) AS n_children
+            FROM child GROUP BY 1
+        """,
+        "hex_kring_join": f"""
+            WITH pts AS ({pts}),
+            cells AS (
+                SELECT {_hex_ring_sql} AS hex, count(*) AS n
+                FROM pts GROUP BY 1
+            ),
+            centers AS (
+                SELECT event_id, {_hex_ring_sql} AS c_hex
+                FROM pts WHERE event_id < 40
+            ),
+            offs(dq, dr) AS (VALUES {_hex_offs}),
+            probes AS (
+                SELECT event_id, c_hex + dq * {1 << 29} + dr AS hex
+                FROM centers CROSS JOIN offs
+            )
+            SELECT event_id,
+                   CAST(sum(COALESCE(cells.n, 0)) AS BIGINT) AS n_in_ring,
+                   count(cells.n) AS n_cells_hit
+            FROM probes LEFT JOIN cells USING (hex)
+            GROUP BY 1
         """,
         "cell_morton": f"""
             WITH pts AS ({pts})
