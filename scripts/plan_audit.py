@@ -168,6 +168,26 @@ def main() -> None:
         notes="canonical-id + group-size via one hash exchange.",
     )
 
+    audit(
+        "hex_assign (aperture-7 hex binning, pure Column encode)",
+        q["hex_assign"](spark, sf_dir),
+        must=["* HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="the hex encode (mercator + rotation + cube round) is "
+              "all codegen'd Column arithmetic folded into the scan "
+              "stage; one partial-aggregatable shuffle on the cell id.",
+    )
+
+    audit(
+        "hex_kring_join (k-ring as integer shifts -> broadcast equi-join)",
+        q["hex_kring_join"](spark, sf_dir),
+        must=["* BroadcastHashJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"],
+        notes="ring probes are literal id offsets exploded on the tiny "
+              "center side and broadcast; the big cell relation "
+              "streams through the join with no shuffle.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
