@@ -61,14 +61,31 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
 
 
 def _plane_weights(n_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes: w[h][i] derives from a
-    fixed LCG-style formula — reproducible across engines/runs."""
-    m = 1_000_003
-    planes = []
-    for h in range(n_planes):
-        a = 48271 * (h + 1) + 12345
-        planes.append([((a * (i + 1) * 2654435761) % m) / m - 0.5 for i in range(dim)])
-    return planes
+    """Deterministic pseudo-random GAUSSIAN hyperplanes: Box-Muller
+    over splitmix64 streams keyed on (plane, dim) — reproducible
+    across engines/runs (the weights are embedded as literals in both
+    the Spark and DuckDB expressions, so any deterministic generator
+    keeps the twins in sync).
+
+    Gaussian, because the original LCG-style formula produced planes
+    with pairwise |cos| up to 0.99995 once 20+ planes were drawn —
+    near-duplicate planes halve the effective bit count, and the
+    bucket self-join's candidate volume blew up ~12x over the uniform
+    L*C(n,2)/2^k estimate at 23 planes (measured at 1M vectors).
+    splitmix64-mixed gaussians keep max |cos| at the ~4/sqrt(dim)
+    level random theory predicts, which is what the
+    neardup_lsh_params sizing model assumes."""
+    import numpy as np
+
+    from geospark.pages import _splitmix64, _u01
+
+    h = np.arange(n_planes, dtype=np.uint64)[:, None]
+    j = np.arange(dim, dtype=np.uint64)[None, :]
+    base = h * np.uint64(0x9E3779B97F4A7C15) + j * np.uint64(0xBF58476D1CE4E5B9)
+    u1 = np.maximum(_u01(_splitmix64(base + np.uint64(101))), 1e-12)
+    u2 = _u01(_splitmix64(base + np.uint64(202)))
+    g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return [[float(x) for x in row] for row in g]
 
 
 def lsh_bucket(emb: DataFrame, n_planes: int = 8, dim: int = 64,
@@ -210,10 +227,28 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
+def _p_collide_unrelated(k: int, dim: int) -> float:
+    """Per-table collision probability of one UNRELATED pair under k
+    shared random hyperplanes: E[(1 - theta/pi)^k] over the angle
+    between two random unit vectors in ``dim`` dims (cos has density
+    ~ (1-c^2)^((dim-3)/2)). This is NOT 2^-k: theta concentrates near
+    pi/2 but the k bits share the SAME pair of vectors, so collisions
+    correlate — at k=23, dim=64 the true value is ~4.7x larger than
+    2^-23 (measured 4.68x on 1M synthetic vectors; the 2^-k model
+    under-sized the planes and blew the candidate budget)."""
+    import numpy as np
+
+    c = np.linspace(-1.0, 1.0, 20001)[1:-1]
+    w = (1.0 - c * c) ** ((dim - 3) / 2.0)
+    p = (1.0 - np.arccos(c) / np.pi) ** k
+    return float((p * w).sum() / w.sum())
+
+
 def neardup_lsh_params(n_rows: int, threshold: float = 0.95,
                        target_recall: float = 0.9,
                        target_candidates: int = 50_000_000,
-                       max_tables: int = 256) -> tuple[int, int]:
+                       max_tables: int = 256,
+                       dim: int = 64) -> tuple[int, int]:
     """Jointly size (n_planes, n_tables) for sign-LSH near-dup so that
     BOTH the candidate budget and the recall floor hold:
 
@@ -221,14 +256,17 @@ def neardup_lsh_params(n_rows: int, threshold: float = 0.95,
       ``p1(k) = (1 - acos(threshold)/pi) ** k``
     - tables needed for overall recall r: ``L(k) =
       ceil(log(1-r) / log(1-p1(k)))`` (recall = 1-(1-p1)^L)
-    - expected unrelated candidates: ``L * C(n,2) / 2^k``
+    - expected unrelated candidates: ``L * C(n,2) * p_unrel(k, dim)``
+      with the finite-dim collision integral, not the naive 2^-k
+      (see :func:`_p_collide_unrelated`).
 
-    Candidates fall as k grows (2^k outruns L(k)), so the smallest k
-    meeting the budget minimizes total plane work L*k. The fixed
-    (8 planes, 4 tables) default tops out around n~10^5 at a 50M
-    budget; at n=5x10^6 this returns (23, 26) and at n=10^9 (41, 181)
-    — the price of recall 0.9 at cos 0.95, which is why the arrow
-    bucketer computes all L*k signs in ONE BLAS pass per batch."""
+    Candidates fall as k grows (p_unrel outruns L(k)), so the
+    smallest k meeting the budget minimizes total plane work L*k.
+    The fixed (8 planes, 4 tables) default tops out around n~10^5 at
+    a 50M budget; the auto-sized configs (tens of planes x tens of
+    tables) are the price of recall 0.9 at cos 0.95, which is why the
+    arrow bucketer computes all L*k signs in ONE BLAS pass per
+    batch."""
     import math
 
     if n_rows < 2:
@@ -251,7 +289,7 @@ def neardup_lsh_params(n_rows: int, threshold: float = 0.95,
             # to the largest k the cap allows (caller sees the log)
             k = max(6, k - 1)
             return k, min(tables_for(k), max_tables)
-        if L * pairs / (2.0 ** k) <= target_candidates:
+        if L * pairs * _p_collide_unrelated(k, dim) <= target_candidates:
             return k, L
     return 62, min(tables_for(62), max_tables)
 
@@ -412,11 +450,12 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
         n = int(n_rows) if n_rows is not None else emb.count()
         if n_tables is None:
             n_planes, n_tables = neardup_lsh_params(
-                n, threshold, target_recall, target_candidates
+                n, threshold, target_recall, target_candidates, dim=dim
             )
         else:
             n_planes = neardup_plane_count(n, n_tables, target_candidates)
-        expected = n_tables * n * max(n - 1, 0) / 2.0 / (2 ** n_planes)
+        expected = (n_tables * n * max(n - 1, 0) / 2.0
+                    * _p_collide_unrelated(n_planes, dim))
         import logging
 
         logging.getLogger("geospark.embeddings").info(

@@ -223,22 +223,59 @@ def test_embedding_neardup_auto_sizing_runs(spark):
 def test_neardup_lsh_params_joint_sizing():
     """Joint (planes, tables) sizing meets BOTH the candidate budget
     and the recall floor — the planes-only sizer can't (20+ planes at
-    4 fixed tables is ~0.4 recall at cos 0.95)."""
+    4 fixed tables is ~0.4 recall at cos 0.95). The candidate check
+    uses the finite-dim collision integral (_p_collide_unrelated),
+    not the naive 2^-k: at k~23, dim=64 the true unrelated-pair
+    collision rate is ~4.7x higher (measured on 1M synthetic vectors),
+    and the budget scales with n (10 candidates/row) so refine work
+    stays linear, not fixed."""
     import math
 
-    from geospark.embeddings import neardup_lsh_params
+    from geospark.embeddings import _p_collide_unrelated, neardup_lsh_params
 
     for n in (100_000, 5_000_000, 1_000_000_000):
-        k, L = neardup_lsh_params(n, 0.95, 0.9, 50_000_000)
+        budget = max(10 * n, 1_000_000)
+        k, L = neardup_lsh_params(n, 0.95, 0.9, budget)
         p1 = (1 - math.acos(0.95) / math.pi) ** k
         recall = 1 - (1 - p1) ** L
-        cand = L * n * (n - 1) / 2 / 2 ** k
+        cand = L * n * (n - 1) / 2 * _p_collide_unrelated(k, 64)
         assert recall >= 0.9, (n, k, L, recall)
-        assert cand <= 50_000_000, (n, k, L, cand)
-    # the documented operating points
-    assert neardup_lsh_params(5_000_000, 0.95, 0.9, 50_000_000) == (23, 26)
-    assert neardup_lsh_params(1_000_000_000, 0.95, 0.9, 50_000_000) == (41, 181)
+        assert cand <= budget, (n, k, L, cand)
+    # the documented operating points (10/row budget, dim=64 integral)
+    assert neardup_lsh_params(5_000_000, 0.95, 0.9, 50_000_000) == (26, 36)
+    assert neardup_lsh_params(
+        1_000_000_000, 0.95, 0.9, 10_000_000_000
+    ) == (38, 131)
     assert neardup_lsh_params(1, 0.95, 0.9, 50_000_000) == (6, 1)
+
+
+def test_p_collide_unrelated_vs_naive():
+    """The finite-dim collision integral exceeds 2^-k and approaches
+    it from above as dim grows (the correlation penalty e^{(2k/pi)^2
+    /2d} shrinks); a Monte-Carlo check pins the dim=64 value."""
+    import numpy as np
+
+    from geospark.embeddings import _p_collide_unrelated
+
+    for k in (8, 16, 23):
+        p64 = _p_collide_unrelated(k, 64)
+        p1024 = _p_collide_unrelated(k, 1024)
+        assert p64 > 2.0 ** -k
+        assert 2.0 ** -k < p1024 < p64
+    # Monte Carlo with shared random planes (the actual LSH setup)
+    rng = np.random.default_rng(7)
+    k, dim, n = 16, 64, 4000
+    planes = rng.standard_normal((k, dim))
+    vecs = rng.standard_normal((n, dim))
+    sigs = (vecs @ planes.T) > 0
+    # pack sign bits -> bucket id, count colliding pairs
+    weights = 1 << np.arange(k)
+    buckets = (sigs * weights).sum(axis=1)
+    _, counts = np.unique(buckets, return_counts=True)
+    pairs = float((counts * (counts - 1) // 2).sum())
+    p_mc = pairs / (n * (n - 1) / 2)
+    p_model = _p_collide_unrelated(k, dim)
+    assert 0.5 * p_model < p_mc < 2.0 * p_model, (p_mc, p_model)
 
 
 def test_arrow_bucketer_matches_sql(spark):
