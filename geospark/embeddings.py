@@ -323,8 +323,8 @@ def lsh_bucket_arrow(emb: DataFrame, n_planes: int, dim: int,
     dot in float64; order-of-summation sign flips would need
     |dot| ~ 1e-16, never observed on unit vectors). The SQL path costs
     L separate scans and L*k codegen'd array folds per row; this path
-    is the scale engine for the auto-sized configs (e.g. 26 tables x
-    23 planes at n=5M) where L*k ~ 600."""
+    is the scale engine for the auto-sized configs (e.g. 36 tables x
+    26 planes at n=5M, 10-candidates/row budget) where L*k ~ 900."""
     import numpy as np
     import pyarrow as pa
 
