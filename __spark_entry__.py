@@ -759,7 +759,7 @@ def _q_hex_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = G.events_points(spark, sf_dir)
     return (
-        pts.withColumn("hex", HX.hex_cell("lat", "lng", HEX_RES))
+        HX.with_hex_cell(pts, "lat", "lng", HEX_RES, "hex")
         .groupBy("hex")
         .agg(
             F.count("*").alias("n_points"),
@@ -779,7 +779,7 @@ def _q_hex_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = G.events_points(spark, sf_dir)
     child = (
-        pts.withColumn("hex", HX.hex_cell("lat", "lng", HEX_ROLLUP_RES))
+        HX.with_hex_cell(pts, "lat", "lng", HEX_ROLLUP_RES, "hex")
         .groupBy("hex").agg(F.count("*").alias("n"))
     )
     return (
@@ -801,12 +801,13 @@ def _q_hex_kring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = G.events_points(spark, sf_dir)
     cells = (
-        pts.withColumn("hex", HX.hex_cell("lat", "lng", HEX_RING_RES))
+        HX.with_hex_cell(pts, "lat", "lng", HEX_RING_RES, "hex")
         .groupBy("hex").agg(F.count("*").alias("n"))
     )
-    centers = pts.filter(F.col("event_id") < 40).select(
-        "event_id", HX.hex_cell("lat", "lng", HEX_RING_RES).alias("c_hex")
-    )
+    centers = HX.with_hex_cell(
+        pts.filter(F.col("event_id") < 40), "lat", "lng", HEX_RING_RES,
+        "c_hex",
+    ).select("event_id", "c_hex")
     probes = centers.select(
         "event_id",
         F.explode(F.array(*[

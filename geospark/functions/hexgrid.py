@@ -85,10 +85,80 @@ def hex_cell_from_xy(x, y, res: int) -> Column:
 
 
 def hex_cell(lat, lng, res: int) -> Column:
-    """lat/lng -> hex cell id at ``res`` (pure Column arithmetic)."""
+    """lat/lng -> hex cell id at ``res`` (pure Column arithmetic).
+
+    NOTE: composing this as ONE Column duplicates the mercator
+    subtree at every reference of qf/rf/sf (~50 copies), which blows
+    the whole-stage-codegen source past what Janino compiles quickly
+    (4-8 s per query, uncached). For hot paths prefer
+    :func:`with_hex_cell`, which computes identical values through
+    staged projections with a linear-size tree."""
     return hex_cell_from_xy(
         K.latlng_to_merc_x(_c(lng)), K.latlng_to_merc_y(_c(lat)), res
     )
+
+
+def with_hex_cell(df, lat, lng, res: int, out: str = "hex"):
+    """Staged hex encode: adds ``out`` = hex cell id of (lat, lng) at
+    ``res`` with the SAME arithmetic as :func:`hex_cell`, but each
+    shared subexpression (merc x/y, rotated coords, fractional and
+    rounded cube coords) is materialized as a real column in its own
+    projection. CollapseProject leaves expensive multiply-referenced
+    aliases un-inlined, so the expression tree stays LINEAR in size
+    instead of duplicating the mercator subtree ~50x — codegen source
+    drops from ~1 MB to a few KB and Janino compile from seconds to
+    milliseconds. Values are bit-identical (same ops, same order);
+    the whole chain still fuses into one codegen stage."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be 0..{MAX_RES}")
+    c, s, size = _COS[res], _SIN[res], _SIZE[res]
+    t = f"_hx{res}_"
+    df = df.withColumns({
+        t + "x": K.latlng_to_merc_x(_c(lng)),
+        t + "y": K.latlng_to_merc_y(_c(lat)),
+    })
+    x, y = F.col(t + "x"), F.col(t + "y")
+    df = df.withColumns({
+        t + "xr": x * F.lit(c) + y * F.lit(s),
+        t + "yr": y * F.lit(c) - x * F.lit(s),
+    })
+    xr, yr = F.col(t + "xr"), F.col(t + "yr")
+    df = df.withColumns({
+        t + "qf": (F.lit(SQRT3 / 3.0) * xr - yr / F.lit(3.0)) / F.lit(size),
+        t + "rf": (F.lit(2.0 / 3.0) * yr) / F.lit(size),
+    })
+    qf, rf = F.col(t + "qf"), F.col(t + "rf")
+    df = df.withColumns({t + "sf": -qf - rf})
+    sf = F.col(t + "sf")
+    df = df.withColumns({
+        t + "rq": F.floor(qf + F.lit(0.5)),
+        t + "rr": F.floor(rf + F.lit(0.5)),
+        t + "rs": F.floor(sf + F.lit(0.5)),
+    })
+    rq, rr, rs = F.col(t + "rq"), F.col(t + "rr"), F.col(t + "rs")
+    df = df.withColumns({
+        t + "dq": F.abs(rq.cast("double") - qf),
+        t + "dr": F.abs(rr.cast("double") - rf),
+        t + "ds": F.abs(rs.cast("double") - sf),
+    })
+    dq, dr, ds = F.col(t + "dq"), F.col(t + "dr"), F.col(t + "ds")
+    df = df.withColumns({t + "fixq": (dq > dr) & (dq > ds)})
+    fix_q = F.col(t + "fixq")
+    q = F.when(fix_q, -rr - rs).otherwise(rq)
+    r = F.when(~fix_q & (dr > ds), -rq - rs).otherwise(rr)
+    pack = (
+        F.lit(res).cast("long") * F.lit(1 << 58)
+        + (q + F.lit(OFF)) * F.lit(1 << 29)
+        + (r + F.lit(OFF))
+    ).cast("long")
+    # coalesce to a sentinel so `out` is NON-NULLABLE: otherwise a
+    # downstream equi-join infers IsNotNull(out) and predicate
+    # pushdown substitutes the alias chain all the way down, re-
+    # inlining the whole encode into one Filter condition (the exact
+    # blow-up the staging avoids). Null coordinates (only possible
+    # from null inputs) map to cell -1, which no real cell id equals.
+    df = df.withColumn(out, F.coalesce(pack, F.lit(-1)))
+    return df.drop(*[col for col in df.columns if col.startswith(t)])
 
 
 # ---------------------------------------------------------------------------

@@ -214,3 +214,29 @@ def test_hex_shift_matches_sql_join_shape(spark):
             H.hex_shift(H.hex_shift("c", dq, dr), -dq, -dr) != F.col("c")
         ).count()
         assert n_bad == 0
+
+
+def test_with_hex_cell_matches_and_stays_compact(spark):
+    """with_hex_cell produces bit-identical cells to the one-Column
+    hex_cell AND keeps the physical plan linear-size — including
+    under an equi-join, where an inferred IsNotNull(hex) used to be
+    pushed below the staged projections, re-inlining the whole encode
+    (~30 KB plan -> 4-8 s of codegen compile per query)."""
+    lat, lng = _pts(2000, seed=29)
+    df = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lat, lng))],
+        "id long, lat double, lng double",
+    )
+    staged = H.with_hex_cell(df, "lat", "lng", 9, "hex")
+    naive = df.select("id", H.hex_cell("lat", "lng", 9).alias("hex2"))
+    assert staged.join(naive, "id").filter("hex <> hex2").count() == 0
+
+    # join on the staged cell: the non-nullable output must keep the
+    # inferred join-key IsNotNull from re-inlining the encode
+    other = staged.groupBy("hex").count()
+    joined = staged.join(other, "hex")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 20_000, f"hex join plan blew up to {len(plan)} chars"
+    # the encode appears a bounded number of times (once per scan),
+    # not once per downstream reference
+    assert plan.count("85.0511287798") <= 8, plan.count("85.0511287798")
