@@ -902,7 +902,12 @@ def _q_s2_radius_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     cover must be complete or rows go missing), not a plan echo."""
     from geospark.functions import s2cell as S2
 
-    pts = G.events_points(spark, sf_dir).select("event_id", "lat", "lng")
+    # single-file testdata -> one input split; spread so the Arrow
+    # leaf encode and the refine use every core (real tables arrive
+    # in many splits and skip this)
+    pts = (G.events_points(spark, sf_dir)
+           .select("event_id", "lat", "lng")
+           .repartition(spark.sparkContext.defaultParallelism))
     pts = pts.withColumn("leaf", S2.s2_cell_udf(30)("lat", "lng"))
     out = S2.s2_radius_join(pts, G.DEMO_CENTERS, max_m=RADIUS_M)
     return out.select(

@@ -341,35 +341,56 @@ def s2_radius_join(points, centers: list[tuple[int, float, float]],
                    max_m: float, max_cells: int = 48,
                    leaf_col: str = "leaf"):
     """Exact radius join via the S2 index: per center, cover_cap ->
-    merged leaf-id intervals (broadcast) -> BETWEEN range join ->
+    (level, cell) rows broadcast -> ancestor-at-level EQUI-join ->
     exact haversine refine. Same semantics as joins.radius_join, with
-    the S2 interval set replacing the quadkey cover explosion.
+    the S2 cover replacing the quadkey cover explosion.
+
+    The join is a broadcast HASH join, not the BETWEEN interval form:
+    a point lies in cover cell C iff its ancestor at C's level equals
+    C, so each point emits one (level, ancestor) key per DISTINCT
+    cover level (3-5 for a cap cover — bounded by the level spread,
+    independent of the number of centers) and probes a hash table.
+    The earlier leaf BETWEEN [lo, hi] broadcast join degenerated to a
+    BroadcastNestedLoopJoin — O(points x intervals) predicate evals,
+    which at 10^5 centers x 100 TB is the scan's square. Cover cells
+    of one cap are DISJOINT (quadtree BFS keeps or subdivides, never
+    both), so at most one cover cell of a given query contains a
+    point — the equi-join cannot duplicate pairs; no distinct needed.
 
     ``points`` must already carry the leaf id column (one Arrow encode
     pass, amortized across every S2 consumer of the table).
     """
+    import numpy as np
     from pyspark.sql import functions as F
 
     from geospark.functions import kernels as K
 
     spark = points.sparkSession
     rows = []
+    levels: set[int] = set()
     for cid, cla, cln in centers:
-        for lo, hi in merge_ranges(cover_cap(cla, cln, max_m, max_cells)):
-            # intervals are unsigned-sorted; int64 reinterpretation is
-            # sign-consistent per interval (within one face)
-            lo64 = lo - (1 << 64) if lo >= (1 << 63) else lo
-            hi64 = hi - (1 << 64) if hi >= (1 << 63) else hi
-            rows.append((cid, cla, cln, lo64, hi64))
-    ivs = spark.createDataFrame(
-        rows, "query_id long, q_lat double, q_lng double, lo long, hi long"
+        cells = np.array(cover_cap(cla, cln, max_m, max_cells),
+                         dtype=np.uint64)
+        lvls = s2_level_np(cells)
+        for cell64, lvl in zip(as_int64(cells), lvls):
+            rows.append((cid, cla, cln, int(lvl), int(cell64)))
+            levels.add(int(lvl))
+    covers = spark.createDataFrame(
+        rows,
+        "query_id long, q_lat double, q_lng double, _lvl int, _cell long",
     )
     leaf = F.col(leaf_col)
-    cand = points.join(
-        F.broadcast(ivs), (leaf >= F.col("lo")) & (leaf <= F.col("hi"))
-    )
+    anc = points.withColumn(
+        "_a",
+        F.explode(F.array(*[
+            F.struct(F.lit(lvl).alias("_lvl"),
+                     s2_parent_col(leaf, lvl).alias("_cell"))
+            for lvl in sorted(levels)
+        ])),
+    ).select("*", "_a._lvl", "_a._cell").drop("_a")
+    cand = anc.join(F.broadcast(covers), ["_lvl", "_cell"])
     dist = K.distance(F.col("q_lat"), F.col("q_lng"), F.col("lat"),
                       F.col("lng"))
     return (cand.withColumn("dist_m", dist)
             .filter(F.col("dist_m") < max_m)
-            .drop("lo", "hi", "q_lat", "q_lng"))
+            .drop("_lvl", "_cell", "q_lat", "q_lng"))
