@@ -623,17 +623,12 @@ def _q_polyline_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, q_lat double, q_lng double",
     )
     pairs = seg.crossJoin(F.broadcast(centers))
-    c_lat, c_lng = K.closest_on_segment(
+    scored = K.with_closest_on_segment(
+        pairs, "q_lat", "q_lng", "f_lat", "f_lng", "lat", "lng",
+        "closest_lat", "closest_lng",
+    ).withColumn("dist_m", K.distance(
         F.col("q_lat"), F.col("q_lng"),
-        F.col("f_lat"), F.col("f_lng"), F.col("lat"), F.col("lng"),
-    )
-    scored = (
-        pairs.withColumn("closest_lat", c_lat)
-        .withColumn("closest_lng", c_lng)
-        .withColumn("dist_m", K.distance(
-            F.col("q_lat"), F.col("q_lng"),
-            F.col("closest_lat"), F.col("closest_lng")))
-    )
+        F.col("closest_lat"), F.col("closest_lng")))
     best = F.min(
         F.struct("dist_m", "seg_idx", "closest_lat", "closest_lng")
     ).alias("_b")

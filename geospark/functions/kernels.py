@@ -533,6 +533,98 @@ def closest_on_segment(
     return out_lat, out_lng
 
 
+def with_closest_on_segment(df, x_lat, x_lng, f_lat, f_lng, t_lat, t_lng,
+                            out_lat: str = "closest_lat",
+                            out_lng: str = "closest_lng"):
+    """Staged twin of :func:`closest_on_segment`: identical arithmetic
+    (same ops, same order — the golden fixtures hold bit-for-bit),
+    but shared subexpressions (mercator coords, segment vectors,
+    lengths, angles) become real columns in successive projections.
+    The one-Column composition duplicates the mercator subtree at
+    every reference (~40 copies -> a ~58 KB Project and seconds of
+    codegen compile); the staged tree is linear-size and stays inside
+    one whole-stage-codegen span. See hexgrid.with_hex_cell for the
+    same pattern + the CollapseProject rationale."""
+    def _col(v):
+        return F.col(v) if isinstance(v, str) else v
+
+    x_lat, x_lng, f_lat, f_lng, t_lat, t_lng = map(
+        _col, (x_lat, x_lng, f_lat, f_lng, t_lat, t_lng)
+    )
+    t = "_cos_"
+    eps = F.lit(EPSILON)
+    df = df.withColumns({
+        t + "mxx": latlng_to_merc_x(x_lng), t + "mxy": latlng_to_merc_y(x_lat),
+        t + "mfx": latlng_to_merc_x(f_lng), t + "mfy": latlng_to_merc_y(f_lat),
+        t + "mtx": latlng_to_merc_x(t_lng), t + "mty": latlng_to_merc_y(t_lat),
+    })
+    mxx, mxy = F.col(t + "mxx"), F.col(t + "mxy")
+    mfx, mfy = F.col(t + "mfx"), F.col(t + "mfy")
+    mtx, mty = F.col(t + "mtx"), F.col(t + "mty")
+    df = df.withColumns({
+        t + "segx": mtx - mfx, t + "segy": mty - mfy,
+        t + "svx": mxx - mfx, t + "svy": mxy - mfy,
+        t + "evx": mtx - mxx, t + "evy": mty - mxy,
+    })
+    segx, segy = F.col(t + "segx"), F.col(t + "segy")
+    svx, svy = F.col(t + "svx"), F.col(t + "svy")
+    evx, evy = F.col(t + "evx"), F.col(t + "evy")
+    df = df.withColumns({t + "seglen": F.sqrt(segx * segx + segy * segy)})
+    seg_len = F.col(t + "seglen")
+
+    def angle(vx, vy):
+        # try_divide: the staged column is evaluated EAGERLY (the
+        # original one-Column form only reached this division inside
+        # CASE branches that already excluded seg_len == 0 and
+        # v_len == 0). A zero divisor implies is_x or degenerate
+        # fires first, so the NULL never reaches the output.
+        v_len = F.sqrt(vx * vx + vy * vy)
+        rel = F.try_divide(segx * vx + segy * vy, seg_len * v_len)
+        return (
+            F.when(rel >= 1.0 - EPSILON, F.lit(0.0))
+            .when(rel <= -1.0 + EPSILON, F.lit(180.0))
+            .otherwise(F.acos(rel))
+        )
+
+    half_pi = F.lit(PI / 2.0)
+    df = df.withColumns({
+        t + "sa": angle(svx, svy),
+        t + "ea": angle(evx, evy),
+    })
+    start_angle, end_angle = F.col(t + "sa"), F.col(t + "ea")
+    beta = half_pi - start_angle
+    df = df.withColumns({
+        t + "off": F.sqrt(svx * svx + svy * svy) * F.sin(beta),
+    })
+    seg_offset = F.col(t + "off")
+    df = df.withColumns({
+        t + "px": mfx + seg_offset * F.try_divide(segx, seg_len),
+        t + "py": mfy + seg_offset * F.try_divide(segy, seg_len),
+        t + "isx": ((F.abs(mxx - mfx) < eps) & (F.abs(mxy - mfy) < eps))
+        | ((F.abs(mxx - mtx) < eps) & (F.abs(mxy - mty) < eps)),
+        t + "deg": seg_len < eps,
+    })
+    proj_x, proj_y = F.col(t + "px"), F.col(t + "py")
+    is_x, degenerate = F.col(t + "isx"), F.col(t + "deg")
+    df = df.withColumns({
+        out_lat: (
+            F.when(is_x, x_lat)
+            .when(degenerate, f_lat)
+            .when(start_angle >= half_pi, f_lat)
+            .when(end_angle >= half_pi, t_lat)
+            .otherwise(merc_to_lat(proj_y))
+        ),
+        out_lng: (
+            F.when(is_x, x_lng)
+            .when(degenerate, f_lng)
+            .when(start_angle >= half_pi, f_lng)
+            .when(end_angle >= half_pi, t_lng)
+            .otherwise(merc_to_lng(proj_x))
+        ),
+    })
+    return df.drop(*[col for col in df.columns if col.startswith(t)])
+
+
 # ---------------------------------------------------------------------------
 # S9 approx_closest_on_segment — equirectangular closest point +
 # squared distance (src/latlng.cc:148-193). Pure rational arithmetic

@@ -224,12 +224,14 @@ def distance_to_polyline(pairs: DataFrame, point_lat: str, point_lng: str,
             )
         ).alias("seg_idx", "_seg"),
     )
-    c_lat, c_lng = K.closest_on_segment(
-        F.col("_x_lat"), F.col("_x_lng"),
+    # staged twin (identical arithmetic, linear-size expression tree —
+    # the one-Column form built a ~58 KB Project; see kernels.py)
+    seg = K.with_closest_on_segment(
+        seg, "_x_lat", "_x_lng",
         F.col("_seg.f.lat"), F.col("_seg.f.lng"),
         F.col("_seg.t.lat"), F.col("_seg.t.lng"),
+        "closest_lat", "closest_lng",
     )
-    seg = seg.withColumn("closest_lat", c_lat).withColumn("closest_lng", c_lng)
     seg = seg.withColumn(
         "dist_m",
         K.distance(F.col("_x_lat"), F.col("_x_lng"),
