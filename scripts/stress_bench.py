@@ -123,6 +123,20 @@ def main() -> None:
 
     run("s2_cell_join_50k_cells_l12", _s2_cell_join)
 
+    def _s2_radius():
+        # mixed-level cap covers for 1k centers -> ancestor-at-level
+        # broadcast EQUI-join (one (level, ancestor) key per distinct
+        # cover level) -> exact haversine refine. The interval BETWEEN
+        # form this replaced was a BroadcastNestedLoopJoin — at 1k
+        # centers x ~40 intervals it evaluated 40k predicates per point
+        c = centers.limit(1_000).toPandas()
+        cs = list(zip(c["query_id"].tolist(), c["q_lat"].tolist(),
+                      c["q_lng"].tolist()))
+        df = points.withColumn("leaf", S2.s2_cell_udf(30)("lat", "lng"))
+        return S2.s2_radius_join(df, cs, max_m=2000.0).count()
+
+    run("s2_radius_join_1k_centers_2km", _s2_radius)
+
     from geospark.cluster import cluster_nearby
 
     def _cluster():
