@@ -742,6 +742,19 @@ def _q_pages_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity timeout) over the
+    events table — per (user, session): count, start/end, dwell, and
+    the value sum in integer cents. ONE shuffle: the windows cluster
+    on user_id and HashPartitioning(user_id) already satisfies the
+    session rollup's ClusteredDistribution (test_sessions asserts a
+    single Exchange). All arithmetic is integer microseconds/cents,
+    so the DuckDB twin (sessions.sessionize_sql) is engine-exact."""
+    from geospark.sessions import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 S2_CHECK_MOD = 97003
 S2_AGG_LEVEL, S2_AGG_PARENT = 3, 1
 S2_JOIN_LEVEL = 3
@@ -962,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "streaming_tiles": _q_streaming_tiles,
         "pages_host_stats": _q_pages_host_stats,
+        "event_sessions": _q_event_sessions,
         "hex_assign": _q_hex_assign,
         "hex_rollup": _q_hex_rollup,
         "hex_kring_join": _q_hex_kring_join,
@@ -1118,6 +1132,7 @@ def _values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from geospark.functions import hexgrid as HX
+    from geospark.sessions import sessionize_sql
 
     pts = G.EVENTS_POINTS_SQL
     _hex_sql = HX.hex_cell_sql("lat", "lng", HEX_RES)
@@ -1631,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
             ph_rows,
             [("host", "VARCHAR"), ("n_pages", "BIGINT"), ("n_langs", "BIGINT")],
         ),
+        "event_sessions": sessionize_sql(),
         "s2_cell_agg": _values_sql(
             s2a_rows,
             [("cell_l3", "BIGINT"), ("cell_l1", "BIGINT"),

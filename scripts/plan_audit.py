@@ -159,6 +159,20 @@ def main() -> None:
               "Arrow-batched numpy pass; re-leveling stays JVM-side.",
     )
 
+    audit(
+        "s2_radius_query (cap cover as ancestor-at-level equi-join)",
+        q["s2_radius_query"](spark, sf_dir),
+        must=["* BroadcastHashJoin", "ArrowEvalPython"],
+        must_not=["BatchEvalPython", "BroadcastNestedLoopJoin",
+                  "SortMergeJoin"],
+        notes="the mixed-level cap cover joins as a broadcast HASH "
+              "join on (level, ancestor) — one key per distinct cover "
+              "level, cover cells disjoint so no dedup. The interval "
+              "BETWEEN form this replaced degenerated to a "
+              "BroadcastNestedLoopJoin (O(points x intervals)); the "
+              "must_not pins that regression.",
+    )
+
     # 7. doc exact dedup: single hash shuffle
     audit(
         "doc_dedup_exact (one shuffle on the md5 content key)",
