@@ -106,3 +106,79 @@ def run_to_memory(stream_df: DataFrame, query_name: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: watermark-correct streaming sessionization
+# (applyInPandasWithState — the engine's "operator Spark lacks" path
+# for stateful streaming, per the design notes in SURVEY §7)
+# ---------------------------------------------------------------------------
+def sessionize_stream(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      watermark_delay: str = "0 seconds") -> DataFrame:
+    """Per-key gap sessions over a stream, emitted EXACTLY ONCE and
+    only when FINAL: a session is emitted when ``end + gap <`` the
+    event-time watermark. Correctness argument (order-insensitive,
+    append-mode exact): every future row has event time >= the
+    watermark (later rows are dropped by the watermark filter), and a
+    row at ``t >= wm > end + gap`` can neither extend the session nor
+    merge into it (it is > gap past the end and cannot precede the
+    start), so an emitted session can never change. Open sessions
+    stay buffered in state; the batch twin (sessions.sessionize)
+    restricted to watermark-closed sessions is the exact oracle —
+    asserted in tests/test_sessions.py.
+
+    State per key: the buffered event-time array (only events at or
+    after the last emitted session's cutoff — emitted prefixes are
+    dropped, so state size tracks OPEN sessions, not history).
+    Output: (user, session_start_us, session_end_us, n_events).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (buf,) = state.get if state.exists else ([],)
+        buf = list(buf)
+        for pdf in pdf_iter:
+            # robust to pandas datetime64 resolution ([ns] vs [us])
+            ts = (pd.to_datetime(pdf[ts_col]).values
+                  .astype("datetime64[us]").astype("int64"))
+            buf.extend(int(t) for t in ts)
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # split into sessions; emit every session provably final
+        out = []
+        cur = [buf[0]] if buf else []
+        keep_from = 0
+        done = 0  # events consumed by emitted sessions
+        for i in range(1, len(buf)):
+            if buf[i] - buf[i - 1] > gap_us:
+                if cur[-1] + gap_us < wm_us:
+                    out.append((key[0], cur[0], cur[-1], len(cur)))
+                    done += len(cur)
+                cur = [buf[i]]
+            else:
+                cur.append(buf[i])
+        # the trailing session is final only if the watermark passed it
+        if cur and cur[-1] + gap_us < wm_us:
+            out.append((key[0], cur[0], cur[-1], len(cur)))
+            done += len(cur)
+        keep_from = done
+        state.update((buf[keep_from:],))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user", "session_start_us",
+                              "session_end_us", "n_events"],
+            )
+
+    stream = events.withColumn("_wts", F.col(ts_col).cast("timestamp")) \
+        .withWatermark("_wts", watermark_delay)
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=("user long, session_start_us long, "
+                         "session_end_us long, n_events long"),
+        stateStructType="buf array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

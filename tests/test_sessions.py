@@ -122,3 +122,101 @@ def test_sessionize_oracle_twin_duckdb(spark):
         for u, i, n, s, e, d, c in con.execute(sessionize_sql()).fetchall()
     }
     assert got == want
+
+
+def test_sessionize_stream_watermark_exact(spark):
+    """Streaming sessionization (applyInPandasWithState) emits exactly
+    the watermark-FINAL sessions, each once, across multi-batch state:
+    3 parquet drops arrive as 3 micro-batches (maxFilesPerTrigger=1),
+    keys span batches, and the union of emitted rows equals the batch
+    twin (sessions.sessionize) restricted to sessions the final
+    watermark closed. Open sessions stay in state, not in output."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from geospark.streaming import sessionize_stream
+
+    tmp = tempfile.mkdtemp(prefix="geospark_sess_stream_")
+    try:
+        # batch b: user u gets events at minute offsets; user 1 has a
+        # session spanning batches 0-1 (gap 10 min), user 2's early
+        # session closes once batch 2's watermark passes it
+        gap_us = 10 * 60 * 1_000_000
+        batches = [
+            [(1, 0), (1, 5), (2, 0)],          # t in minutes
+            [(1, 12), (2, 100), (3, 40)],      # u1: 12-5=7 < 10 -> same session
+            [(1, 200), (2, 210), (3, 220)],    # wm jumps to 100 then 200+
+        ]
+        rows_all = []
+        for b, evs in enumerate(batches):
+            df = spark.createDataFrame(
+                [(u, datetime.datetime(2024, 1, 1)
+                  + datetime.timedelta(minutes=m), float(u))
+                 for u, m in evs],
+                "user_id long, ts timestamp, value double",
+            ).coalesce(1)
+            df.write.mode("overwrite").parquet(f"{tmp}/b{b}")
+            # single drop dir with sortable names -> deterministic
+            # batch order under maxFilesPerTrigger=1
+            os.makedirs(f"{tmp}/drop", exist_ok=True)
+            for i, f in enumerate(sorted(glob.glob(f"{tmp}/b{b}/*.parquet"))):
+                shutil.copy(f, f"{tmp}/drop/batch-{b}-{i}.parquet")
+            rows_all.extend(evs)
+
+        stream = (
+            spark.readStream
+            .schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/drop")
+        )
+        out = sessionize_stream(stream, gap_us=gap_us)
+        q = (out.writeStream.format("memory")
+             .queryName("sess_stream_test")
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(300)
+        got = {
+            (r["user"], r["session_start_us"], r["session_end_us"],
+             r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_stream_test").collect()
+        }
+
+        # batch twin on the full data; final watermark = max event time
+        # through the SECOND-TO-LAST processed batch... conservatively,
+        # every session the stream emitted must be a real batch session
+        # and every session closed WELL before the final data must have
+        # been emitted (u1's 0-12 min session, u2's t=0 and t=100
+        # singletons, u3's t=40 singleton).
+        full = spark.createDataFrame(
+            [(i, u, datetime.datetime(2024, 1, 1)
+              + datetime.timedelta(minutes=m), float(u))
+             for i, (u, m) in enumerate(rows_all)],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        batch_sessions = {
+            (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+            for r in sessionize(full, gap_us=gap_us).collect()
+        }
+        assert got <= batch_sessions, got - batch_sessions
+        base = int(datetime.datetime(
+            2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+        m = 60 * 1_000_000
+        # the watermark lags one batch (batch 3 processes under
+        # wm = max event time through batch 2 = t=100min), so exactly
+        # the sessions with end + gap < 100min can finalize; u2's
+        # t=100 singleton (end+gap = 110) stays open in state
+        must_emit = {
+            (1, base + 0 * m, base + 12 * m, 3),
+            (2, base + 0 * m, base + 0 * m, 1),
+            (3, base + 40 * m, base + 40 * m, 1),
+        }
+        assert got == must_emit, got ^ must_emit
+        # the final-batch sessions (t ~ 200+) cannot be watermark-final
+        for u, s, e, n in got:
+            assert e < base + 200 * m, (u, s, e, n)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
