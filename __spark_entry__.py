@@ -451,6 +451,18 @@ def _q_doc_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
+def _q_doc_dedup_neardup(spark, sf_dir):
+    """Keep-one near-dup dedup: minhash LSH pairs -> exact-Jaccard
+    refine -> large/small-star connected components -> canonical id
+    per duplicate CLUSTER (transitive closure, not just pairs)."""
+    from geospark.graph import neardup_dedup
+    from geospark.textops import minhash_neardup_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_neardup_pairs(docs, threshold=MINHASH_T)
+    return neardup_dedup(docs, pairs)
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from geospark.textops import fingerprint
 
@@ -996,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_jaccard_pairs": _q_doc_jaccard_pairs,
         "doc_minhash_lsh": _q_doc_minhash_lsh,
+        "doc_dedup_neardup": _q_doc_dedup_neardup,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -1212,6 +1225,38 @@ def oracle_sql() -> dict[str, str]:
         + ") AS sig FROM mh"
         for b in range(4)
     )
+    # LSH candidate -> exact-Jaccard-refine pair relation, shared by the
+    # pair query and the keep-one dedup closure
+    minhash_pairs_ctes = f"""{shingle_cte},
+            hx AS (SELECT doc_id,
+                          {_duck_md5_60('shingle')} % {HASH_P} AS x
+                   FROM sh),
+            mh AS (SELECT doc_id, {mh_select} FROM hx GROUP BY doc_id),
+            bands AS (
+                {band_selects}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+                SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_inter
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.doc_id_a
+                JOIN sh b ON b.doc_id = c.doc_id_b AND a.shingle = b.shingle
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_id_a, doc_id_b,
+                       n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS jac
+                FROM inter
+                JOIN sizes sa ON doc_id_a = sa.doc_id
+                JOIN sizes sb ON doc_id_b = sb.doc_id
+                WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter)
+                      >= {MINHASH_T}
+            )"""
+
     sim_sums = ", ".join(
         f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN w ELSE -w END) AS s_{j}"
         for j in range(SIMHASH_BITS)
@@ -1541,33 +1586,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_minhash_lsh": f"""
-            WITH {shingle_cte},
-            hx AS (SELECT doc_id,
-                          {_duck_md5_60('shingle')} % {HASH_P} AS x
-                   FROM sh),
-            mh AS (SELECT doc_id, {mh_select} FROM hx GROUP BY doc_id),
-            bands AS (
-                {band_selects}
+            WITH {minhash_pairs_ctes}
+            SELECT doc_id_a, doc_id_b, round(jac, 6) AS jaccard FROM pairs
+        """,
+        "doc_dedup_neardup": f"""
+            WITH RECURSIVE {minhash_pairs_ctes},
+            und AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+                    UNION ALL
+                    SELECT doc_id_b, doc_id_a FROM pairs),
+            -- transitive closure by fixpoint label flooding: min
+            -- reachable id == component id (an INDEPENDENT closure
+            -- algorithm vs Spark's large-star/small-star contraction)
+            reach(node, lbl) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.a, r.lbl FROM und u JOIN reach r ON r.node = u.b
             ),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-                FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-            ),
-            inter AS (
-                SELECT c.doc_id_a, c.doc_id_b, count(*) AS n_inter
-                FROM cand c
-                JOIN sh a ON a.doc_id = c.doc_id_a
-                JOIN sh b ON b.doc_id = c.doc_id_b AND a.shingle = b.shingle
-                GROUP BY 1, 2
-            )
-            SELECT doc_id_a, doc_id_b,
-                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6)
-                       AS jaccard
-            FROM inter
-            JOIN sizes sa ON doc_id_a = sa.doc_id
-            JOIN sizes sb ON doc_id_b = sb.doc_id
-            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {MINHASH_T}
+            comp AS (SELECT node, min(lbl) AS canonical FROM reach
+                     GROUP BY node)
+            SELECT d.doc_id,
+                   coalesce(c.canonical, d.doc_id) AS canonical_id,
+                   CAST(CASE WHEN c.canonical IS NOT NULL
+                             AND c.canonical <> d.doc_id
+                        THEN 1 ELSE 0 END AS INT) AS is_dup
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         """,
         "doc_simhash_pairs": f"""
             WITH tok AS (

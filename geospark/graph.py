@@ -1,0 +1,141 @@
+"""Distributed connected components — the graph closure behind
+keep-one near-dup deduplication.
+
+The dedup family (minhash LSH, simhash, embedding near-dup) emits
+*pairs*; an actual training-data pipeline needs the transitive
+closure: one canonical document per duplicate CLUSTER, not per pair
+(A~B and B~C must collapse A,B,C together even when A~C was never
+emitted). The reference's analogue is the single-linkage stage of
+``cluster_nearby`` (/root/reference/src/cluster_nearby.cc:58-95) —
+connected components over the "within max_dist" graph; here the edge
+relation is arbitrary (text/embedding similarity), so the spatial
+region trick used by geospark.cluster does not apply.
+
+Algorithm: alternating **large-star / small-star** (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond", SoCC'14). Each half-round is one shuffle
+(groupBy-min + re-emit); the edge set provably converges to a union
+of min-rooted stars in O(log n) rounds (O(log² n) worst case), with
+NO driver-side collect and NO per-row Python — every step is a
+Catalyst join/aggregate, so AQE handles skew (a viral duplicate
+cluster is one hot root) and the plan survives a 1000-executor
+deployment unchanged. Flat min-label propagation was rejected for
+the same reason it was rejected for spatial clustering in round 1:
+it needs O(component diameter) rounds and duplicate chains (shingle
+drift across near-identical boilerplate) make deep path graphs.
+
+Convergence detection is exact, not heuristic: a star graph is
+reached iff every source node points at exactly one target and no
+target is itself a source (two cheap aggregates per round) — no
+checksum-equality gamble.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geospark.spool import spool
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) undirected -> for each node u attach all strictly-larger
+    neighbors to min(Γ(u) ∪ {u}). Keeps every component connected and
+    strictly reduces large-neighbor depth."""
+    n = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    m = n.groupBy("a").agg(F.min("b").alias("_mn"))
+    m = m.select("a", F.least("_mn", F.col("a")).alias("m"))
+    return (
+        n.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge high->low; for each high node u attach u and
+    all its smaller neighbors to their minimum."""
+    o = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    m = o.groupBy("a").agg(F.min("b").alias("m"))
+    leaf = o.join(m, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
+    center = m.select(F.col("a"), F.col("m").alias("b"))
+    return (
+        leaf.union(center)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _is_star_forest(edges: DataFrame) -> bool:
+    """Exact terminal test: every source has exactly one target and no
+    target is also a source (then edges are (leaf -> component root))."""
+    multi = (
+        edges.groupBy("a").agg(F.countDistinct("b").alias("k"))
+        .filter(F.col("k") > 1).limit(1).count()
+    )
+    if multi:
+        return False
+    overlap = (
+        edges.select("b").join(edges.select(F.col("a").alias("b")), "b")
+        .limit(1).count()
+    )
+    return overlap == 0
+
+
+def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
+                         max_rounds: int = 50) -> DataFrame:
+    """``(node, component)`` for every node that appears in ``edges``;
+    ``component`` is the minimum node id of the connected component
+    (the same min-canonical labeling cluster_nearby ships, so dedup
+    keeps the lowest doc_id of each duplicate cluster).
+
+    Isolated nodes never enter ``edges`` and are absent from the
+    output — callers left-join and ``coalesce(component, node)``.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = spool(e, "cc_edges")
+    for _ in range(max_rounds):
+        if _is_star_forest(e):
+            break
+        e = spool(_small_star(_large_star(e)), "cc_round")
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            f"large/small-star rounds (theory: O(log^2 n))"
+        )
+    leaves = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = e.select(F.col("b").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return leaves.unionByName(roots)
+
+
+def neardup_dedup(docs: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Keep-one dedup over a near-dup PAIR relation: transitive
+    closure of the pairs, canonical id = min doc id of each duplicate
+    cluster. Returns every input doc with ``(id, canonical_id,
+    is_dup)`` — filter ``~is_dup`` to materialize the deduplicated
+    corpus. ``pairs`` must expose ``{id_col}_a`` / ``{id_col}_b``
+    (the shape minhash_neardup_pairs / simhash_pairs /
+    embedding_neardup_pairs all emit)."""
+    comp = connected_components(pairs, f"{id_col}_a", f"{id_col}_b")
+    return (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn(
+            "is_dup", (F.col("canonical_id") != F.col(id_col)).cast("int")
+        )
+    )

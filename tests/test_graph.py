@@ -1,0 +1,98 @@
+"""Connected components (large-star/small-star) and keep-one dedup.
+
+Brute-force parity: every graph shape that breaks naive approaches —
+deep chains (defeat O(diameter) label propagation assumptions),
+cliques (the LSH near-dup shape), stars, crossing components, and
+random Erdős–Rényi graphs — checked against a plain union-find.
+"""
+
+import numpy as np
+import pytest
+
+from geospark.graph import connected_components, neardup_dedup
+
+
+def _brute_cc(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    return {n: find(n) for n in nodes}
+
+
+def _check(spark, edges: list[tuple[int, int]], max_rounds: int = 50):
+    df = spark.createDataFrame(edges, "a long, b long")
+    got_rows = connected_components(df, max_rounds=max_rounds).collect()
+    got = {r["node"]: r["component"] for r in got_rows}
+    assert len(got) == len(got_rows), "duplicate node rows"
+    want = _brute_cc(edges)
+    assert got == want
+
+
+def test_cc_chain_deep(spark):
+    # a 120-node path: diameter 119 >> the O(log n) round budget —
+    # converging inside max_rounds proves the star-contraction is
+    # doing exponential (not linear) progress
+    _check(spark, [(i, i + 1) for i in range(120)], max_rounds=14)
+
+
+def test_cc_cliques_and_bridges(spark):
+    edges = []
+    # three 6-cliques, two bridged
+    for base in (0, 100, 200):
+        edges += [(base + i, base + j) for i in range(6) for j in range(i + 1, 6)]
+    edges += [(5, 100), (104, 205)]  # one component of all three
+    # plus an isolated pair and a reversed-order edge
+    edges += [(9999, 9000), (501, 500)]
+    _check(spark, edges)
+
+
+def test_cc_star_already_converged(spark):
+    _check(spark, [(0, i) for i in range(1, 30)])
+
+
+def test_cc_random_graphs(spark):
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        n = 300
+        m = [60, 300, 900][trial]
+        a = rng.randint(0, n, m)
+        b = rng.randint(0, n, m)
+        edges = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+        _check(spark, edges)
+
+
+def test_cc_self_loops_and_dupes_ignored(spark):
+    _check(spark, [(1, 1), (1, 2), (2, 1), (1, 2), (3, 3), (3, 4)])
+
+
+def test_neardup_dedup_keep_one(spark):
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (7, 8)], "doc_id_a long, doc_id_b long"
+    )
+    out = {r["doc_id"]: (r["canonical_id"], r["is_dup"])
+           for r in neardup_dedup(docs, pairs).collect()}
+    assert out == {
+        0: (0, 0), 1: (1, 0), 2: (2, 0), 3: (1, 1), 4: (4, 0),
+        5: (1, 1), 6: (6, 0), 7: (7, 0), 8: (7, 1), 9: (9, 0),
+    }
+    kept = sorted(d for d, (_, dup) in out.items() if not dup)
+    assert kept == [0, 1, 2, 4, 6, 7, 9]
+
+
+def test_cc_round_budget_error(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_rounds=1).collect()
