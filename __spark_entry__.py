@@ -767,6 +767,38 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-click attribution: each purchase matched to the user's
+    most recent click at-or-before the purchase timestamp — the as-of
+    join (geospark.asof), ONE shuffle on user_id via union + window,
+    no range self-join. The DuckDB oracle uses the engine's NATIVE
+    ASOF JOIN, i.e. a genuinely independent algorithm for the same
+    semantics. Tie rule both sides: several clicks at one (user, ts)
+    resolve to the max event_id; unmatched purchases carry -1."""
+    from geospark.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, by="user_id")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.coalesce("click_id_r", F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+            - F.floor(
+                F.unix_micros(F.col("ts_r").cast("timestamp")) / 1_000_000
+            ),
+            F.lit(-1),
+        ).alias("gap_s"),
+    )
+
+
 S2_CHECK_MOD = 97003
 S2_AGG_LEVEL, S2_AGG_PARENT = 3, 1
 S2_JOIN_LEVEL = 3
@@ -988,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tiles": _q_streaming_tiles,
         "pages_host_stats": _q_pages_host_stats,
         "event_sessions": _q_event_sessions,
+        "events_attribution": _q_events_attribution,
         "hex_assign": _q_hex_assign,
         "hex_rollup": _q_hex_rollup,
         "hex_kring_join": _q_hex_kring_join,
@@ -1689,6 +1722,17 @@ def oracle_sql() -> dict[str, str]:
             [("host", "VARCHAR"), ("n_pages", "BIGINT"), ("n_langs", "BIGINT")],
         ),
         "event_sessions": sessionize_sql(),
+        "events_attribution": """
+            WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, max(event_id) AS click_id
+                  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT p.purchase_id, p.user_id,
+                   coalesce(c.click_id, -1) AS click_id,
+                   coalesce(date_diff('second', c.ts, p.ts), -1) AS gap_s
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
         "s2_cell_agg": _values_sql(
             s2a_rows,
             [("cell_l3", "BIGINT"), ("cell_l1", "BIGINT"),

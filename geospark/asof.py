@@ -1,0 +1,93 @@
+"""As-of (temporal nearest-key) join — last-prior / next-after match.
+
+The training-data pipeline shape: attribute each fact row (purchase,
+label, page snapshot) to the most recent dimension row at-or-before
+its timestamp (``direction="backward"``), or the earliest one
+at-or-after (``"forward"``). Spark has no built-in as-of join; the
+classic distributed re-expression is the UNION + WINDOW trick:
+
+    union(left, right) sorted by (key, ts, side) →
+    last(right_value, ignorenulls) over rows-unbounded-preceding
+
+so the whole operator is ONE shuffle on the join key plus a window
+sort — the same plan shape as sessionization, no per-row Python, no
+range self-join blowup. At 100 TB both inputs shuffle once on ``by``;
+a hot key (viral user) serializes only its own partition's sort, and
+the window is rows-based so it streams without buffering the frame.
+
+Determinism: several right rows can share (by, ts). They are reduced
+first to the lexicographically greatest struct of the carried value
+columns (one partial-aggregatable groupBy on the same shuffle key),
+so the match is a pure function of the data, never of task order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, by: str | list[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: list[str] | None = None, suffix: str = "_r",
+              direction: str = "backward", strict: bool = False,
+              tolerance_s: int | None = None) -> DataFrame:
+    """Match each ``left`` row to the nearest ``right`` row of the same
+    ``by`` key at-or-before (``backward``) / at-or-after (``forward``)
+    its timestamp; ``strict=True`` excludes equal timestamps. Returns
+    every left row (left-outer semantics) with the matched right value
+    columns appended as ``<col><suffix>`` plus ``<right_ts><suffix>``
+    (all null when no right row qualifies). ``tolerance_s`` voids
+    matches farther than that many seconds."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by_list = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in by_list and c != right_ts]
+
+    # ties among right rows at one (by, ts): keep the max value struct
+    # (deterministic; partial-aggregatable map-side)
+    r = right.groupBy(*by_list, F.col(right_ts).alias("_ts")).agg(
+        F.max(F.struct(*[F.col(c) for c in right_cols])).alias("_v")
+    )
+    # side ordering encodes the inclusive/strict boundary rule: the
+    # right row at an equal timestamp must sort inside the left row's
+    # window frame iff the match is inclusive
+    kind_r = int(strict ^ (direction == "forward"))
+    r = r.withColumn("_k", F.lit(kind_r)).withColumn("_is_l", F.lit(False))
+    l = (
+        left.withColumn("_ts", F.col(left_ts))
+        .withColumn("_k", F.lit(1 - kind_r))
+        .withColumn("_is_l", F.lit(True))
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    w = Window.partitionBy(*by_list).orderBy("_ts", "_k")
+    # the probe struct is null on LEFT rows (ignorenulls then skips
+    # them), and carries (right ts, value struct) on right rows
+    probe = F.when(~F.col("_is_l"), F.struct(
+        F.col("_ts").alias("_rts"), F.col("_v")
+    ))
+    if direction == "backward":
+        frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        matched = F.last(probe, ignorenulls=True).over(frame)
+    else:
+        frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        matched = F.first(probe, ignorenulls=True).over(frame)
+
+    out = u.withColumn("_m", matched).filter(F.col("_is_l"))
+    if tolerance_s is not None:
+        # unix_micros via a plain-timestamp cast: works for both
+        # TIMESTAMP and TIMESTAMP_NTZ inputs (NTZ has no direct long cast)
+        gap = F.abs(
+            F.unix_micros(F.col("_ts").cast("timestamp"))
+            - F.unix_micros(F.col("_m._rts").cast("timestamp"))
+        ) / 1_000_000.0
+        out = out.withColumn(
+            "_m", F.when(gap <= F.lit(int(tolerance_s)), F.col("_m"))
+        )
+    sel = [F.col(c) for c in left.columns]
+    sel.append(F.col("_m._rts").alias(f"{right_ts}{suffix}"))
+    sel += [F.col(f"_m._v.{c}").alias(f"{c}{suffix}") for c in right_cols]
+    return out.select(*sel)

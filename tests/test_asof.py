@@ -1,0 +1,108 @@
+"""As-of join: brute-force parity over random event streams, all four
+(direction, strict) corners, equal-timestamp ties, tolerance, and the
+one-shuffle plan shape."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from geospark.asof import asof_join
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _brute(left, right, direction, strict, tolerance_s=None):
+    """left/right: list of (key, ts, id). Returns {left_id: right_id|None}.
+    Ties among right rows at one (key, ts) resolve to max id (the
+    operator's max-struct rule with id as the only value column)."""
+    best = {}
+    for lk, lts, lid in left:
+        cands = []
+        for rk, rts, rid in right:
+            if rk != lk:
+                continue
+            if direction == "backward":
+                ok = rts < lts if strict else rts <= lts
+            else:
+                ok = rts > lts if strict else rts >= lts
+            if ok and (tolerance_s is None or abs(lts - rts) <= tolerance_s):
+                cands.append((rts, rid))
+        if not cands:
+            best[lid] = None
+        elif direction == "backward":
+            mts = max(c[0] for c in cands)
+            best[lid] = max(r for t, r in cands if t == mts)
+        else:
+            mts = min(c[0] for c in cands)
+            best[lid] = max(r for t, r in cands if t == mts)
+    return best
+
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(s):
+    return EPOCH + dt.timedelta(seconds=int(s))
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_random_parity(spark, direction, strict):
+    rng = np.random.RandomState(11 + (direction == "forward") + 2 * strict)
+    nkeys = 6
+    left, right = [], []
+    lid = rid = 0
+    for _ in range(120):
+        k = int(rng.randint(0, nkeys))
+        t = int(rng.randint(0, 40))  # dense -> many exact ties
+        if rng.rand() < 0.5:
+            left.append((k, t, lid := lid + 1))
+        else:
+            right.append((k, t, rid := rid + 1))
+    ldf = _mk(spark, [(k, _ts(t), i) for k, t, i in left],
+              "user_id int, ts timestamp, lid long")
+    rdf = _mk(spark, [(k, _ts(t), i) for k, t, i in right],
+              "user_id int, ts timestamp, rid long")
+    out = asof_join(ldf, rdf, by="user_id", direction=direction,
+                    strict=strict)
+    got = {r["lid"]: r["rid_r"] for r in out.collect()}
+    want = _brute(left, right, direction, strict)
+    assert got == want
+
+
+def test_asof_tolerance_and_no_match(spark):
+    left = [(1, 100, 1), (1, 200, 2), (2, 50, 3)]
+    right = [(1, 90, 10), (1, 110, 11), (3, 1, 12)]
+    ldf = _mk(spark, [(k, _ts(t), i) for k, t, i in left],
+              "user_id int, ts timestamp, lid long")
+    rdf = _mk(spark, [(k, _ts(t), i) for k, t, i in right],
+              "user_id int, ts timestamp, rid long")
+    out = asof_join(ldf, rdf, by="user_id", tolerance_s=30)
+    got = {r["lid"]: r["rid_r"] for r in out.collect()}
+    assert got == _brute(left, right, "backward", False, tolerance_s=30)
+    assert got[2] is None   # nearest prior is 90s away > 30s
+    assert got[3] is None   # no right rows for key 2 at all
+
+
+def test_asof_carries_multiple_value_cols(spark):
+    ldf = _mk(spark, [(1, _ts(10), 1)], "user_id int, ts timestamp, lid long")
+    rdf = _mk(spark, [(1, _ts(5), 7, "a"), (1, _ts(5), 9, "b")],
+              "user_id int, ts timestamp, rid long, tag string")
+    row = asof_join(ldf, rdf, by="user_id").collect()[0]
+    # max-struct tie rule: (9, 'b') beats (7, 'a') lexicographically
+    assert (row["rid_r"], row["tag_r"], row["ts_r"]) == (9, "b", _ts(5))
+
+
+def test_asof_single_shuffle_plan(spark):
+    ldf = _mk(spark, [(1, _ts(10), 1)], "user_id int, ts timestamp, lid long")
+    rdf = _mk(spark, [(1, _ts(5), 7)], "user_id int, ts timestamp, rid long")
+    plan = asof_join(ldf, rdf, by="user_id")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # one window over the union; no join operator at all
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
