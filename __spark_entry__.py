@@ -799,6 +799,33 @@ def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAJ_COVER_Z = 5
+
+
+def _q_traj_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector->raster: rasterize every user trajectory's segments into
+    the zoom-5 tiles they cross (cells.segment_tile_cover — scanline
+    supercover, output-linear explode, all JVM codegen) and aggregate
+    per tile. One shuffle (user window) + one shuffle (tile agg)."""
+    from geospark.cells import segment_tile_cover
+
+    pts = G.events_points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.select("user_id", "ts", "event_id", "lat", "lng")
+        .withColumn("lat0", F.lag("lat").over(w))
+        .withColumn("lng0", F.lag("lng").over(w))
+        .filter(F.col("lat0").isNotNull())
+        .select("user_id", "lat0", "lng0",
+                F.col("lat").alias("lat1"), F.col("lng").alias("lng1"))
+    )
+    cov = segment_tile_cover(seg, TRAJ_COVER_Z)
+    return cov.groupBy("tile_x", "tile_y").agg(
+        F.count("*").alias("n_segs"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 S2_CHECK_MOD = 97003
 S2_AGG_LEVEL, S2_AGG_PARENT = 3, 1
 S2_JOIN_LEVEL = 3
@@ -1021,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_host_stats": _q_pages_host_stats,
         "event_sessions": _q_event_sessions,
         "events_attribution": _q_events_attribution,
+        "traj_tile_cover": _q_traj_tile_cover,
         "hex_assign": _q_hex_assign,
         "hex_rollup": _q_hex_rollup,
         "hex_kring_join": _q_hex_kring_join,
@@ -1722,6 +1750,70 @@ def oracle_sql() -> dict[str, str]:
             [("host", "VARCHAR"), ("n_pages", "BIGINT"), ("n_langs", "BIGINT")],
         ),
         "event_sessions": sessionize_sql(),
+        "traj_tile_cover": f"""
+            WITH pts AS ({pts}),
+            seg AS (
+                SELECT user_id,
+                       lag(lat) OVER w AS lat0, lag(lng) OVER w AS lng0,
+                       lat AS lat1, lng AS lng1
+                FROM pts
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            px AS (
+                SELECT user_id,
+                       {G.ctile_x_sql('lng0', TRAJ_COVER_Z)} AS px0,
+                       {G.ctile_y_sql('lat0', TRAJ_COVER_Z)} AS py0,
+                       {G.ctile_x_sql('lng1', TRAJ_COVER_Z)} AS px1,
+                       {G.ctile_y_sql('lat1', TRAJ_COVER_Z)} AS py1
+                FROM seg WHERE lat0 IS NOT NULL
+            ),
+            norm AS (
+                SELECT user_id,
+                       CASE WHEN py0 <= py1 THEN px0 ELSE px1 END AS px0s,
+                       CASE WHEN py0 <= py1 THEN py0 ELSE py1 END AS py0s,
+                       CASE WHEN py0 <= py1 THEN px1 ELSE px0 END AS px1s,
+                       CASE WHEN py0 <= py1 THEN py1 ELSE py0 END AS py1s
+                FROM px
+            ),
+            rows_ AS (
+                SELECT user_id, px0s, py0s, px1s, py1s,
+                       unnest(generate_series(CAST(floor(py0s) AS BIGINT),
+                                              CAST(floor(py1s) AS BIGINT)))
+                           AS ty
+                FROM norm
+            ),
+            clamp AS (
+                SELECT user_id, px0s, py0s, px1s, py1s, ty,
+                       greatest(py0s, CAST(ty AS DOUBLE)) AS ylo,
+                       least(py1s, CAST(ty + 1 AS DOUBLE)) AS yhi
+                FROM rows_
+            ),
+            tt AS (
+                SELECT user_id, px0s, px1s, ty,
+                       CASE WHEN py1s = py0s THEN 0.0
+                            ELSE (ylo - py0s) / (py1s - py0s) END AS t0,
+                       CASE WHEN py1s = py0s THEN 1.0
+                            ELSE (yhi - py0s) / (py1s - py0s) END AS t1
+                FROM clamp
+            ),
+            xx AS (
+                SELECT user_id, ty,
+                       px0s + (px1s - px0s) * t0 AS x0,
+                       px0s + (px1s - px0s) * t1 AS x1
+                FROM tt
+            ),
+            tiles AS (
+                SELECT user_id, ty,
+                       unnest(generate_series(
+                           CAST(floor(least(x0, x1)) AS BIGINT),
+                           CAST(floor(greatest(x0, x1)) AS BIGINT))) AS tx
+                FROM xx
+            )
+            SELECT tx AS tile_x, ty AS tile_y,
+                   count(*) AS n_segs,
+                   count(DISTINCT user_id) AS n_users
+            FROM tiles GROUP BY 1, 2
+        """,
         "events_attribution": """
             WITH p AS (SELECT event_id AS purchase_id, user_id, ts
                        FROM events WHERE event_type = 'purchase'),

@@ -248,3 +248,86 @@ def tile_rollup(tiles: DataFrame, agg_exprs: list[Column], to_zoom: int,
         .agg(*agg_exprs)
         .withColumn("zoom", F.lit(int(to_zoom)))
     )
+
+
+def ctile_x(lng, zoom: int) -> Column:
+    """Continuous (fractional) tile-x at ``zoom``: 0 .. 2^z over the
+    mercator world. SQL twin: geodata.ctile_x_sql."""
+    return (
+        (K.latlng_to_merc_x(lng) + F.lit(K.MERC_ORIGIN_SHIFT))
+        / F.lit(2.0 * K.MERC_ORIGIN_SHIFT) * F.lit(float(1 << zoom))
+    )
+
+
+def ctile_y(lat, zoom: int) -> Column:
+    return (
+        (F.lit(K.MERC_ORIGIN_SHIFT) - K.latlng_to_merc_y(lat))
+        / F.lit(2.0 * K.MERC_ORIGIN_SHIFT) * F.lit(float(1 << zoom))
+    )
+
+
+def segment_tile_cover(df: DataFrame, zoom: int,
+                       lat0: str = "lat0", lng0: str = "lng0",
+                       lat1: str = "lat1", lng1: str = "lng1") -> DataFrame:
+    """Explode each row's segment into the (tile_x, tile_y) tiles it
+    crosses at ``zoom`` — vector->raster line rasterization, the
+    missing half of the raster<->vector pair (tile_rollup is the
+    raster side). Scanline supercover:
+
+      1. project endpoints to CONTINUOUS tile coords (no pixel
+         rounding), swap so y ascends;
+      2. one row per integer y-row the segment passes
+         (``sequence(floor(y0), floor(y1))`` — O(Δy), NOT the O(Δx·Δy)
+         bbox explosion a cover-by-rectangle would cost on long
+         segments);
+      3. per row, the crossed x-range is contiguous (x is linear in
+         y): inverse-lerp the row's clamped y-interval, floor both
+         ends, ``sequence`` again — total output rows == supercover
+         size, so the explode factor is exactly the answer size.
+
+    Everything is JVM Column math (codegen; no UDF); rows and tiles
+    derive term-by-term like the DuckDB twin (geodata.ctile_*_sql).
+    Boundary rule: intervals are CLOSED on both ends, so a segment
+    passing exactly through a tile edge/corner (measure-zero except
+    at lat=0 / lng=0 lattice points) reports both adjacent tiles.
+    Antimeridian: segments are straight lines in mercator space (no
+    lng wrap) — same convention as the reference's polylines."""
+    staged = df.withColumns({
+        "_px0": ctile_x(F.col(lng0), zoom), "_py0": ctile_y(F.col(lat0), zoom),
+        "_px1": ctile_x(F.col(lng1), zoom), "_py1": ctile_y(F.col(lat1), zoom),
+    })
+    asc = F.col("_py0") <= F.col("_py1")
+    staged = staged.withColumns({
+        "_px0s": F.when(asc, F.col("_px0")).otherwise(F.col("_px1")),
+        "_py0s": F.when(asc, F.col("_py0")).otherwise(F.col("_py1")),
+        "_px1s": F.when(asc, F.col("_px1")).otherwise(F.col("_px0")),
+        "_py1s": F.when(asc, F.col("_py1")).otherwise(F.col("_py0")),
+    }).drop("_px0", "_py0", "_px1", "_py1")
+    rows = staged.withColumn(
+        "tile_y", F.explode(F.sequence(F.floor("_py0s"), F.floor("_py1s")))
+    )
+    rows = rows.withColumns({
+        "_ylo": F.greatest(F.col("_py0s"), F.col("tile_y").cast("double")),
+        "_yhi": F.least(F.col("_py1s"),
+                        (F.col("tile_y") + F.lit(1)).cast("double")),
+    })
+    flat = F.col("_py1s") == F.col("_py0s")
+    dy = F.col("_py1s") - F.col("_py0s")
+    rows = rows.withColumns({
+        "_t0": F.when(flat, F.lit(0.0))
+                .otherwise((F.col("_ylo") - F.col("_py0s")) / dy),
+        "_t1": F.when(flat, F.lit(1.0))
+                .otherwise((F.col("_yhi") - F.col("_py0s")) / dy),
+    })
+    dx = F.col("_px1s") - F.col("_px0s")
+    rows = rows.withColumns({
+        "_x0": F.col("_px0s") + dx * F.col("_t0"),
+        "_x1": F.col("_px0s") + dx * F.col("_t1"),
+    })
+    rows = rows.withColumn(
+        "tile_x",
+        F.explode(F.sequence(F.floor(F.least("_x0", "_x1")),
+                             F.floor(F.greatest("_x0", "_x1")))),
+    )
+    return rows.drop("_px0s", "_py0s", "_px1s", "_py1s", "_ylo", "_yhi",
+                     "_t0", "_t1", "_x0", "_x1")

@@ -322,3 +322,18 @@ def demo_layer_pip_sql(lat: str, lng: str) -> list[tuple[int, str]]:
         (aid, area_pip_sql(lat, lng, spec["outers"], spec["inners"]))
         for aid, spec in DEMO_RINGS.items()
     ]
+
+
+def ctile_x_sql(lng: str, z: int) -> str:
+    """Continuous (fractional) tile-x at zoom z — the scanline
+    supercover's coordinate system (no pixel rounding; the P3
+    x-trunc/y-round asymmetry applies to integer pixels only)."""
+    two_shift = repr(2.0 * K.MERC_ORIGIN_SHIFT)
+    return (f"(({merc_x_sql(lng)} + {SHIFT}) / {two_shift}"
+            f" * {float(1 << z)!r})")
+
+
+def ctile_y_sql(lat: str, z: int) -> str:
+    two_shift = repr(2.0 * K.MERC_ORIGIN_SHIFT)
+    return (f"(({SHIFT} - {merc_y_sql(lat)}) / {two_shift}"
+            f" * {float(1 << z)!r})")
