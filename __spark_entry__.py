@@ -463,6 +463,17 @@ def _q_doc_dedup_neardup(spark, sf_dir):
     return neardup_dedup(docs, pairs)
 
 
+def _q_doc_split(spark, sf_dir):
+    """Deterministic train/val/test split: a pure function of the doc
+    id (md5-60 mod 100), so membership survives re-sharding/appends.
+    Narrow plan — no shuffle at all."""
+    from geospark.textops import split_assign
+
+    return split_assign(_docs(spark, sf_dir)).select(
+        "doc_id", "bucket", "split"
+    )
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from geospark.textops import fingerprint
 
@@ -1070,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_pairs": _q_doc_jaccard_pairs,
         "doc_minhash_lsh": _q_doc_minhash_lsh,
         "doc_dedup_neardup": _q_doc_dedup_neardup,
+        "doc_split": _q_doc_split,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -1671,6 +1683,19 @@ def oracle_sql() -> dict[str, str]:
                              AND c.canonical <> d.doc_id
                         THEN 1 ELSE 0 END AS INT) AS is_dup
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        """,
+        "doc_split": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       {_duck_md5_60("CAST(doc_id AS VARCHAR)")} % 100
+                           AS bucket
+                FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "doc_simhash_pairs": f"""
             WITH tok AS (

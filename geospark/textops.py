@@ -454,3 +454,34 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     return docs.select(
         F.col(id_col).alias("doc_id"), F.expr(expr).alias("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset split — train/val/test by stable content hash
+# ---------------------------------------------------------------------------
+def split_assign(docs: DataFrame, id_col: str = "doc_id",
+                 weights: tuple[int, ...] = (80, 10, 10),
+                 names: tuple[str, ...] = ("train", "val", "test"),
+                 hash_fn: str = "md5") -> DataFrame:
+    """Assign each row to a split by hashing its id — deterministic,
+    partition-order-independent, stable across reruns and engines
+    (md5-60 mod sum(weights); xxhash64 as the Spark-only fast path).
+    The standard training-pipeline requirement: a document's split
+    NEVER changes when the corpus is re-sharded, appended to, or
+    re-read, because it is a pure function of the id. Adds ``bucket``
+    (0..sum(weights)-1) and ``split`` columns; narrow (no shuffle)."""
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    total = int(sum(weights))
+    out = docs.withColumn(
+        "bucket",
+        F.expr(f"pmod({hash60_sql(f'CAST({id_col} AS STRING)', hash_fn)}, "
+               f"{total})"),
+    )
+    expr = None
+    acc = 0
+    for w, nm in zip(weights, names):
+        acc += int(w)
+        branch = (F.col("bucket") < acc, F.lit(nm))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    return out.withColumn("split", expr)

@@ -183,3 +183,37 @@ def test_simhash_bands_cover_signature(spark):
     offs = [o for o, _ in bands]
     assert offs == sorted(offs) and offs[0] == 0
     assert max(w for _, w in bands) - min(w for _, w in bands) <= 1
+
+
+def test_split_assign_stable_and_partition_independent(spark):
+    from geospark.textops import split_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in split_assign(docs).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in split_assign(docs.repartition(7)).collect()}
+    assert a == b
+    # appending new docs never moves existing ones
+    more = spark.createDataFrame([(i,) for i in range(600)], "doc_id long")
+    c = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in split_assign(more).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # all three splits populated, ordered train > val ~ test
+    from collections import Counter
+
+    n = Counter(s for _, s in a.values())
+    assert set(n) == {"train", "val", "test"}
+    assert n["train"] > n["val"] + n["test"]
+
+
+def test_split_assign_custom_weights_validated(spark):
+    import pytest as _pytest
+
+    from geospark.textops import split_assign
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError, match="align"):
+        split_assign(docs, weights=(1, 2), names=("x",))
+    row = split_assign(docs, weights=(1,), names=("all",)).collect()[0]
+    assert (row["bucket"], row["split"]) == (0, "all")
