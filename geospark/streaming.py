@@ -182,3 +182,68 @@ def sessionize_stream(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized view: streaming tile counts maintained in a
+# SnapshotTable (merge-on-read deltas + bounded compaction)
+# ---------------------------------------------------------------------------
+def maintain_tile_counts(pages_stream: DataFrame, table_path: str,
+                         checkpoint_dir: str, zoom: int = 8,
+                         compact_every: int = 8):
+    """Continuously maintain a per-tile point-count table from a pages
+    stream — the streaming half of raster<->vector (tile_rollup is the
+    batch half). Per micro-batch, ``foreachBatch``:
+
+      1. aggregates the batch to per-tile COUNT DELTAS (tiny);
+      2. commits them as a file-level APPEND snapshot — O(delta)
+         write, the base table is never rewritten per batch;
+      3. every ``compact_every`` batch commits, rewrites the
+         merge-on-read view into one compacted snapshot so the
+         manifest chain (and read fan-in) stays bounded.
+
+    Readers use :func:`read_tile_counts` (sum over delta files —
+    merge-on-read, Iceberg-style). Exactly-once across retries:
+    foreachBatch can replay a batch after a crash, so each commit
+    records ``batch-<id>`` in its manifest and a replayed id is
+    SKIPPED before any write. Resume comes for free: the stream
+    checkpoint replays only unprocessed source files, and the table's
+    snapshot chain is the audit trail (per-batch rows + wall time =
+    the north rule's per-partition lineage metrics)."""
+    from geospark.runtime import SnapshotTable
+
+    pts = extract_points_stream(pages_stream)
+    tiled = with_tile(pts, zoom)
+
+    def merge(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        st = SnapshotTable(spark, table_path)
+        stages = [m["stage"] for m in st._manifests()]
+        if f"batch-{batch_id}" in stages:
+            return  # crash-replay of an already-committed batch
+        delta = bdf.groupBy("tile_x", "tile_y").agg(
+            F.count("*").alias("n_points")
+        )
+        st.write(delta, stage=f"batch-{batch_id}", mode="append")
+        n_batches = sum(1 for s in stages if s.startswith("batch-")) + 1
+        if compact_every and n_batches % compact_every == 0:
+            st.write(read_tile_counts(st), stage=f"compact-{batch_id}",
+                     mode="overwrite")
+
+    return (
+        tiled.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_tile_counts(st) -> DataFrame:
+    """Merge-on-read view of a maintain_tile_counts table: sum the
+    delta snapshots per tile. After a compaction the chain restarts
+    from one file set, so the fan-in stays ~compact_every."""
+    return (
+        st.read()
+        .groupBy("tile_x", "tile_y")
+        .agg(F.sum("n_points").alias("n_points"))
+    )

@@ -87,6 +87,30 @@ def main() -> None:
 
     run("simhash_h3", _simhash)
 
+    # keep-one dedup closure: time the connected-components contraction
+    # ALONE over a pre-materialized pair relation (pair generation is
+    # already measured by the minhash rows above)
+    from geospark.graph import neardup_dedup
+    from geospark.spool import spool as _spool
+
+    pairs = _spool(
+        T.minhash_neardup_pairs(docs, threshold=0.5)
+        .select("doc_id_a", "doc_id_b"),
+        "stress_pairs",
+    )
+    n_pairs = pairs.count()
+
+    def _cc():
+        dd = neardup_dedup(docs, pairs)
+        agg = dd.agg(
+            F.count("*").alias("docs"),
+            F.sum("is_dup").alias("dropped"),
+        ).collect()[0]
+        return {"pairs_in": n_pairs, "docs_dropped": int(agg["dropped"]),
+                "docs_kept": int(agg["docs"] - agg["dropped"])}
+
+    run("cc_keep_one_dedup", _cc)
+
     run("fingerprint", lambda: {
         "rows_out": T.fingerprint(docs).count(),
     })
