@@ -202,6 +202,48 @@ def main() -> None:
               "streams through the join with no shuffle.",
     )
 
+    audit(
+        "events_attribution (as-of join: union + ONE window, no join op)",
+        q["events_attribution"](spark, sf_dir),
+        must=["Window", "Union"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "Join",
+                  "CartesianProduct"],
+        notes="the as-of match is last(ignorenulls) over a rows frame "
+              "on the unioned stream — one shuffle on user_id, no "
+              "range self-join, no join operator at all.",
+    )
+
+    audit(
+        "traj_tile_cover (scanline supercover rasterization)",
+        q["traj_tile_cover"](spark, sf_dir),
+        must=["* HashAggregate", "* Generate", "explode(sequence(",
+              "Window"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="segments from one per-user lag window; the two explodes "
+              "(y-rows, then the contiguous x-range) are output-linear "
+              "— never a bbox enumeration — and every coordinate is "
+              "codegen'd Column math.",
+    )
+
+    # connected components: one large-star/small-star round — all
+    # Catalyst joins/aggs, no Python, no collect
+    from geospark.graph import _large_star, _small_star
+
+    cc_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "a long, b long"
+    )
+    audit(
+        "connected_components round (large-star + small-star)",
+        _small_star(_large_star(cc_edges)),
+        must=["* HashAggregate", "HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "CartesianProduct"],
+        notes="each half-round is groupBy-min + re-emit; the star "
+              "contraction is pure Catalyst (exchange reuse across the "
+              "two halves), so dedup closure needs no driver collect "
+              "and no per-row Python.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
