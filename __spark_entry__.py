@@ -837,6 +837,37 @@ def _q_traj_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POLY_RASTER_Z = 6
+
+
+def _demo_rings_rows() -> list[tuple[int, list[tuple[float, float]]]]:
+    """All demo rings (outers + holes) as (area_id, vertex list)."""
+    rows = []
+    for aid, spec in G.DEMO_RINGS.items():
+        rings = list(spec["outers"]) + [
+            r for holes in spec["inners"] for r in holes
+        ]
+        for ring in rings:
+            rows.append(
+                (aid, [(float(la), float(ln)) for la, ln in ring])
+            )
+    return rows
+
+
+def _q_polygon_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon -> tile cover with boundary/interior classification
+    (raster.polygon_tile_cover): ring-edge supercover plus scanline
+    parity fill at tile centers — fully relational, holes handled by
+    parity. Rasterizes the demo layer (hole included) at zoom 6."""
+    from geospark.raster import polygon_tile_cover
+
+    rings = spark.createDataFrame(
+        _demo_rings_rows(),
+        "area_id long, ring array<struct<lat: double, lng: double>>",
+    )
+    return polygon_tile_cover(rings, POLY_RASTER_Z)
+
+
 S2_CHECK_MOD = 97003
 S2_AGG_LEVEL, S2_AGG_PARENT = 3, 1
 S2_JOIN_LEVEL = 3
@@ -1060,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "events_attribution": _q_events_attribution,
         "traj_tile_cover": _q_traj_tile_cover,
+        "polygon_raster": _q_polygon_raster,
         "hex_assign": _q_hex_assign,
         "hex_rollup": _q_hex_rollup,
         "hex_kring_join": _q_hex_kring_join,
@@ -1214,6 +1246,127 @@ def _values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
     names = ", ".join(n for n, _ in cols)
     casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
     return f"SELECT {casts} FROM (VALUES {body}) AS t({names})"
+
+
+def _polygon_raster_oracle_sql() -> str:
+    """DuckDB twin of raster.polygon_tile_cover over the demo rings:
+    same edge list (generated from DEMO_RINGS in ring order), same
+    continuous-tile projection, same scanline supercover for the
+    boundary, same center-line parity fill for the interior —
+    term-identical expressions throughout."""
+    z = POLY_RASTER_Z
+    edges = []
+    for aid, ring in _demo_rings_rows():
+        n = len(ring)
+        for i in range(n):
+            la0, ln0 = ring[i]
+            la1, ln1 = ring[(i + 1) % n]
+            edges.append(f"({aid}, {la0!r}, {ln0!r}, {la1!r}, {ln1!r})")
+    vals = ",\n                ".join(edges)
+    return f"""
+            WITH edges(area_id, lat0, lng0, lat1, lng1) AS (VALUES
+                {vals}),
+            px AS (
+                SELECT area_id,
+                       {G.ctile_x_sql('lng0', z)} AS px0,
+                       {G.ctile_y_sql('lat0', z)} AS py0,
+                       {G.ctile_x_sql('lng1', z)} AS px1,
+                       {G.ctile_y_sql('lat1', z)} AS py1
+                FROM edges
+            ),
+            -- boundary: scanline supercover (identical to traj_tile_cover)
+            norm AS (
+                SELECT area_id,
+                       CASE WHEN py0 <= py1 THEN px0 ELSE px1 END AS px0s,
+                       CASE WHEN py0 <= py1 THEN py0 ELSE py1 END AS py0s,
+                       CASE WHEN py0 <= py1 THEN px1 ELSE px0 END AS px1s,
+                       CASE WHEN py0 <= py1 THEN py1 ELSE py0 END AS py1s
+                FROM px
+            ),
+            rows_ AS (
+                SELECT area_id, px0s, py0s, px1s, py1s,
+                       unnest(generate_series(CAST(floor(py0s) AS BIGINT),
+                                              CAST(floor(py1s) AS BIGINT)))
+                           AS ty
+                FROM norm
+            ),
+            clamp AS (
+                SELECT area_id, px0s, py0s, px1s, py1s, ty,
+                       greatest(py0s, CAST(ty AS DOUBLE)) AS ylo,
+                       least(py1s, CAST(ty + 1 AS DOUBLE)) AS yhi
+                FROM rows_
+            ),
+            tt AS (
+                SELECT area_id, px0s, px1s, ty,
+                       CASE WHEN py1s = py0s THEN 0.0
+                            ELSE (ylo - py0s) / (py1s - py0s) END AS t0,
+                       CASE WHEN py1s = py0s THEN 1.0
+                            ELSE (yhi - py0s) / (py1s - py0s) END AS t1
+                FROM clamp
+            ),
+            xx AS (
+                SELECT area_id, ty,
+                       px0s + (px1s - px0s) * t0 AS x0,
+                       px0s + (px1s - px0s) * t1 AS x1
+                FROM tt
+            ),
+            btiles AS (
+                SELECT DISTINCT area_id, tx AS tile_x, ty AS tile_y
+                FROM (
+                    SELECT area_id, ty,
+                           unnest(generate_series(
+                               CAST(floor(least(x0, x1)) AS BIGINT),
+                               CAST(floor(greatest(x0, x1)) AS BIGINT)))
+                               AS tx
+                    FROM xx
+                )
+            ),
+            -- interior: center-line parity fill
+            crows AS (
+                SELECT area_id, px0, py0, px1, py1,
+                       unnest(generate_series(
+                           CAST(floor(least(py0, py1)) AS BIGINT),
+                           CAST(floor(greatest(py0, py1)) AS BIGINT)))
+                           AS ty
+                FROM px
+            ),
+            cross_ AS (
+                SELECT area_id, ty,
+                       px0 + (px1 - px0)
+                           * ((CAST(ty AS DOUBLE) + 0.5) - py0)
+                           / (py1 - py0) AS cx
+                FROM crows
+                WHERE least(py0, py1) <= CAST(ty AS DOUBLE) + 0.5
+                  AND greatest(py0, py1) > CAST(ty AS DOUBLE) + 0.5
+            ),
+            ranked AS (
+                SELECT area_id, ty, cx,
+                       row_number() OVER (
+                           PARTITION BY area_id, ty ORDER BY cx) AS rn
+                FROM cross_
+            ),
+            prs AS (
+                SELECT area_id, ty, (rn - 1) // 2 AS pair,
+                       min(cx) AS a, max(cx) AS b
+                FROM ranked GROUP BY 1, 2, 3
+            ),
+            itiles AS (
+                SELECT area_id, ty AS tile_y,
+                       unnest(generate_series(
+                           CAST(floor(a - 0.5) AS BIGINT) + 1,
+                           CAST(ceil(b - 0.5) AS BIGINT) - 1)) AS tile_x
+                FROM prs
+                WHERE CAST(floor(a - 0.5) AS BIGINT) + 1
+                      <= CAST(ceil(b - 0.5) AS BIGINT) - 1
+            )
+            SELECT area_id, tile_x, tile_y, 'boundary' AS kind FROM btiles
+            UNION ALL
+            SELECT i.area_id, i.tile_x, i.tile_y, 'interior' AS kind
+            FROM itiles i LEFT JOIN btiles b
+              ON i.area_id = b.area_id AND i.tile_x = b.tile_x
+             AND i.tile_y = b.tile_y
+            WHERE b.area_id IS NULL
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1839,6 +1992,7 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM tiles GROUP BY 1, 2
         """,
+        "polygon_raster": _polygon_raster_oracle_sql(),
         "events_attribution": """
             WITH p AS (SELECT event_id AS purchase_id, user_id, ts
                        FROM events WHERE event_type = 'purchase'),

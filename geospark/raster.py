@@ -1,0 +1,123 @@
+"""Polygon rasterization — area -> tile cover with boundary/interior
+classification. The vector->raster half for AREAS (segment_tile_cover
+is the line half; tile_rollup the raster side). Reference analogue:
+the area_db cell cover build (/root/reference/include/geo/area_db.h,
+SURVEY Q13) lifted from a per-polygon bbox cover to an exact
+per-tile classification.
+
+Algorithm, entirely relational (no UDF, no driver geometry):
+
+  boundary  = scanline supercover of every ring edge
+              (cells.segment_tile_cover — output-linear);
+  interior  = per tile-row parity fill: each edge contributes its
+              crossing x at the row's CENTER line y = ty + 0.5 under
+              the half-open rule min(y) <= yc < max(y) (vertex-safe,
+              even crossing count per closed ring); per (area, row)
+              the sorted crossings pair up into in-intervals, and the
+              tiles whose centers fall strictly inside an interval
+              explode from one sequence(). Holes need no special
+              case — their edges flip parity like any others.
+
+  covered tile == boundary tile OR center-inside tile: a tile
+  partially covered without an edge inside it cannot exist, so the
+  union is exact for "tile touches area".
+
+Scale shape: edges explode once (output-linear), crossings shuffle
+once on (area_id, tile_y) for the sort-and-pair, tiles explode from
+sequences — no bbox enumeration anywhere, so a continent-sized
+polygon at z15 costs its perimeter + its area in TILES, not the
+bbox rectangle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geospark.cells import ctile_x, ctile_y, segment_tile_cover
+
+
+def ring_edges(rings: DataFrame, area: str = "area_id",
+               ring_col: str = "ring") -> DataFrame:
+    """(area_id, lat0, lng0, lat1, lng1) for every edge of every ring
+    (closed implicitly: last vertex connects back to the first)."""
+    e = rings.select(
+        area, ring_col, F.posexplode(ring_col).alias("_i", "_v")
+    )
+    nxt = F.element_at(
+        F.col(ring_col), (F.pmod(F.col("_i") + 1, F.size(ring_col)) + 1)
+        .cast("int")
+    )
+    return e.select(
+        area,
+        F.col("_v.lat").alias("lat0"), F.col("_v.lng").alias("lng0"),
+        nxt["lat"].alias("lat1"), nxt["lng"].alias("lng1"),
+    )
+
+
+def polygon_tile_cover(rings: DataFrame, zoom: int,
+                       area: str = "area_id",
+                       ring_col: str = "ring") -> DataFrame:
+    """(area_id, tile_x, tile_y, kind) — kind is 'boundary' (an edge
+    passes through the tile) or 'interior' (tile center strictly
+    inside; holes excluded by parity). ``rings`` carries one row per
+    ring — outer rings and holes alike — as array<struct<lat,lng>>."""
+    edges = ring_edges(rings, area, ring_col)
+
+    boundary = (
+        segment_tile_cover(edges, zoom)
+        .select(area, "tile_x", "tile_y")
+        .distinct()
+        .withColumn("kind", F.lit("boundary"))
+    )
+
+    # crossings of each edge with every tile-row CENTER line it spans
+    px = edges.withColumns({
+        "_px0": ctile_x(F.col("lng0"), zoom),
+        "_py0": ctile_y(F.col("lat0"), zoom),
+        "_px1": ctile_x(F.col("lng1"), zoom),
+        "_py1": ctile_y(F.col("lat1"), zoom),
+    })
+    rows = px.withColumn(
+        "tile_y",
+        F.explode(F.sequence(
+            F.floor(F.least("_py0", "_py1")),
+            F.floor(F.greatest("_py0", "_py1")),
+        )),
+    )
+    yc = F.col("tile_y").cast("double") + F.lit(0.5)
+    crossed = rows.filter(
+        (F.least("_py0", "_py1") <= yc) & (F.greatest("_py0", "_py1") > yc)
+    ).withColumn(
+        "_cx",
+        F.col("_px0") + (F.col("_px1") - F.col("_px0"))
+        * (yc - F.col("_py0")) / (F.col("_py1") - F.col("_py0")),
+    )
+
+    # parity pairing: sorted crossings per (area, row); even index
+    # opens an inside-interval, the next closes it
+    xs = crossed.groupBy(area, "tile_y").agg(
+        F.array_sort(F.collect_list("_cx")).alias("_xs")
+    )
+    pairs = (
+        xs.select(area, "tile_y", F.posexplode("_xs").alias("_p", "_x"))
+        .withColumn("_pair", F.floor(F.col("_p") / 2))
+        .groupBy(area, "tile_y", "_pair")
+        .agg(F.min("_x").alias("_a"), F.max("_x").alias("_b"))
+    )
+    interior = (
+        pairs.withColumns({
+            "_txlo": F.floor(F.col("_a") - 0.5) + 1,
+            "_txhi": F.ceil(F.col("_b") - 0.5) - 1,
+        })
+        .filter(F.col("_txlo") <= F.col("_txhi"))
+        .withColumn("tile_x", F.explode(F.sequence("_txlo", "_txhi")))
+        .select(area, "tile_x", "tile_y")
+        .withColumn("kind", F.lit("interior"))
+    )
+
+    interior_only = interior.join(
+        boundary.select(area, "tile_x", "tile_y"),
+        [area, "tile_x", "tile_y"], "left_anti"
+    )
+    return boundary.unionByName(interior_only)

@@ -1,0 +1,119 @@
+"""polygon_tile_cover: every claim checked by INDEPENDENT geometry —
+interior tiles by a plain-Python even-odd point-in-polygon at the tile
+center, boundary tiles by Liang–Barsky edge-box intersection, and
+completeness over the full bbox tile neighborhood (holes included)."""
+
+import math
+
+from geospark.raster import polygon_tile_cover
+
+R = 6378137.0
+SHIFT = 20037508.342789244
+MAXLAT = 85.05112877980659
+
+
+def _ct(lat, lng, z):
+    mx = R * math.radians(lng)
+    cl = max(-MAXLAT, min(MAXLAT, lat))
+    s = math.sin(math.radians(cl))
+    my = R * math.log((1.0 + s) / (1.0 - s)) / 2.0
+    n = float(1 << z)
+    return ((mx + SHIFT) / (2.0 * SHIFT) * n,
+            (SHIFT - my) / (2.0 * SHIFT) * n)
+
+
+def _pip_evenodd(rings_px, x, y):
+    """Even-odd ray cast in continuous tile coords (all rings)."""
+    inside = False
+    for ring in rings_px:
+        n = len(ring)
+        for i in range(n):
+            x0, y0 = ring[i]
+            x1, y1 = ring[(i + 1) % n]
+            if (y0 <= y) != (y1 <= y):
+                cx = x0 + (x1 - x0) * (y - y0) / (y1 - y0)
+                if cx > x:
+                    inside = not inside
+    return inside
+
+
+def _edge_hits_box(p0, p1, tx, ty, pad=1e-9):
+    x0, y0 = p0
+    x1, y1 = p1
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, x0 - (tx - pad)), (dx, (tx + 1 + pad) - x0),
+                 (-dy, y0 - (ty - pad)), (dy, (ty + 1 + pad) - y0)):
+        if p == 0:
+            if q < 0:
+                return False
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return False
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return False
+            t1 = min(t1, r)
+    return t0 <= t1
+
+
+RINGS = [
+    # pentagon with a triangular hole (mid-latitudes)
+    [(35.1, -10.2), (60.6, -5.7), (70.1, 20.2), (55.3, 40.4), (36.5, 25.6)],
+    [(45.1, 5.2), (52.9, 10.8), (46.5, 20.1)],
+]
+Z = 7  # fine enough that the hole has interior tiles of its own
+
+
+def _spark_cover(spark):
+    rings = spark.createDataFrame(
+        [(1, [(float(a), float(b)) for a, b in r]) for r in RINGS],
+        "area_id long, ring array<struct<lat: double, lng: double>>",
+    )
+    rows = polygon_tile_cover(rings, Z).collect()
+    return {(r["tile_x"], r["tile_y"]): r["kind"] for r in rows}
+
+
+def test_polygon_cover_against_independent_geometry(spark):
+    got = _spark_cover(spark)
+    rings_px = [[_ct(la, ln, Z) for la, ln in r] for r in RINGS]
+    edges = [
+        (ring[i], ring[(i + 1) % len(ring)])
+        for ring in rings_px for i in range(len(ring))
+    ]
+    xs = [p[0] for r in rings_px for p in r]
+    ys = [p[1] for r in rings_px for p in r]
+    checked = 0
+    hole_voids = 0
+    for tx in range(int(min(xs)) - 1, int(max(xs)) + 2):
+        for ty in range(int(min(ys)) - 1, int(max(ys)) + 2):
+            on_edge = any(_edge_hits_box(a, b, tx, ty) for a, b in edges)
+            center_in = _pip_evenodd(rings_px, tx + 0.5, ty + 0.5)
+            kind = got.get((tx, ty))
+            if on_edge:
+                assert kind == "boundary", (tx, ty, kind)
+            elif center_in:
+                assert kind == "interior", (tx, ty, kind)
+            else:
+                # outside, or strictly inside the hole
+                assert kind is None, (tx, ty, kind)
+                if _pip_evenodd(rings_px[:1], tx + 0.5, ty + 0.5):
+                    hole_voids += 1  # inside outer ring, voided by hole
+            checked += 1
+    assert checked > 100
+    assert set(got.values()) == {"boundary", "interior"}
+    # the hole leaves real voids strictly inside the outer ring
+    assert hole_voids > 0
+
+
+def test_polygon_cover_plan_has_no_python(spark):
+    rings = spark.createDataFrame(
+        [(1, [(0.0, 0.0), (5.0, 10.0), (0.0, 10.0)])],
+        "area_id long, ring array<struct<lat: double, lng: double>>",
+    )
+    plan = polygon_tile_cover(rings, 5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
