@@ -247,3 +247,20 @@ def read_tile_counts(st) -> DataFrame:
         .groupBy("tile_x", "tile_y")
         .agg(F.sum("n_points").alias("n_points"))
     )
+
+
+def dedup_pages_stream(pages_stream: DataFrame,
+                       key: str = "url",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup of the crawl: keep the FIRST arrival of
+    each ``key`` within the watermark horizon. Spark-first: the
+    built-in ``dropDuplicatesWithinWatermark`` is the right operator —
+    state holds one entry per distinct key seen inside the horizon and
+    is evicted past it, so memory is bounded by (arrival rate x
+    horizon), not by corpus size. A re-crawl of the same url BEYOND
+    the horizon re-emits — the documented contract (batch exact_dedup
+    is the full-corpus complement downstream)."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark([key])
+    )

@@ -155,6 +155,68 @@ def main() -> None:
 
     run("cluster_10m", _cluster)
 
+    # vector->raster at scale: 12M segments (points spatially sorted
+    # within hash buckets -> realistic short legs + inter-city jumps)
+    # rasterized at z12; output-linear explode is the claim under test
+    def _supercover():
+        from pyspark.sql import Window
+
+        from geospark.cells import segment_tile_cover, with_cell_at_zoom
+
+        w = Window.partitionBy(
+            F.pmod(F.hash("point_id"), F.lit(1024))
+        ).orderBy("cell", "point_id")
+        seg = (
+            with_cell_at_zoom(points, 12)
+            .withColumn("lat0", F.lag("lat").over(w))
+            .withColumn("lng0", F.lag("lng").over(w))
+            .filter(F.col("lat0").isNotNull())
+            .select("lat0", "lng0", F.col("lat").alias("lat1"),
+                    F.col("lng").alias("lng1"))
+        )
+        return (
+            segment_tile_cover(seg, 12)
+            .groupBy("tile_x", "tile_y").count().count()
+        )
+
+    run("segment_supercover_z12", _supercover)
+
+    # polygon rasterization at scale: 100k diamond polygons (~2x2
+    # tiles each at z12) + one continental pentagon at z11 — cost must
+    # track perimeter+area, not bbox
+    def _poly_raster():
+        from geospark.cells import with_cell_at_zoom
+        from geospark.raster import polygon_tile_cover
+
+        cells = (
+            with_cell_at_zoom(points, 8).groupBy("cell")
+            .agg(F.avg("lat").alias("clat"), F.avg("lng").alias("clng"))
+            .limit(100_000)
+        )
+        d = 0.2
+        ring = F.array(
+            F.struct((F.col("clat") + d).alias("lat"),
+                     F.col("clng").alias("lng")),
+            F.struct(F.col("clat").alias("lat"),
+                     (F.col("clng") + d).alias("lng")),
+            F.struct((F.col("clat") - d).alias("lat"),
+                     F.col("clng").alias("lng")),
+            F.struct(F.col("clat").alias("lat"),
+                     (F.col("clng") - d).alias("lng")),
+        )
+        rings = cells.select(F.col("cell").alias("area_id"),
+                             ring.alias("ring"))
+        small = polygon_tile_cover(rings, 12).count()
+        continent = spark.createDataFrame(
+            [(1, [(20.1, -20.2), (60.3, -15.4), (65.5, 25.6),
+                  (45.7, 30.8), (22.9, 15.1)])],
+            "area_id long, ring array<struct<lat: double, lng: double>>",
+        )
+        big = polygon_tile_cover(continent, 11).count()
+        return small + big
+
+    run("polygon_raster_100k_plus_continent", _poly_raster)
+
     out = {"n_pages": n_pages, "n_points": n_points, "ops": results,
            "cpus": 32, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(out))

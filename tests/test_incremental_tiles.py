@@ -121,3 +121,101 @@ def test_compaction_bounds_read_fanin(spark, tmp_path):
         stage="batch-6", mode="append",
     )
     assert _got(spark, table) == {(1, 1): 10}
+
+
+def test_dedup_pages_stream_first_arrival_wins(spark, tmp_path):
+    """Overlapping crawl drops: each url must come out exactly once
+    regardless of how the file source splits batches. synth_pages
+    hashes warc_ts over a 30-day span while files arrive in id order,
+    so the horizon must exceed the span or rows arriving after the
+    watermark jumped would be discarded as LATE (not as duplicates) —
+    the companion test below pins that horizon behavior explicitly."""
+    from geospark.streaming import dedup_pages_stream, read_pages_stream
+
+    src = str(tmp_path / "dsrc")
+    _write_drop(spark, src, 0, 120)
+    _write_drop(spark, src, 1, 200)  # ids 0..119 duplicate drop 0
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    out = dedup_pages_stream(stream, watermark="45 days")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT url, count(*) AS n FROM dedup_stream GROUP BY url"
+    ).collect()
+    assert len(rows) == 200            # distinct urls across both drops
+    assert all(r["n"] == 1 for r in rows)
+
+
+def _write_pages_file(spark, src_dir, name, rows, mtime):
+    """One flat parquet file of explicit pages rows with a pinned mtime
+    (the file stream source orders batches by modification time)."""
+    import glob
+    import os
+    import shutil
+
+    from geospark.pages import PAGES_SCHEMA
+
+    os.makedirs(src_dir, exist_ok=True)
+    stage = f"{src_dir}-stage-{name}"
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(stage)
+    dst = f"{src_dir}/{name}.parquet"
+    shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(stage)
+
+
+def test_dedup_pages_stream_horizon_eviction(spark, tmp_path):
+    """The documented contract: a re-crawl of the same url WITHIN the
+    watermark horizon is dropped, BEYOND it re-emits (state evicted);
+    batch exact_dedup is the full-corpus complement downstream."""
+    from datetime import datetime, timedelta
+
+    from geospark.streaming import dedup_pages_stream, read_pages_stream
+
+    t0 = datetime(2025, 3, 1, 12, 0, 0)
+
+    def row(url, ts):
+        return (url, ts, b"<html/>", "x", "en")
+
+    src = str(tmp_path / "hsrc")
+    base = 1_700_000_000
+    _write_pages_file(spark, src, "f0", [row("a", t0), row("b", t0)], base)
+    _write_pages_file(                       # dup of a, 10 min later
+        spark, src, "f1",
+        [row("a", t0 + timedelta(minutes=10)),
+         row("c", t0 + timedelta(minutes=10))], base + 10)
+    _write_pages_file(                       # advances watermark to t0+2h
+        spark, src, "f2", [row("d", t0 + timedelta(hours=3))], base + 20)
+    _write_pages_file(                       # spacer batch: state eviction
+        # runs at END of a batch with the t0+2h watermark, purging a
+        spark, src, "f3",
+        [row("e", t0 + timedelta(hours=3, minutes=5))], base + 30)
+    _write_pages_file(                       # re-crawl beyond the horizon
+        spark, src, "f4",
+        [row("a", t0 + timedelta(hours=3, minutes=10))], base + 40)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+    out = dedup_pages_stream(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_h")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    counts = {
+        r["url"]: r["n"]
+        for r in spark.sql(
+            "SELECT url, count(*) AS n FROM dedup_h GROUP BY url"
+        ).collect()
+    }
+    assert counts == {"a": 2, "b": 1, "c": 1, "d": 1, "e": 1}
