@@ -480,6 +480,44 @@ def _q_doc_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+TFIDF_K = 5
+
+
+def _q_doc_chunk(spark, sf_dir):
+    """Sliding-window training-sample chunking: zero-shuffle map over
+    the corpus (split + sequence + posexplode + slice, all codegen)."""
+    from geospark.textops import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    )
+
+
+def _q_doc_tfidf(spark, sf_dir):
+    """Per-doc top-k TF-IDF terms; N via broadcast 1-row cross join,
+    ties broken on token so ranking is engine-deterministic."""
+    from geospark.textops import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
+
+
+def _q_emb_quantize(spark, sf_dir):
+    """Symmetric int8 quantization, reported as per-vector code stats
+    (arrays folded to scalars so the compare hashes cleanly)."""
+    from geospark.embeddings import quantize_int8
+
+    q = quantize_int8(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.expr("size(q)").alias("n_dims"),
+        F.expr("array_min(q)").alias("q_min"),
+        F.expr("array_max(q)").alias("q_max"),
+        F.expr("aggregate(q, 0L, (a, x) -> a + abs(x))").alias("q_l1"),
+    )
+
+
 def _q_emb_cosine_topk(spark, sf_dir):
     from geospark.embeddings import cosine_topk
 
@@ -1084,9 +1122,95 @@ def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_DROPS = [(0, 1400), (1000, 2400)]  # 400 overlapping page ids
+
+
+def _overlap_spool(spark: SparkSession) -> str:
+    """Cached spool of OVERLAPPING crawl drops (one parquet file per
+    drop, mtimes pinned in drop order — the file stream source orders
+    batches by modification time). Same generator-hash cache key and
+    atomic-rename discipline as _pages_spool."""
+    import hashlib
+    import inspect
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geospark import pages as _pages_mod
+    from geospark.pages import synth_pages_batch
+
+    gen_ver = hashlib.md5(
+        inspect.getsource(_pages_mod).encode()
+    ).hexdigest()[:10]
+    spool = f"/tmp/geospark_dedup_spool_{gen_ver}"
+    if not os.path.exists(f"{spool}/_DONE"):
+        stage = f"{spool}.stage-{uuid.uuid4().hex[:8]}"
+        os.makedirs(stage)
+        for i, (a, b) in enumerate(_DEDUP_DROPS):
+            f = f"{stage}/drop{i}.parquet"
+            pq.write_table(
+                pa.Table.from_batches(
+                    [synth_pages_batch(np.arange(a, b, dtype=np.int64))]
+                ),
+                f,
+            )
+            os.utime(f, (1_700_000_000 + i * 60,) * 2)
+        open(f"{stage}/_DONE", "w").close()
+        try:
+            os.rename(stage, spool)
+        except OSError:
+            if not os.path.exists(f"{spool}/_DONE"):
+                raise
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+    return spool
+
+
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact crawl dedup: two overlapping drops (400 shared
+    urls) through dropDuplicatesWithinWatermark, one micro-batch per
+    drop, then a per-lang rollup of the survivors. Golden-VALUES
+    oracle from the independent twin goldens.dedup_lang_stats (the
+    distinct-id union). The 45-day horizon exceeds the generator's
+    30-day warc_ts span so nothing is dropped as LATE — horizon
+    semantics themselves are pinned in tests/test_incremental_tiles."""
+    import tempfile
+
+    from geospark.streaming import dedup_pages_stream, read_pages_stream
+
+    ckpt = tempfile.mkdtemp(prefix="geospark_dedup_ckpt_")
+    stream = read_pages_stream(spark, _overlap_spool(spark),
+                               max_files_per_trigger=1)
+    out = dedup_pages_stream(stream, watermark="45 days")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("geospark_stream_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(
+        "SELECT lang, count(*) AS n_pages, "
+        "count(DISTINCT lower(regexp_extract(url, '^https?://([^/]+)', 1)))"
+        " AS n_hosts "
+        "FROM geospark_stream_dedup GROUP BY lang"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "streaming_tiles": _q_streaming_tiles,
+        "streaming_dedup": _q_streaming_dedup,
         "pages_host_stats": _q_pages_host_stats,
         "event_sessions": _q_event_sessions,
         "events_attribution": _q_events_attribution,
@@ -1116,10 +1240,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": _q_doc_split,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_chunk": _q_doc_chunk,
+        "doc_tfidf": _q_doc_tfidf,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf": _q_emb_ivf,
         "emb_neardup": _q_emb_neardup,
+        "emb_quantize": _q_emb_quantize,
         "multimodal_features": _q_multimodal_features,
         "polyline_length": _q_polyline_length,
         "destination_point": _q_destination_point,
@@ -1532,6 +1659,10 @@ def oracle_sql() -> dict[str, str]:
     st_rows = [
         (int(tx), int(ty), int(c)) for tx, ty, c in GO.stream_tile_counts(2000, 6)
     ]
+    sd_rows = [
+        (lg, int(c), int(nh))
+        for lg, c, nh in GO.dedup_lang_stats(_DEDUP_DROPS)
+    ]
     ph_rows = [(h, int(c), int(nl)) for h, c, nl in GO.page_host_stats(2000)]
     s2a_rows = GO.s2_cell_agg(ev_lats, ev_lngs, ev_ids, S2_AGG_LEVEL,
                               S2_AGG_PARENT, S2_CHECK_MOD)
@@ -1643,6 +1774,85 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS n_tokens_re,
                    length(text) AS n_chars
             FROM documents
+        """,
+        "doc_chunk": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '') AS t
+                FROM documents
+            ),
+            sized AS (
+                SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) > 0
+            ),
+            starts AS (
+                SELECT doc_id, t, n,
+                       unnest(generate_series(
+                           0,
+                           CAST(ceil(greatest(n - {CHUNK_SIZE}, 0)
+                                     / ({CHUNK_STRIDE} * 1.0)) AS INT)
+                               * {CHUNK_STRIDE},
+                           {CHUNK_STRIDE})) AS start_pos
+                FROM sized
+            )
+            SELECT doc_id,
+                   CAST(start_pos // {CHUNK_STRIDE} AS INT) AS chunk_id,
+                   CAST(start_pos AS INT) AS start_pos,
+                   CAST(len(t[start_pos + 1 : start_pos + {CHUNK_SIZE}])
+                        AS INT) AS n_tokens,
+                   array_to_string(
+                       t[start_pos + 1 : start_pos + {CHUNK_SIZE}], ' '
+                   ) AS chunk_text
+            FROM starts
+        """,
+        "doc_tfidf": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          t -> t <> '')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            dfrel AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf, dfrel.df,
+                       round(tf.tf * ln(n.n_docs * 1.0 / dfrel.df), 6)
+                           AS score_r
+                FROM tf JOIN dfrel USING (token) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score_r DESC, token
+                ) AS rnk FROM scored
+            )
+            SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df, score_r
+            FROM ranked WHERE rnk <= {TFIDF_K}
+        """,
+        "emb_quantize": """
+            WITH m AS (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(
+                           embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, mx,
+                       list_transform(embedding, x ->
+                           coalesce(CAST(round(CAST(x AS DOUBLE) * 127.0
+                                    / nullif(mx, 0.0)) AS INT), 0)) AS qv
+                FROM m
+            )
+            SELECT vec_id,
+                   round(mx / 127.0, 6) AS scale_r,
+                   CAST(len(qv) AS INT) AS n_dims,
+                   list_min(qv) AS q_min,
+                   list_max(qv) AS q_max,
+                   CAST(list_sum(list_transform(qv, x -> abs(x)))
+                        AS BIGINT) AS q_l1
+            FROM q
         """,
         "doc_quality": f"""
             WITH f AS (
@@ -1922,6 +2132,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_tiles": _values_sql(
             st_rows,
             [("tile_x", "BIGINT"), ("tile_y", "BIGINT"), ("n_points", "BIGINT")],
+        ),
+        "streaming_dedup": _values_sql(
+            sd_rows,
+            [("lang", "VARCHAR"), ("n_pages", "BIGINT"), ("n_hosts", "BIGINT")],
         ),
         "pages_host_stats": _values_sql(
             ph_rows,

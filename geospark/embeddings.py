@@ -469,3 +469,26 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95,
         emb, n_planes, dim, n_tables, id_col, vec_col, engine
     )
     return refine_pairs(emb, cand, threshold, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — storage/serving compression for embedding tables
+# ---------------------------------------------------------------------------
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale) in [-127, 127] (round half away from
+    zero, the shared Spark/DuckDB semantics). Returns (vec_id, scale,
+    q array<int>); an all-zero vector gets scale 0 and zero codes.
+    Narrow plan — pure JVM array exprs over one scan, no shuffle: at
+    corpus scale this is a map-only 4x storage compression pass.
+    Elements widen float->double BEFORE the divide so the math is
+    engine-exact."""
+    mx = f"array_max(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))"
+    q = (f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 "
+         f"/ nullif({mx}, 0.0)) AS INT))")
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        (F.expr(mx) / F.lit(127.0)).alias("scale"),
+        F.expr(f"transform({q}, x -> coalesce(x, 0))").alias("q"),
+    )

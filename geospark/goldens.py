@@ -460,6 +460,27 @@ def page_host_stats(n_pages: int) -> list[tuple[str, int, int]]:
     return sorted((h, c, len(lang_sets[h])) for h, c in counts.items())
 
 
+def dedup_lang_stats(id_ranges: list[tuple[int, int]]) -> list[tuple[str, int, int]]:
+    """Independent twin of the streaming_dedup driver query: the union
+    of overlapping crawl-drop id ranges, deduplicated on url (url
+    embeds the page id, so distinct url == distinct id), then per-lang
+    page count + distinct host count. Exercises the same deterministic
+    generator; the dedup + aggregation are re-derived in plain Python."""
+    from geospark.pages import synth_pages_batch
+
+    ids = sorted({i for a, b in id_ranges for i in range(a, b)})
+    batch = synth_pages_batch(np.array(ids, dtype=np.int64))
+    urls = batch.column("url").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    counts: dict[str, int] = {}
+    host_sets: dict[str, set] = {}
+    for u, lg in zip(urls, langs):
+        host = _HOST.match(u).group(1).lower()
+        counts[lg] = counts.get(lg, 0) + 1
+        host_sets.setdefault(lg, set()).add(host)
+    return sorted((lg, c, len(host_sets[lg])) for lg, c in counts.items())
+
+
 # ---------------------------------------------------------------------------
 # S2 cell-id scalar twin (published spec: s2geometry.io cell hierarchy;
 # cube face + quadratic u->s + Hilbert curve). Independently written

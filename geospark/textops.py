@@ -485,3 +485,83 @@ def split_assign(docs: DataFrame, id_col: str = "doc_id",
         branch = (F.col("bucket") < acc, F.lit(nm))
         expr = F.when(*branch) if expr is None else expr.when(*branch)
     return out.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking — LLM training-sample preparation
+# ---------------------------------------------------------------------------
+def chunk_documents(docs: DataFrame, chunk_size: int = 64, stride: int = 48,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, chunk_id, start_pos, n_tokens, chunk_text): sliding
+    token windows for training-sample prep. Window i starts at
+    i*stride and covers ``chunk_size`` tokens; the last start is the
+    SMALLEST multiple of stride whose window reaches the end of the
+    doc, so every token lands in >=1 chunk and no fully-redundant
+    trailing windows are emitted (a doc shorter than chunk_size yields
+    exactly one chunk). Narrow plan: split + sequence + posexplode +
+    slice, all JVM codegen — zero shuffles, scales as a map over the
+    corpus."""
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
+        .alias("_t"),
+    ).withColumn("_n", F.size("_t")).filter(F.col("_n") > 0)
+    # last start = ceil(max(n - chunk, 0) / stride) * stride
+    last = (f"CAST(ceil(greatest(_n - {chunk_size}, 0) / "
+            f"CAST({stride} AS DOUBLE)) AS INT) * {stride}")
+    return (
+        base.select(
+            "doc_id", "_t", "_n",
+            F.posexplode(F.expr(f"sequence(0, {last}, {stride})"))
+            .alias("chunk_id", "start_pos"),
+        )
+        .withColumn(
+            "_c", F.expr(f"slice(_t, start_pos + 1, {chunk_size})")
+        )
+        .select(
+            "doc_id", "chunk_id", "start_pos",
+            F.size("_c").alias("n_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms — corpus statistics for quality/topic analysis
+# ---------------------------------------------------------------------------
+def tfidf_top_terms(docs: DataFrame, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-doc top-k TF-IDF terms: (doc_id, rnk, token, tf, df,
+    score_r). idf = ln(N/df) (no smoothing — df >= 1 by construction);
+    score rounded half-up at 6 decimals so the value is engine-stable.
+    Ties rank by token ascending (deterministic). Plan: one shuffle on
+    (doc, token) for tf, one map-side-combined shuffle on token for df
+    joined back broadcast-free (df relation is |vocab|, re-shuffled on
+    token — at web scale vocab << corpus so this join is the cheap
+    side), one shuffle on doc for the top-k window. N arrives via a
+    broadcast 1-row cross join, not a driver collect."""
+    t = tokens(docs, text_col=text_col, id_col=id_col)
+    tf = t.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_rel = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_rel = docs.agg(F.count("*").alias("_n_docs"))
+    scored = (
+        tf.join(df_rel, "token")
+        .crossJoin(F.broadcast(n_rel))
+        .withColumn(
+            "score_r",
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_r").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "token", "tf", "df", "score_r")
+    )

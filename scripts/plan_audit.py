@@ -244,6 +244,54 @@ def main() -> None:
               "and no per-row Python.",
     )
 
+    # chunking: a zero-shuffle map over the corpus — generator explode
+    # inside one codegen'd stage, no Exchange, no Python
+    from geospark.textops import chunk_documents
+
+    audit(
+        "doc_chunk (sliding-window training chunks)",
+        chunk_documents(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            chunk_size=E.CHUNK_SIZE, stride=E.CHUNK_STRIDE,
+        ),
+        must=["Generate"],
+        must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+        notes="split + sequence + posexplode + slice as pure Column "
+              "exprs: the whole chunker is a map over the scan with "
+              "ZERO shuffles — at 100 TB it reads and writes linearly "
+              "with no cluster-wide data movement. (The driver query "
+              "adds one repartition purely to fan out the single-file "
+              "test table; real many-split corpora skip it.)",
+    )
+
+    # tf-idf: tf/df aggregations shuffle, corpus size N arrives via a
+    # broadcast 1-row relation (never a driver-side collect)
+    audit(
+        "doc_tfidf (per-doc top-k TF-IDF terms)",
+        q["doc_tfidf"](spark, sf_dir),
+        must=["* HashAggregate", "BroadcastNestedLoopJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="tf groupBy(doc, token) and df groupBy(token) both get "
+              "map-side partial aggregation; N joins in as a broadcast "
+              "single-row relation so the plan stays fully "
+              "distributed; top-k is one window over doc_id.",
+    )
+
+    # int8 quantization: narrow per-row array math, nothing else
+    audit(
+        "emb_quantize (symmetric int8 vector quantization)",
+        __import__("geospark.embeddings", fromlist=["quantize_int8"])
+        .quantize_int8(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ),
+        must=["Project"],
+        must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython"],
+        notes="transform/array_max fold per row inside the scan "
+              "stage: a map-only 4x compression pass with zero "
+              "shuffles — partitioning of the input table is "
+              "preserved for downstream bucketed use.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:

@@ -58,7 +58,11 @@ def main() -> None:
     n_points = points.count()
     results: dict[str, dict] = {}
 
+    only = {s for s in os.environ.get("STRESS_ONLY", "").split(",") if s}
+
     def run(name: str, fn) -> None:
+        if only and name not in only:
+            return
         t0 = time.time()
         rows = fn()
         secs = time.time() - t0

@@ -217,3 +217,83 @@ def test_split_assign_custom_weights_validated(spark):
         split_assign(docs, weights=(1, 2), names=("x",))
     row = split_assign(docs, weights=(1,), names=("all",)).collect()[0]
     assert (row["bucket"], row["split"]) == (0, "all")
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token lands in >=1 chunk; windows start at multiples of
+    stride; the last window reaches the end; short docs -> one chunk."""
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))),   # 10 tokens
+         (1, "a b c"),                                 # shorter than chunk
+         (2, "")],                                     # empty -> no chunks
+        "doc_id long, text string",
+    )
+    out = T.chunk_documents(docs, chunk_size=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: starts 0,3,6 (ceil((10-4)/3)*3 = 6); chunks 4,4,4 tokens
+    got0 = sorted((r["start_pos"], r["n_tokens"], r["chunk_text"])
+                  for r in by_doc[0])
+    assert got0 == [(0, 4, "t0 t1 t2 t3"), (3, 4, "t3 t4 t5 t6"),
+                    (6, 4, "t6 t7 t8 t9")]
+    # coverage: union of [start, start+n) == [0, 10)
+    covered = set()
+    for s, n, _ in got0:
+        covered |= set(range(s, s + n))
+    assert covered == set(range(10))
+    assert [(r["start_pos"], r["n_tokens"], r["chunk_text"])
+            for r in by_doc[1]] == [(0, 3, "a b c")]
+    assert 2 not in by_doc
+
+
+def test_chunk_documents_tail_not_multiple_of_stride(spark):
+    """n=9, chunk=4, stride=3: last start must be ceil(5/3)*3 = 6 so
+    the final window [6,9) reaches the end (a naive floor would stop
+    at 3 and orphan tokens 7-8)."""
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(9)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["start_pos"], r["n_tokens"])
+        for r in T.chunk_documents(docs, chunk_size=4, stride=3).collect()
+    )
+    assert rows == [(0, 4), (3, 4), (6, 3)]
+
+
+def test_tfidf_top_terms_exact(spark):
+    """Hand-checked corpus: df-1 terms outrank corpus-wide terms; ties
+    break on token asc; scores equal tf * ln(N/df)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "x x y"), (1, "x z"), (2, "x w w")],
+        "doc_id long, text string",
+    )
+    rows = T.tfidf_top_terms(docs, k=2).collect()
+    got = {(r["doc_id"], r["rnk"]): (r["token"], r["tf"], r["df"],
+                                     r["score_r"]) for r in rows}
+    ln3 = round(math.log(3.0), 6)
+    # doc 0: y (1*ln3) beats x (2*ln(3/3)=0)
+    assert got[(0, 1)] == ("y", 1, 1, ln3)
+    assert got[(0, 2)] == ("x", 2, 3, 0.0)
+    # doc 2: w tf=2 df=1 -> 2*ln3
+    assert got[(2, 1)] == ("w", 2, 1, round(2 * math.log(3.0), 6))
+
+
+def test_quantize_int8_roundtrip_and_zero_vector(spark):
+    """Max-|x| element maps to ±127 exactly; dequant error bounded by
+    scale/2; the all-zero vector yields scale 0 and zero codes."""
+    from geospark.embeddings import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0]), (2, [-0.003,])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    assert got[0]["q"] == [64, -127, 32]     # round(1/2*127)=64 (half up)
+    assert abs(got[0]["scale"] - 2.0 / 127.0) < 1e-12
+    for x, q in zip([1.0, -2.0, 0.5], got[0]["q"]):
+        assert abs(x - q * got[0]["scale"]) <= got[0]["scale"] / 2 + 1e-12
+    assert got[1]["scale"] == 0.0 and got[1]["q"] == [0, 0, 0]
+    assert got[2]["q"] == [-127]
