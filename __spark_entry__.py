@@ -502,6 +502,14 @@ def _q_doc_tfidf(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
 
 
+def _q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition signals, zero-shuffle (sorted-array
+    run-length folds instead of per-doc groupBy)."""
+    from geospark.textops import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_emb_quantize(spark, sf_dir):
     """Symmetric int8 quantization, reported as per-vector code stats
     (arrays folded to scalars so the compare hashes cleanly)."""
@@ -1242,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_chunk": _q_doc_chunk,
         "doc_tfidf": _q_doc_tfidf,
+        "doc_repetition": _q_doc_repetition,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf": _q_emb_ivf,
@@ -1830,6 +1839,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df, score_r
             FROM ranked WHERE rnk <= {TFIDF_K}
+        """,
+        "doc_repetition": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '') AS t
+                FROM documents
+            ),
+            sized AS (
+                SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) > 0
+            ),
+            tok AS (SELECT doc_id, unnest(t) AS token FROM sized),
+            tokc AS (
+                SELECT doc_id, max(c) AS top_tok,
+                       count(*) AS ndist
+                FROM (SELECT doc_id, token, count(*) AS c
+                      FROM tok GROUP BY 1, 2)
+                GROUP BY 1
+            ),
+            bgi AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, n - 1)) AS i
+                FROM sized WHERE n >= 2
+            ),
+            bgc AS (
+                SELECT doc_id, max(c) AS top_bg
+                FROM (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram,
+                             count(*) AS c
+                      FROM bgi GROUP BY doc_id, bigram)
+                GROUP BY 1
+            )
+            SELECT s.doc_id,
+                   CAST(n AS INT) AS n_tokens,
+                   round(tokc.ndist * 1.0 / n, 6) AS distinct_frac,
+                   round(tokc.top_tok * 1.0 / n, 6) AS top_token_frac,
+                   round(coalesce(bgc.top_bg, 0) * 1.0
+                         / greatest(n - 1, 1), 6) AS top_bigram_frac
+            FROM sized s
+            JOIN tokc USING (doc_id)
+            LEFT JOIN bgc USING (doc_id)
         """,
         "emb_quantize": """
             WITH m AS (

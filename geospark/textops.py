@@ -565,3 +565,56 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5, text_col: str = "text",
         .filter(F.col("rnk") <= k)
         .select("doc_id", "rnk", "token", "tf", "df", "score_r")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring — Gopher-style quality filter signals
+# ---------------------------------------------------------------------------
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, distinct_frac, top_token_frac,
+    top_bigram_frac): the classic repetition signals used to filter
+    boilerplate/spam from web corpora. ZERO shuffles: the per-doc
+    most-frequent-token count is the longest run of equal adjacent
+    elements in the SORTED token array, computed with an aggregate()
+    fold — the whole scorer is a map over the scan (at 100 TB there is
+    no per-doc groupBy shuffle to pay, unlike the explode+count
+    formulation)."""
+
+    def max_run(arr: str) -> str:
+        # fold state: (prev token, current run, best run)
+        return (
+            f"aggregate(array_sort({arr}), "
+            f"struct(CAST(NULL AS STRING) AS prev, 0 AS run, 0 AS best), "
+            f"(acc, x) -> struct(x AS prev, "
+            f"CASE WHEN acc.prev IS NOT NULL AND x = acc.prev "
+            f"THEN acc.run + 1 ELSE 1 END AS run, "
+            f"greatest(acc.best, CASE WHEN acc.prev IS NOT NULL "
+            f"AND x = acc.prev THEN acc.run + 1 ELSE 1 END) AS best), "
+            f"acc -> acc.best)"
+        )
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
+        .alias("_t"),
+    ).withColumn("_n", F.size("_t")).filter(F.col("_n") > 0)
+    bigrams = ("transform(sequence(0, _n - 2), "
+               "i -> concat(_t[i], ' ', _t[i + 1]))")
+    staged = base.select(
+        "doc_id", "_n",
+        F.expr(f"size(array_distinct(_t))").alias("_nd"),
+        F.expr(max_run("_t")).alias("_top_tok"),
+        F.when(
+            F.col("_n") >= 2, F.expr(max_run(bigrams))
+        ).otherwise(F.lit(0)).alias("_top_bg"),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("_n").alias("n_tokens"),
+        F.round(F.col("_nd") / F.col("_n"), 6).alias("distinct_frac"),
+        F.round(F.col("_top_tok") / F.col("_n"), 6).alias("top_token_frac"),
+        F.round(
+            F.col("_top_bg") / F.greatest(F.col("_n") - 1, F.lit(1)), 6
+        ).alias("top_bigram_frac"),
+    )

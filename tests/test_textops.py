@@ -297,3 +297,24 @@ def test_quantize_int8_roundtrip_and_zero_vector(spark):
         assert abs(x - q * got[0]["scale"]) <= got[0]["scale"] / 2 + 1e-12
     assert got[1]["scale"] == 0.0 and got[1]["q"] == [0, 0, 0]
     assert got[2]["q"] == [-127]
+
+
+def test_repetition_stats_exact(spark):
+    """Hand-computed repetition signals; the heavy-repetition doc is
+    flagged by low distinct_frac / high top fractions."""
+    docs = spark.createDataFrame(
+        [(0, "spam spam spam spam"),            # 1 distinct, bigram 'spam spam' x3
+         (1, "a b a b a"),                      # top tok a:3/5; 'a b' 2/4
+         (2, "unique tokens only here"),        # all distinct
+         (3, "solo")],                          # 1 token: bigram frac 0
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.repetition_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 4
+    assert got[0]["distinct_frac"] == 0.25
+    assert got[0]["top_token_frac"] == 1.0
+    assert got[0]["top_bigram_frac"] == 1.0
+    assert got[1]["top_token_frac"] == 0.6
+    assert got[1]["top_bigram_frac"] == 0.5
+    assert got[2]["distinct_frac"] == 1.0 and got[2]["top_token_frac"] == 0.25
+    assert got[3]["n_tokens"] == 1 and got[3]["top_bigram_frac"] == 0.0
