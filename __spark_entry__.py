@@ -510,6 +510,16 @@ def _q_doc_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_doc_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide keep-first line dedup (8-token chunk
+    lines): groupBy(line) min-struct winner — one partial-aggregated
+    shuffle, no join back (survivors counted from the winner
+    relation)."""
+    from geospark.textops import line_dedup_stats
+
+    return line_dedup_stats(_docs(spark, sf_dir), line_tokens=8)
+
+
 def _q_emb_quantize(spark, sf_dir):
     """Symmetric int8 quantization, reported as per-vector code stats
     (arrays folded to scalars so the compare hashes cleanly)."""
@@ -808,6 +818,40 @@ def _q_pages_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.groupBy(host.alias("host")).agg(
         F.count("*").alias("n_pages"),
         F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+def _q_pages_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-pipeline query: keep-latest re-crawl dedup. Pages whose
+    numeric id divides by 3 are re-crawled 7 days later with the text
+    revised; keep-latest per url (max-struct on warc_ts — the classic
+    Common-Crawl canonical-snapshot rule) reports the re-crawled urls.
+    One shuffle on url with map-side partial aggregation; golden
+    VALUES oracle from the independent twin goldens.crawl_dedup."""
+    pages = spark.read.parquet(_pages_spool(spark, 2000, 2))
+    pid = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    recrawl = (
+        pages.filter(pid % 3 == 0)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 7 DAYS"))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" (recrawl)")))
+    )
+    allc = pages.unionByName(recrawl)
+    latest = F.max(
+        F.struct(
+            F.col("warc_ts").cast("long").alias("kept_ts"),
+            F.length("text").alias("kept_len"),
+        )
+    ).alias("_l")
+    return (
+        allc.groupBy("url")
+        .agg(F.count("*").alias("n_crawls"), latest)
+        .filter(F.col("n_crawls") > 1)
+        .select(
+            "url",
+            F.col("n_crawls").cast("int").alias("n_crawls"),
+            F.col("_l.kept_ts").alias("kept_ts"),
+            F.col("_l.kept_len").alias("kept_len"),
+        )
     )
 
 
@@ -1220,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tiles": _q_streaming_tiles,
         "streaming_dedup": _q_streaming_dedup,
         "pages_host_stats": _q_pages_host_stats,
+        "pages_crawl_dedup": _q_pages_crawl_dedup,
         "event_sessions": _q_event_sessions,
         "events_attribution": _q_events_attribution,
         "traj_tile_cover": _q_traj_tile_cover,
@@ -1251,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": _q_doc_chunk,
         "doc_tfidf": _q_doc_tfidf,
         "doc_repetition": _q_doc_repetition,
+        "doc_line_dedup": _q_doc_line_dedup,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf": _q_emb_ivf,
@@ -1673,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
         for lg, c, nh in GO.dedup_lang_stats(_DEDUP_DROPS)
     ]
     ph_rows = [(h, int(c), int(nl)) for h, c, nl in GO.page_host_stats(2000)]
+    cd_rows = GO.crawl_dedup(2000)
     s2a_rows = GO.s2_cell_agg(ev_lats, ev_lngs, ev_ids, S2_AGG_LEVEL,
                               S2_AGG_PARENT, S2_CHECK_MOD)
     s2r_rows = GO.s2_range_join(ev_lats, ev_lngs, ev_ids, G.DEMO_CENTERS,
@@ -1879,6 +1926,45 @@ def oracle_sql() -> dict[str, str]:
             FROM sized s
             JOIN tokc USING (doc_id)
             LEFT JOIN bgc USING (doc_id)
+        """,
+        "doc_line_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '') AS t
+                FROM documents
+            ),
+            sized AS (
+                SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) > 0
+            ),
+            idx AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(
+                           0, CAST(ceil(n / 8.0) AS INT) - 1)) AS i
+                FROM sized
+            ),
+            lines AS (
+                SELECT doc_id, i AS line_idx,
+                       array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ')
+                           AS line
+                FROM idx
+            ),
+            winners AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER (
+                        PARTITION BY line ORDER BY doc_id, line_idx
+                    ) AS rn FROM lines
+                ) WHERE rn = 1
+            ),
+            kept AS (
+                SELECT doc_id, count(*) AS c FROM winners GROUP BY 1
+            )
+            SELECT s.doc_id,
+                   CAST(ceil(n / 8.0) AS INT) AS n_lines,
+                   CAST(coalesce(kept.c, 0) AS INT) AS n_kept,
+                   round(coalesce(kept.c, 0) * 1.0
+                         / ceil(n / 8.0), 6) AS kept_frac
+            FROM sized s LEFT JOIN kept USING (doc_id)
         """,
         "emb_quantize": """
             WITH m AS (
@@ -2189,6 +2275,11 @@ def oracle_sql() -> dict[str, str]:
         "pages_host_stats": _values_sql(
             ph_rows,
             [("host", "VARCHAR"), ("n_pages", "BIGINT"), ("n_langs", "BIGINT")],
+        ),
+        "pages_crawl_dedup": _values_sql(
+            cd_rows,
+            [("url", "VARCHAR"), ("n_crawls", "INTEGER"),
+             ("kept_ts", "BIGINT"), ("kept_len", "INTEGER")],
         ),
         "event_sessions": sessionize_sql(),
         "traj_tile_cover": f"""

@@ -589,3 +589,27 @@ def s2_range_join(lats, lngs, event_ids, centers,
         if n:
             out.append((cid, n, mn, xr))
     return sorted(out)
+
+
+def crawl_dedup(n_pages: int) -> list[tuple[str, int, int, int]]:
+    """Independent twin of the pages_crawl_dedup driver query: pages
+    whose numeric id is divisible by 3 are re-crawled 7 days later
+    with ' (recrawl)' appended; keep-latest per url then reports the
+    re-crawled urls as (url, n_crawls, kept_ts_epoch, kept_len)."""
+    from geospark.pages import synth_pages_batch
+
+    batch = synth_pages_batch(np.arange(n_pages, dtype=np.int64))
+    urls = batch.column("url").to_pylist()
+    ts = batch.column("warc_ts").to_pylist()
+    texts = batch.column("text").to_pylist()
+    import datetime as _dt
+
+    _epoch0 = _dt.datetime(1970, 1, 1)
+    rows = []
+    for i, (u, t, x) in enumerate(zip(urls, ts, texts)):
+        if i % 3 == 0:
+            # naive datetimes are UTC by construction — don't let the
+            # host timezone leak in via .timestamp()
+            epoch = int((t - _epoch0).total_seconds()) + 7 * 86400
+            rows.append((u, 2, epoch, len(x) + len(" (recrawl)")))
+    return sorted(rows)

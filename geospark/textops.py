@@ -618,3 +618,65 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
             F.col("_top_bg") / F.greatest(F.col("_n") - 1, F.lit(1)), 6
         ).alias("top_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup — CCNet-style keep-first boilerplate removal
+# ---------------------------------------------------------------------------
+def line_dedup_stats(docs: DataFrame, line_tokens: int = 8,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_lines, n_kept, kept_frac): corpus-wide line-level
+    dedup in the CCNet style — split every document into "lines"
+    (fixed ``line_tokens``-token chunks here; real corpora split on
+    newlines, which the synthetic token-soup corpus lacks), keep only
+    the FIRST occurrence of each distinct line across the whole
+    corpus (first = smallest (doc_id, line_idx)), and report per-doc
+    survival.
+
+    Scale shape (10^12 docs): the winner per distinct line is a
+    groupBy(line) min-struct — ONE shuffle with map-side partial
+    aggregation, so a boilerplate line repeated in 10^9 docs ships
+    one partial row per map task, not 10^9 rows (the reason this is
+    a groupBy argmin and NOT a row_number window, which would move
+    every instance of the hot line to one partition). Survivor
+    counting then needs no join back: n_kept(doc) = how many winners
+    point at the doc — a second tiny shuffle on doc_id over the
+    already-distinct winner relation.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')")
+        .alias("_t"),
+    ).withColumn("_n", F.size("_t")).filter(F.col("_n") > 0)
+    k = int(line_tokens)
+    lines = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(_n / {k}.0)) - 1), "
+                f"i -> array_join(slice(_t, i * {k} + 1, {k}), ' '))"
+            )
+        ).alias("line_idx", "line"),
+    )
+    winners = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_idx")).alias("_w")
+    )
+    kept = winners.groupBy(F.col("_w.doc_id").alias("doc_id")).agg(
+        F.count("*").alias("_kept")
+    )
+    n_lines = base.select(
+        "doc_id",
+        F.expr(f"int(ceil(_n / {k}.0))").alias("n_lines"),
+    )
+    return (
+        n_lines.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("_kept"), F.lit(0)) / F.col("n_lines"), 6
+            ).alias("kept_frac"),
+        )
+    )

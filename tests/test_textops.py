@@ -318,3 +318,22 @@ def test_repetition_stats_exact(spark):
     assert got[1]["top_bigram_frac"] == 0.5
     assert got[2]["distinct_frac"] == 1.0 and got[2]["top_token_frac"] == 0.25
     assert got[3]["n_tokens"] == 1 and got[3]["top_bigram_frac"] == 0.0
+
+
+def test_line_dedup_stats_keep_first(spark):
+    """Corpus-wide keep-first line dedup at 2-token lines; later
+    occurrences (even within the same doc) are dropped."""
+    docs = spark.createDataFrame(
+        [(0, "a b a b c d"),   # "a b" twice in-doc: keep idx 0 only
+         (1, "a b c d x y"),   # "a b"/"c d" already owned by doc 0
+         (2, "x y"),           # owned by doc 1
+         (3, "q")],            # short final chunk still a line
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r
+           for r in T.line_dedup_stats(docs, line_tokens=2).collect()}
+    assert (got[0]["n_lines"], got[0]["n_kept"]) == (3, 2)
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 1)
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (1, 0)
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (1, 1)
+    assert got[1]["kept_frac"] == 0.333333
