@@ -731,6 +731,51 @@ def _q_polyline_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAP_MATCH_MAX_M = 250.0
+
+
+def _q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching: every 10th event point, nudged off its trajectory
+    (+0.0003 lat, -0.0002 lng ~= 40 m), snapped to the nearest
+    trajectory segment of ANY user within 250 m — the distributed
+    GPS-probe -> network join (cell-cover filter + S8/S1 refine +
+    min-struct argmin). Golden-VALUES oracle from the brute-force twin
+    goldens.map_match."""
+    from geospark.joins import match_points_to_segments
+
+    pts = G.events_points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        pts.select("user_id", "ts", "event_id", "lat", "lng")
+        .withColumn("f_lat", F.lag("lat").over(w))
+        .withColumn("f_lng", F.lag("lng").over(w))
+        .withColumn("seg_idx", (F.row_number().over(w) - 2).cast("int"))
+        .filter(F.col("f_lat").isNotNull())
+        .select(
+            F.col("user_id").alias("line_id"), "seg_idx",
+            "f_lat", "f_lng",
+            F.col("lat").alias("t_lat"), F.col("lng").alias("t_lng"),
+        )
+    )
+    probes = (
+        pts.filter(F.col("event_id") % 10 == 0)
+        .select(
+            F.col("event_id").alias("point_id"),
+            (F.col("lat") + F.lit(0.0003)).alias("lat"),
+            (F.col("lng") - F.lit(0.0002)).alias("lng"),
+        )
+    )
+    res = match_points_to_segments(probes, seg, MAP_MATCH_MAX_M)
+    return res.select(
+        "point_id",
+        F.col("line_id").cast("long").alias("line_id"),
+        "seg_idx",
+        F.floor("dist_m").alias("dist_floor_m"),
+        F.round("c_lat", 6).alias("c_lat"),
+        F.round("c_lng", 6).alias("c_lng"),
+    )
+
+
 def _q_tile_relevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P13/P14: re-level the demo-box tile rectangle DOWN one zoom
     (z9 -> z10 descendants, 4x rows) and UP three zooms (z9 -> z6
@@ -1280,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_codec": _q_fixed_codec,
         "approx_polyline_dist": _q_approx_polyline_dist,
         "polyline_dist": _q_polyline_dist,
+        "map_match": _q_map_match,
         "tile_range_box": _q_tile_range_box,
         "tile_relevel": _q_tile_relevel,
         "tile_pyramid": _q_tile_pyramid,
@@ -1708,6 +1754,17 @@ def oracle_sql() -> dict[str, str]:
                 _round_half_up(cla, 6), _round_half_up(cln, 6),
             ))
     ev_ids, ev_lats, ev_lngs = _oracle_points()
+    mm_probes = [
+        (int(i), la + 0.0003, ln - 0.0002)
+        for i, la, ln in zip(ev_ids, ev_lats, ev_lngs)
+        if i % 10 == 0
+    ]
+    mm_rows = [
+        (pid, uid, si, int(math.floor(d)),
+         _round_half_up(cla, 6), _round_half_up(cln, 6))
+        for pid, uid, si, d, cla, cln in GO.map_match(
+            mm_probes, traj, MAP_MATCH_MAX_M)
+    ]
     cl_rows = [
         (int(m), int(c)) for m, c in GO.cluster_hist(ev_lats, ev_lngs, ev_ids, 5000.0)
     ]
@@ -2242,6 +2299,12 @@ def oracle_sql() -> dict[str, str]:
         "polyline_dist": _values_sql(
             pd_rows,
             [("query_id", "BIGINT"), ("user_id", "BIGINT"),
+             ("seg_idx", "INTEGER"), ("dist_floor_m", "BIGINT"),
+             ("c_lat", "DOUBLE"), ("c_lng", "DOUBLE")],
+        ),
+        "map_match": _values_sql(
+            mm_rows,
+            [("point_id", "BIGINT"), ("line_id", "BIGINT"),
              ("seg_idx", "INTEGER"), ("dist_floor_m", "BIGINT"),
              ("c_lat", "DOUBLE"), ("c_lng", "DOUBLE")],
         ),

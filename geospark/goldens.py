@@ -613,3 +613,52 @@ def crawl_dedup(n_pages: int) -> list[tuple[str, int, int, int]]:
             epoch = int((t - _epoch0).total_seconds()) + 7 * 86400
             rows.append((u, 2, epoch, len(x) + len(" (recrawl)")))
     return sorted(rows)
+
+
+def map_match(points: list[tuple[int, float, float]],
+              trajectories: list[tuple[int, list[tuple[float, float]]]],
+              max_m: float) -> list[tuple[int, int, int, float, float, float]]:
+    """Independent brute-force twin of joins.match_points_to_segments:
+    for each probe, the nearest segment (strict <, first-wins in
+    (line_id, seg_idx) order — the L6 tie-break) within max_m.
+    Exact math is the closest_on_segment/_haversine pair above; a
+    conservative numpy endpoint-distance prefilter keeps the loop
+    tractable (a point within max_m of a segment is within
+    max_m + ~seg_len of an endpoint; 1.05x + 10 m slack absorbs the
+    mercator-chord vs geodesic gap)."""
+    segs: list[tuple[int, int, tuple, tuple]] = []
+    for uid, line in trajectories:
+        for i in range(len(line) - 1):
+            segs.append((uid, i, line[i], line[i + 1]))
+    if not segs:
+        return []
+    f_la = np.array([s[2][0] for s in segs])
+    f_ln = np.array([s[2][1] for s in segs])
+    t_la = np.array([s[3][0] for s in segs])
+    t_ln = np.array([s[3][1] for s in segs])
+
+    def _hav_np(la1, ln1, la2, ln2):
+        dla = np.radians(la2 - la1) / 2.0
+        dln = np.radians(ln2 - ln1) / 2.0
+        a = (np.sin(dla) ** 2
+             + np.cos(np.radians(la1)) * np.cos(np.radians(la2))
+             * np.sin(dln) ** 2)
+        return 2.0 * _HAV_R * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+
+    seg_len = _hav_np(f_la, f_ln, t_la, t_ln)
+    out = []
+    for pid, pla, pln in points:
+        bound = max_m + 1.05 * seg_len + 10.0
+        near = (np.minimum(_hav_np(pla, pln, f_la, f_ln),
+                           _hav_np(pla, pln, t_la, t_ln)) <= bound)
+        best = (math.inf, -1, -1, (0.0, 0.0))
+        for j in np.flatnonzero(near):
+            uid, i, f, t = segs[j]
+            c = closest_on_segment((pla, pln), f, t)
+            d = _haversine(pla, pln, c[0], c[1])
+            if d < best[0]:
+                best = (d, uid, i, c)
+        if best[0] < max_m:
+            out.append((pid, best[1], best[2], best[0],
+                        best[3][0], best[3][1]))
+    return out

@@ -939,3 +939,193 @@ def knn_join(points: DataFrame, centers: list[tuple[int, float, float]], k: int,
         .drop("rn")
         .orderBy("query_id", "dist_m")
     )
+
+
+# ---------------------------------------------------------------------------
+# Map matching: nearest segment within a radius (GPS probe -> network)
+# ---------------------------------------------------------------------------
+def match_points_to_segments(points: DataFrame, segments: DataFrame,
+                             max_m: float,
+                             point_id: str = "point_id",
+                             lat: str = "lat", lng: str = "lng",
+                             line_id: str = "line_id",
+                             seg_idx: str = "seg_idx",
+                             f_lat: str = "f_lat", f_lng: str = "f_lng",
+                             t_lat: str = "t_lat", t_lng: str = "t_lng",
+                             broadcast_segments: bool = False) -> DataFrame:
+    """Map matching as a distributed filter-refine join: snap every
+    probe point to its NEAREST polyline segment within ``max_m``
+    meters (the GPS-trace -> road-network primitive; composes S8
+    closest_on_segment + S1 haversine, reference latlng.h:78-97 via
+    geo/polyline.h, into the spatial-join plan shape of Q2/Q3).
+
+    Plan (both sides are TABLES — the only driver data is the ≤17-int
+    list of DISTINCT cover zooms, an aggregate):
+
+      segments -> explode(multi-zoom buffered-bbox cover)   (Arrow UDF)
+      points   -> one (zoom, ancestor-cell) key per distinct
+                  cover zoom                                 (narrow)
+      hash join on (zoom, cell); exact closest-on-segment +
+      haversine refine (strict ``< max_m``); per-point min-struct
+      argmin with the L6 tie-break order (dist, line_id, seg_idx).
+
+    MULTI-ZOOM cover: each segment picks its own zoom — the finest
+    level at which its buffered endpoint-bbox spans <= 2 cells (so a
+    pad=1 cover is <= ~20 cells) — capped at the radius zoom (cell
+    edge >= max_m). Short network links land on the fine grid; a
+    degenerate 1000 km link covers ~16 coarse cells instead of 10^7
+    fine ones (a single fixed fine zoom allocates terabytes of cover
+    on long segments — measured before this design). Cover cells and
+    point ancestors both live in the shifted-z16 pixel space
+    (cell_tile_of_latlng), so the equi-join is exact; cells of one
+    segment are distinct, so no (point, segment) pair duplicates.
+
+    Cover recall: a mercator segment's lat/lng bbox is its endpoint
+    bbox (merc x/y are monotone in lng/lat), buffered by ``max_m``
+    with the lng buffer sized at the worst-|lat| corner; pad=1
+    restores the fringe the degree-buffer under-covers (see
+    _cover_ranges). The exact refine decides membership.
+    """
+    from geospark.cells import with_linear_cell_at_zoom
+    from geospark.spool import spool
+
+    earth = 40075016.686
+    z_fine = 0
+    while z_fine < 16 and earth / (1 << (z_fine + 1)) >= max_m:
+        z_fine += 1
+
+    @pandas_udf("array<struct<z: int, c: long>>")
+    def _seg_cover(fla: pd.Series, fln: pd.Series,
+                   tla: pd.Series, tln: pd.Series) -> pd.Series:
+        import pyarrow as pa
+
+        a_la = fla.to_numpy(np.float64)
+        a_ln = fln.to_numpy(np.float64)
+        b_la = tla.to_numpy(np.float64)
+        b_ln = tln.to_numpy(np.float64)
+        d_lat = max_m / 111000.0
+        lat_lo = np.minimum(a_la, b_la) - d_lat
+        lat_hi = np.maximum(a_la, b_la) + d_lat
+        # lng buffer sized at the worst-|lat| corner of the buffered
+        # box (smallest cos -> widest degree buffer: conservative)
+        cos_lo = np.cos(np.radians(np.clip(lat_lo, -89.9, 89.9)))
+        cos_hi = np.cos(np.radians(np.clip(lat_hi, -89.9, 89.9)))
+        cos_w = np.maximum(np.minimum(cos_lo, cos_hi), 1e-6)
+        d_lng = max_m / (111200.0 * cos_w)
+        lng_lo = np.minimum(a_ln, b_ln) - d_lng
+        lng_hi = np.maximum(a_ln, b_ln) + d_lng
+        # per-segment zoom: coarsen until the bbox spans <= 2 cells
+        _, _, nx, ny = _cover_ranges(lat_lo, lng_lo, lat_hi, lng_hi,
+                                     z_fine, pad=0)
+        span = np.maximum(nx, ny)
+        dz = np.ceil(np.log2(np.maximum(span / 2.0, 1.0))).astype(np.int64)
+        zs = np.maximum(z_fine - dz, 0)
+        n_rows = len(zs)
+        all_z = np.empty(0, np.int64)
+        all_c = np.empty(0, np.int64)
+        counts = np.zeros(n_rows, np.int64)
+        order = np.empty(0, np.int64)
+        for z in np.unique(zs):
+            m = zs == z
+            idx = np.flatnonzero(m)
+            tx1, ty1, nxz, nyz = _cover_ranges(
+                lat_lo[m], lng_lo[m], lat_hi[m], lng_hi[m], int(z), pad=1)
+            cells, cnts = _enumerate_covers(tx1, ty1, nxz, nyz, int(z))
+            all_c = np.concatenate([all_c, cells])
+            all_z = np.concatenate([all_z, np.full(len(cells), z, np.int64)])
+            counts[idx] = cnts
+            order = np.concatenate([order, np.repeat(idx, cnts)])
+        # scatter the per-zoom chunks back into input-row order
+        perm = np.argsort(order, kind="stable")
+        all_z, all_c = all_z[perm], all_c[perm]
+        offsets = np.zeros(n_rows + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        struct = pa.StructArray.from_arrays(
+            [pa.array(all_z, pa.int32()), pa.array(all_c, pa.int64())],
+            names=["z", "c"],
+        )
+        return pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), struct
+        ).to_pandas()
+
+    seg = segments.select(
+        F.col(line_id).alias("_m_line"),
+        F.col(seg_idx).alias("_m_seg"),
+        F.col(f_lat).alias("_m_fla"), F.col(f_lng).alias("_m_fln"),
+        F.col(t_lat).alias("_m_tla"), F.col(t_lng).alias("_m_tln"),
+        F.explode(
+            _seg_cover(F.col(f_lat), F.col(f_lng),
+                       F.col(t_lat), F.col(t_lng))
+        ).alias("_zc"),
+    ).select(
+        "_m_line", "_m_seg", "_m_fla", "_m_fln", "_m_tla", "_m_tln",
+        F.col("_zc.z").alias("_m_z"), F.col("_zc.c").alias("_m_cell"),
+    )
+    seg = spool(seg, "map_match_cover")
+    zooms = sorted(
+        r["_m_z"] for r in seg.select("_m_z").distinct().collect()
+    )
+    if not zooms:  # empty network -> empty result, stable schema
+        return (
+            points.select(
+                F.col(point_id).alias("point_id"),
+                F.lit(None).cast("long").alias("line_id"),
+                F.lit(None).cast("int").alias("seg_idx"),
+                F.lit(None).cast("double").alias("dist_m"),
+                F.lit(None).cast("double").alias("c_lat"),
+                F.lit(None).cast("double").alias("c_lng"),
+            ).limit(0)
+        )
+    if broadcast_segments:
+        seg = F.broadcast(seg)
+    # one (zoom, ancestor-cell) key per DISTINCT cover zoom, all
+    # shift-derived from one staged z16 projection (cell_tile_of_latlng
+    # parity with the cover enumeration)
+    px = K.merc_to_pixel_x(K.latlng_to_merc_x(F.col(lng)), 16, tile_size=1)
+    py = K.merc_to_pixel_y(K.latlng_to_merc_y(F.col(lat)), 16, tile_size=1)
+    pts = points.withColumn("__px16", px).withColumn("__py16", py)
+    keys = [
+        F.struct(
+            F.lit(int(z)).cast("int").alias("z"),
+            (F.shiftleft(F.shiftright(F.col("__py16"), 16 - int(z)), int(z))
+             + F.shiftright(F.col("__px16"), 16 - int(z))).alias("c"),
+        )
+        for z in zooms
+    ]
+    anc = (
+        pts.withColumn("_a", F.explode(F.array(*keys)))
+        .withColumn("_p_z", F.col("_a.z"))
+        .withColumn("_p_cell", F.col("_a.c"))
+        .drop("_a", "__px16", "__py16")
+    )
+    pairs = anc.join(
+        seg,
+        (F.col("_p_z") == F.col("_m_z"))
+        & (F.col("_p_cell") == F.col("_m_cell")),
+        "inner",
+    )
+    scored = K.with_closest_on_segment(
+        pairs, lat, lng, "_m_fla", "_m_fln", "_m_tla", "_m_tln",
+        "_m_cla", "_m_cln",
+    ).withColumn("_m_dist", K.distance(
+        F.col(lat), F.col(lng), F.col("_m_cla"), F.col("_m_cln")))
+    best = F.min(F.struct(
+        F.col("_m_dist").alias("dist_m"),
+        F.col("_m_line").alias("line_id"),
+        F.col("_m_seg").alias("seg_idx"),
+        F.col("_m_cla").alias("c_lat"),
+        F.col("_m_cln").alias("c_lng"),
+    )).alias("_b")
+    return (
+        scored.filter(F.col("_m_dist") < F.lit(float(max_m)))
+        .groupBy(F.col(point_id).alias("point_id"))
+        .agg(best)
+        .select(
+            "point_id",
+            F.col("_b.line_id").alias("line_id"),
+            F.col("_b.seg_idx").alias("seg_idx"),
+            F.col("_b.dist_m").alias("dist_m"),
+            F.col("_b.c_lat").alias("c_lat"),
+            F.col("_b.c_lng").alias("c_lng"),
+        )
+    )

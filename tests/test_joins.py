@@ -347,3 +347,54 @@ def test_densified_ring_preserves_planar_regions(spark):
     lng = np.array([10.5, 10.5, 12.0])
     assert area_contains(area, lat, lng).tolist() == [True, False, False]
     assert area_contains(d, lat, lng).tolist() == [True, False, False]
+
+
+def test_map_match_vs_brute_force(spark):
+    """match_points_to_segments == the goldens.map_match brute force on
+    a mixed network: short city links, a degenerate 8000-km
+    inter-city link (exercises the coarse-zoom cover path), a
+    high-latitude line (lng under-cover fringe), and probes that
+    match nothing."""
+    from geospark.goldens import map_match as brute
+    from geospark.joins import match_points_to_segments
+
+    trajectories = [
+        (1, [(48.1000, 11.5000), (48.1010, 11.5030), (48.1005, 11.5060)]),
+        (2, [(48.1003, 11.5010), (35.6800, 139.7600)]),   # Munich -> Tokyo
+        (3, [(78.2000, 15.6000), (78.2010, 15.6200)]),    # Svalbard
+    ]
+    probes = [
+        (10, 48.10055, 11.50310),   # near line 1 mid
+        (11, 48.10031, 11.50099),   # near shared area: lines 1 AND 2
+        (12, 42.2000, 75.6305),     # ~600 m off the long link's merc midpoint
+        (13, 78.20051, 15.61001),   # high-lat, between vertices
+        (14, 0.0, 0.0),             # matches nothing
+        (15, 48.0500, 11.5000),     # ~5.5 km away: outside 2 km
+    ]
+    max_m = 2000.0
+    segs = []
+    for uid, line in trajectories:
+        for i in range(len(line) - 1):
+            segs.append((uid, i, *line[i], *line[i + 1]))
+    seg_df = spark.createDataFrame(
+        segs,
+        "line_id long, seg_idx int, f_lat double, f_lng double, "
+        "t_lat double, t_lng double",
+    )
+    pts_df = spark.createDataFrame(
+        probes, "point_id long, lat double, lng double")
+    got = {
+        r["point_id"]: (r["line_id"], r["seg_idx"],
+                        round(r["dist_m"], 6), round(r["c_lat"], 9),
+                        round(r["c_lng"], 9))
+        for r in match_points_to_segments(pts_df, seg_df, max_m).collect()
+    }
+    want = {
+        pid: (uid, si, round(d, 6), round(cla, 9), round(cln, 9))
+        for pid, uid, si, d, cla, cln in brute(probes, trajectories, max_m)
+    }
+    assert got == want
+    assert 14 not in got and 15 not in got
+    assert {10, 11, 12, 13} <= set(got)
+    # the interior probe really matched the degenerate long link
+    assert got[12][0] == 2
