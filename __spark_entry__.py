@@ -735,28 +735,20 @@ MAP_MATCH_MAX_M = 250.0
 
 
 def _q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map matching: every 10th event point, nudged off its trajectory
-    (+0.0003 lat, -0.0002 lng ~= 40 m), snapped to the nearest
-    trajectory segment of ANY user within 250 m — the distributed
-    GPS-probe -> network join (cell-cover filter + S8/S1 refine +
-    min-struct argmin). Golden-VALUES oracle from the brute-force twin
-    goldens.map_match."""
+    """Map matching: every 10th event point, nudged off its own
+    network link (+0.0003 lat, -0.0002 lng ~= 40 m), snapped to the
+    nearest segment of ANY line within 250 m — the distributed
+    GPS-probe -> road-network join (cell-cover filter + S8/S1 refine +
+    min-struct argmin). The network is geodata.events_segments: one
+    deterministic <=~450 m link per event (realistic link lengths;
+    consecutive-random-point lag segments are transcontinental and
+    degenerate the cover join toward a cross product at scale).
+    Golden-VALUES oracle from the brute-force twin
+    goldens.map_match_segments."""
     from geospark.joins import match_points_to_segments
 
     pts = G.events_points(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seg = (
-        pts.select("user_id", "ts", "event_id", "lat", "lng")
-        .withColumn("f_lat", F.lag("lat").over(w))
-        .withColumn("f_lng", F.lag("lng").over(w))
-        .withColumn("seg_idx", (F.row_number().over(w) - 2).cast("int"))
-        .filter(F.col("f_lat").isNotNull())
-        .select(
-            F.col("user_id").alias("line_id"), "seg_idx",
-            "f_lat", "f_lng",
-            F.col("lat").alias("t_lat"), F.col("lng").alias("t_lng"),
-        )
-    )
+    seg = G.events_segments(spark, sf_dir)
     probes = (
         pts.filter(F.col("event_id") % 10 == 0)
         .select(
@@ -1468,6 +1460,20 @@ def _oracle_points() -> tuple[list[int], list[float], list[float]]:
     return pdf["event_id"].tolist(), pdf["lat"].tolist(), pdf["lng"].tolist()
 
 
+def _oracle_event_users() -> dict[int, int]:
+    """event_id -> user_id at the oracle SF (for the synthetic road
+    network's line ids)."""
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = con.sql(
+        f"SELECT event_id, user_id FROM "
+        f"read_parquet('{_oracle_sf_dir()}/events.parquet')"
+    ).df()
+    con.close()
+    return dict(zip(pdf["event_id"].astype(int), pdf["user_id"].astype(int)))
+
+
 def _values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
     """Embedded-VALUES relation with explicit column types."""
     body = ", ".join("(" + ", ".join(repr(v) for v in r) + ")" for r in rows)
@@ -1759,11 +1765,17 @@ def oracle_sql() -> dict[str, str]:
         for i, la, ln in zip(ev_ids, ev_lats, ev_lngs)
         if i % 10 == 0
     ]
+    ev_uid = _oracle_event_users()
+    mm_segs = []
+    for i, la, ln in zip(ev_ids, ev_lats, ev_lngs):
+        uid, si, fla, fln, tla, tln = G.events_segments_py(
+            int(i), ev_uid[int(i)], la, ln)
+        mm_segs.append((uid, si, (fla, fln), (tla, tln)))
     mm_rows = [
         (pid, uid, si, int(math.floor(d)),
          _round_half_up(cla, 6), _round_half_up(cln, 6))
-        for pid, uid, si, d, cla, cln in GO.map_match(
-            mm_probes, traj, MAP_MATCH_MAX_M)
+        for pid, uid, si, d, cla, cln in GO.map_match_segments(
+            mm_probes, mm_segs, MAP_MATCH_MAX_M)
     ]
     cl_rows = [
         (int(m), int(c)) for m, c in GO.cluster_hist(ev_lats, ev_lngs, ev_ids, 5000.0)

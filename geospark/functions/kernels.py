@@ -213,7 +213,15 @@ def map_size(z: int, tile_size: int = 4096) -> int:
 # floor(v + 0.5) == round-half-away-from-zero for v > -0.5.
 # ---------------------------------------------------------------------------
 def merc_to_pixel_x(x, z: int, tile_size: int = 4096) -> Column:
-    return F.floor((_c(x) + F.lit(MERC_ORIGIN_SHIFT)) / F.lit(resolution(z, tile_size)))
+    # TRUNC toward zero (double->long cast), not floor: the reference
+    # casts the quotient (webmercator.h merc_to_pixel_x — P3's
+    # "x truncates / y rounds" asymmetry), and the numpy twin uses
+    # np.trunc. Identical for every in-range lng (quotient >= 0);
+    # differs exactly for lng < -180 (negative pixel x), where
+    # floor(-eps) = -1 broke the probe/cover key parity of the
+    # map-match join at the antimeridian.
+    return ((_c(x) + F.lit(MERC_ORIGIN_SHIFT))
+            / F.lit(resolution(z, tile_size))).cast("long")
 
 
 def merc_to_pixel_y(y, z: int, tile_size: int = 4096) -> Column:

@@ -51,6 +51,47 @@ FROM events
 """
 
 
+def events_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic ROAD NETWORK over the events table: one short segment
+    per event, from the event point to a deterministic offset of at
+    most ~0.004 deg (~450 m) — realistic network-link lengths, unlike
+    consecutive random event points (whose lag-pairs are
+    transcontinental and collapse every cover to a handful of coarse
+    cells, degenerating the map-match join toward a cross product at
+    scale). Same pure-integer arithmetic contract as events_points so
+    the DuckDB/Python oracle reproduces bit-identical doubles.
+
+        dlat = ((event_id * 131) % 800) / 100000.0 - 0.004
+        dlng = ((event_id * 137) % 800) / 100000.0 - 0.004
+        t_lng clamped at -180.0 (lng min is exactly -180.0)
+
+    Columns: (line_id=user_id, seg_idx=event_id, f_lat, f_lng,
+    t_lat, t_lng)."""
+    pts = events_points(spark, sf_dir)
+    dlat = ((F.col("event_id") * 131) % 800) / 100000.0 - 0.004
+    dlng = ((F.col("event_id") * 137) % 800) / 100000.0 - 0.004
+    return pts.select(
+        F.col("user_id").alias("line_id"),
+        F.col("event_id").cast("int").alias("seg_idx"),
+        F.col("lat").alias("f_lat"),
+        F.col("lng").alias("f_lng"),
+        (F.col("lat") + dlat).alias("t_lat"),
+        F.greatest(F.col("lng") + dlng, F.lit(-180.0)).alias("t_lng"),
+    )
+
+
+def events_segments_py(event_id: int, user_id: int, lat: float,
+                       lng: float) -> tuple[int, int, float, float,
+                                            float, float]:
+    """Pure-Python twin of one events_segments row (IEEE-double
+    identical: integer products are exact, /1e5 and +/- round the
+    same in every engine)."""
+    dlat = ((event_id * 131) % 800) / 100000.0 - 0.004
+    dlng = ((event_id * 137) % 800) / 100000.0 - 0.004
+    return (user_id, int(event_id), lat, lng, lat + dlat,
+            max(lng + dlng, -180.0))
+
+
 # ---------------------------------------------------------------------------
 # SQL twins of the Column kernels (formula-identical, constants inlined)
 # ---------------------------------------------------------------------------

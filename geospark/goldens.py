@@ -618,18 +618,30 @@ def crawl_dedup(n_pages: int) -> list[tuple[str, int, int, int]]:
 def map_match(points: list[tuple[int, float, float]],
               trajectories: list[tuple[int, list[tuple[float, float]]]],
               max_m: float) -> list[tuple[int, int, int, float, float, float]]:
-    """Independent brute-force twin of joins.match_points_to_segments:
-    for each probe, the nearest segment (strict <, first-wins in
-    (line_id, seg_idx) order — the L6 tie-break) within max_m.
-    Exact math is the closest_on_segment/_haversine pair above; a
-    conservative numpy endpoint-distance prefilter keeps the loop
-    tractable (a point within max_m of a segment is within
-    max_m + ~seg_len of an endpoint; 1.05x + 10 m slack absorbs the
-    mercator-chord vs geodesic gap)."""
+    """Trajectory-input wrapper over map_match_segments (segments are
+    consecutive vertex pairs, seg_idx = position in the line)."""
     segs: list[tuple[int, int, tuple, tuple]] = []
     for uid, line in trajectories:
         for i in range(len(line) - 1):
             segs.append((uid, i, line[i], line[i + 1]))
+    return map_match_segments(points, segs, max_m)
+
+
+def map_match_segments(
+    points: list[tuple[int, float, float]],
+    segs: list[tuple[int, int, tuple, tuple]],
+    max_m: float,
+) -> list[tuple[int, int, int, float, float, float]]:
+    """Independent brute-force twin of joins.match_points_to_segments:
+    for each probe, the nearest segment (strict <, first-wins in
+    (line_id, seg_idx) order — the L6 tie-break) within max_m.
+    ``segs`` rows are (line_id, seg_idx, (f_lat, f_lng),
+    (t_lat, t_lng)). Exact math is the closest_on_segment/_haversine
+    pair above; a conservative numpy endpoint-distance prefilter keeps
+    the loop tractable (a point within max_m of a segment is within
+    max_m + ~seg_len of an endpoint; 1.05x + 10 m slack absorbs the
+    mercator-chord vs geodesic gap)."""
+    segs = sorted(segs, key=lambda s: (s[0], s[1]))
     if not segs:
         return []
     f_la = np.array([s[2][0] for s in segs])

@@ -971,9 +971,9 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
 
     MULTI-ZOOM cover: each segment picks its own zoom — the finest
     level at which its buffered endpoint-bbox spans <= 2 cells (so a
-    pad=1 cover is <= ~20 cells) — capped at the radius zoom (cell
+    pad=0 cover is <= ~9 cells) — capped at the radius zoom (cell
     edge >= max_m). Short network links land on the fine grid; a
-    degenerate 1000 km link covers ~16 coarse cells instead of 10^7
+    degenerate 1000 km link covers a few coarse cells instead of 10^7
     fine ones (a single fixed fine zoom allocates terabytes of cover
     on long segments — measured before this design). Cover cells and
     point ancestors both live in the shifted-z16 pixel space
@@ -982,23 +982,22 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
 
     Cover recall: a mercator segment's lat/lng bbox is its endpoint
     bbox (merc x/y are monotone in lng/lat), buffered by ``max_m``
-    with the lng buffer sized at the worst-|lat| corner; pad=1
-    restores the fringe the degree-buffer under-covers (see
-    _cover_ranges). The exact refine decides membership.
+    with both degree constants UNDERSTATING the true m/deg (so the
+    box strictly dominates the haversine disk), and enumerated with
+    pad=0: the corner rectangle under the monotone, probe-identical
+    cell_tile_of_latlng mapping is an exact cover of a dominating
+    box. The exact refine decides membership.
     """
-    from geospark.cells import with_linear_cell_at_zoom
-    from geospark.spool import spool
-
     earth = 40075016.686
     z_fine = 0
     while z_fine < 16 and earth / (1 << (z_fine + 1)) >= max_m:
         z_fine += 1
 
-    @pandas_udf("array<struct<z: int, c: long>>")
-    def _seg_cover(fla: pd.Series, fln: pd.Series,
-                   tla: pd.Series, tln: pd.Series) -> pd.Series:
-        import pyarrow as pa
-
+    def _buffered_boxes(fla, fln, tla, tln):
+        """Shared numpy core: buffered per-segment bbox + cover zoom
+        (ONE implementation feeds both the zoom-census pass and the
+        cover enumeration, so the point side's ancestor-key zoom set
+        can never drift from the keys the cover actually emits)."""
         a_la = fla.to_numpy(np.float64)
         a_ln = fln.to_numpy(np.float64)
         b_la = tla.to_numpy(np.float64)
@@ -1007,11 +1006,17 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
         lat_lo = np.minimum(a_la, b_la) - d_lat
         lat_hi = np.maximum(a_la, b_la) + d_lat
         # lng buffer sized at the worst-|lat| corner of the buffered
-        # box (smallest cos -> widest degree buffer: conservative)
+        # box (smallest cos -> widest degree buffer). 111000 m/deg
+        # UNDERSTATES the true 111195 (haversine sphere) on both axes,
+        # so both buffers strictly DOMINATE the max_m disk — which is
+        # what lets the cover run pad=0 below: cell_tile_of_latlng is
+        # monotone and bit-identical to the probe side's z16-shift
+        # keys, so the inclusive corner rectangle of a dominating box
+        # is an exact cover.
         cos_lo = np.cos(np.radians(np.clip(lat_lo, -89.9, 89.9)))
         cos_hi = np.cos(np.radians(np.clip(lat_hi, -89.9, 89.9)))
         cos_w = np.maximum(np.minimum(cos_lo, cos_hi), 1e-6)
-        d_lng = max_m / (111200.0 * cos_w)
+        d_lng = max_m / (111000.0 * cos_w)
         lng_lo = np.minimum(a_ln, b_ln) - d_lng
         lng_hi = np.maximum(a_ln, b_ln) + d_lng
         # per-segment zoom: coarsen until the bbox spans <= 2 cells
@@ -1020,6 +1025,25 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
         span = np.maximum(nx, ny)
         dz = np.ceil(np.log2(np.maximum(span / 2.0, 1.0))).astype(np.int64)
         zs = np.maximum(z_fine - dz, 0)
+        return lat_lo, lat_hi, lng_lo, lng_hi, zs
+
+    @pandas_udf("int")
+    def _seg_zoom(fla: pd.Series, fln: pd.Series,
+                  tla: pd.Series, tln: pd.Series) -> pd.Series:
+        return pd.Series(_buffered_boxes(fla, fln, tla, tln)[4])
+
+    # combined (cell, zoom) key: (c << 5) | z. One int64 per cover
+    # cell keeps the Arrow transfer on the numeric ListArray fast path
+    # (an array<struct> return materializes one Python dict PER CELL —
+    # measured 10s vs <1s for the same 1.6M-cell cover at sf0.1) and
+    # gives the bucket join a single primitive equi-key.
+    @pandas_udf("array<long>")
+    def _seg_cover(fla: pd.Series, fln: pd.Series,
+                   tla: pd.Series, tln: pd.Series) -> pd.Series:
+        import pyarrow as pa
+
+        lat_lo, lat_hi, lng_lo, lng_hi, zs = _buffered_boxes(
+            fla, fln, tla, tln)
         n_rows = len(zs)
         all_z = np.empty(0, np.int64)
         all_c = np.empty(0, np.int64)
@@ -1029,7 +1053,7 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
             m = zs == z
             idx = np.flatnonzero(m)
             tx1, ty1, nxz, nyz = _cover_ranges(
-                lat_lo[m], lng_lo[m], lat_hi[m], lng_hi[m], int(z), pad=1)
+                lat_lo[m], lng_lo[m], lat_hi[m], lng_hi[m], int(z), pad=0)
             cells, cnts = _enumerate_covers(tx1, ty1, nxz, nyz, int(z))
             all_c = np.concatenate([all_c, cells])
             all_z = np.concatenate([all_z, np.full(len(cells), z, np.int64)])
@@ -1037,18 +1061,19 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
             order = np.concatenate([order, np.repeat(idx, cnts)])
         # scatter the per-zoom chunks back into input-row order
         perm = np.argsort(order, kind="stable")
-        all_z, all_c = all_z[perm], all_c[perm]
+        keys = (all_c[perm] << 5) | all_z[perm]
         offsets = np.zeros(n_rows + 1, np.int64)
         np.cumsum(counts, out=offsets[1:])
-        struct = pa.StructArray.from_arrays(
-            [pa.array(all_z, pa.int32()), pa.array(all_c, pa.int64())],
-            names=["z", "c"],
-        )
         return pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), struct
+            pa.array(offsets, pa.int32()), pa.array(keys, pa.int64())
         ).to_pandas()
 
-    seg = segments.select(
+    # fan the network out to every core BEFORE the Arrow cover UDF —
+    # a network read from one small parquet file otherwise arrives in
+    # 1-2 input splits, serializing the UDF (and everything downstream
+    # of the spool) onto 2 of N cores
+    par = segments.sparkSession.sparkContext.defaultParallelism
+    seg = segments.repartition(par).select(
         F.col(line_id).alias("_m_line"),
         F.col(seg_idx).alias("_m_seg"),
         F.col(f_lat).alias("_m_fla"), F.col(f_lng).alias("_m_fln"),
@@ -1056,14 +1081,17 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
         F.explode(
             _seg_cover(F.col(f_lat), F.col(f_lng),
                        F.col(t_lat), F.col(t_lng))
-        ).alias("_zc"),
-    ).select(
-        "_m_line", "_m_seg", "_m_fla", "_m_fln", "_m_tla", "_m_tln",
-        F.col("_zc.z").alias("_m_z"), F.col("_zc.c").alias("_m_cell"),
+        ).alias("_m_key"),
     )
-    seg = spool(seg, "map_match_cover")
+    # zoom census: a zoom-only Arrow pass over the network (no explode,
+    # no materialized cover). The only driver data is the <=17-int
+    # DISTINCT zoom list; the cover UDF itself then runs exactly once,
+    # inside the single join pass (no spool/checkpoint needed).
     zooms = sorted(
-        r["_m_z"] for r in seg.select("_m_z").distinct().collect()
+        r["_z"] for r in segments.select(
+            _seg_zoom(F.col(f_lat), F.col(f_lng),
+                      F.col(t_lat), F.col(t_lng)).alias("_z")
+        ).distinct().collect()
     )
     if not zooms:  # empty network -> empty result, stable schema
         return (
@@ -1078,37 +1106,49 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
         )
     if broadcast_segments:
         seg = F.broadcast(seg)
-    # one (zoom, ancestor-cell) key per DISTINCT cover zoom, all
-    # shift-derived from one staged z16 projection (cell_tile_of_latlng
-    # parity with the cover enumeration)
+    # one combined (ancestor-cell << 5 | zoom) key per DISTINCT cover
+    # zoom, all shift-derived from one staged z16 projection
+    # (cell_tile_of_latlng parity with the cover enumeration)
     px = K.merc_to_pixel_x(K.latlng_to_merc_x(F.col(lng)), 16, tile_size=1)
     py = K.merc_to_pixel_y(K.latlng_to_merc_y(F.col(lat)), 16, tile_size=1)
     pts = points.withColumn("__px16", px).withColumn("__py16", py)
     keys = [
-        F.struct(
-            F.lit(int(z)).cast("int").alias("z"),
-            (F.shiftleft(F.shiftright(F.col("__py16"), 16 - int(z)), int(z))
-             + F.shiftright(F.col("__px16"), 16 - int(z))).alias("c"),
-        )
+        F.shiftleft(
+            F.shiftleft(F.shiftright(F.col("__py16"), 16 - int(z)), int(z))
+            + F.shiftright(F.col("__px16"), 16 - int(z)),
+            5,
+        ) + F.lit(int(z))
         for z in zooms
     ]
     anc = (
-        pts.withColumn("_a", F.explode(F.array(*keys)))
-        .withColumn("_p_z", F.col("_a.z"))
-        .withColumn("_p_cell", F.col("_a.c"))
-        .drop("_a", "__px16", "__py16")
+        pts.withColumn("_p_key", F.explode(F.array(*keys)))
+        .drop("__px16", "__py16")
     )
-    pairs = anc.join(
-        seg,
-        (F.col("_p_z") == F.col("_m_z"))
-        & (F.col("_p_cell") == F.col("_m_cell")),
-        "inner",
+    # STAGE SPLIT around the exact refine. The closest-on-segment +
+    # haversine tree is too large for one generated JVM method: fused
+    # into the join stage it lands in bhj_doConsume_0(), fused into
+    # the argmin it lands in sort_addToSorter() — either way "Code
+    # grows beyond 64 KB" drops the WHOLE stage (including the
+    # 1.6M-row cover Generate and the Arrow cover UDF at sf0.1) to
+    # interpreted mode (measured 26s vs 6s). So: the big streamed
+    # stage stays expression-free (pure equi-join on the combined
+    # key, raw pair columns only), candidates — cover-bounded, a few
+    # per probe — shuffle on point_id, and the refine + struct-min
+    # argmin run post-shuffle where a codegen fallback touches only
+    # the candidate relation.
+    pairs = (
+        anc.join(seg, F.col("_p_key") == F.col("_m_key"), "inner")
+        .select(F.col(point_id).alias("point_id"),
+                F.col(lat).alias("_p_lat"), F.col(lng).alias("_p_lng"),
+                "_m_line", "_m_seg",
+                "_m_fla", "_m_fln", "_m_tla", "_m_tln")
+        .repartition(F.col("point_id"))
     )
     scored = K.with_closest_on_segment(
-        pairs, lat, lng, "_m_fla", "_m_fln", "_m_tla", "_m_tln",
+        pairs, "_p_lat", "_p_lng", "_m_fla", "_m_fln", "_m_tla", "_m_tln",
         "_m_cla", "_m_cln",
     ).withColumn("_m_dist", K.distance(
-        F.col(lat), F.col(lng), F.col("_m_cla"), F.col("_m_cln")))
+        F.col("_p_lat"), F.col("_p_lng"), F.col("_m_cla"), F.col("_m_cln")))
     best = F.min(F.struct(
         F.col("_m_dist").alias("dist_m"),
         F.col("_m_line").alias("line_id"),
@@ -1118,7 +1158,7 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
     )).alias("_b")
     return (
         scored.filter(F.col("_m_dist") < F.lit(float(max_m)))
-        .groupBy(F.col(point_id).alias("point_id"))
+        .groupBy("point_id")
         .agg(best)
         .select(
             "point_id",

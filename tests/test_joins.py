@@ -398,3 +398,42 @@ def test_map_match_vs_brute_force(spark):
     assert {10, 11, 12, 13} <= set(got)
     # the interior probe really matched the degenerate long link
     assert got[12][0] == 2
+
+
+def test_map_match_antimeridian_probe(spark):
+    """Probes nudged past lng -180 must still match a network link ON
+    the antimeridian. Regression: the JVM pixel-x used floor while the
+    reference (and the numpy cover twin) TRUNCATES toward zero —
+    identical in range, but floor(-eps) = -1 desynced the probe key
+    from the cover at lng < -180, and the old pad=1 ring only masked
+    it by a linear-cell wraparound coincidence (pad=0 exposed it)."""
+    from geospark.goldens import map_match_segments as brute
+    from geospark.joins import match_points_to_segments
+
+    segs = [
+        (1, 0, (40.0, -180.0), (39.996, -180.0)),      # on the meridian
+        (2, 0, (-80.0, 179.995), (-80.004, 179.996)),  # just west of it
+        (3, 0, (0.0, -179.9998), (0.004, -179.9999)),  # just east of it
+    ]
+    probes = [
+        (100, 40.0003, -180.0002),   # ~40 m, wrapped past -180
+        (101, -79.9997, 179.9995),   # high-lat west-side neighbor
+        (102, 0.0003, -180.0002),    # wrapped; nearest seg is EAST side
+    ]
+    seg_df = spark.createDataFrame(
+        [(l, s, f[0], f[1], t[0], t[1]) for l, s, f, t in segs],
+        "line_id long, seg_idx int, f_lat double, f_lng double, "
+        "t_lat double, t_lng double",
+    )
+    pts_df = spark.createDataFrame(
+        probes, "point_id long, lat double, lng double")
+    got = {
+        r["point_id"]: (r["line_id"], round(r["dist_m"], 6))
+        for r in match_points_to_segments(pts_df, seg_df, 500.0).collect()
+    }
+    want = {
+        pid: (uid, round(d, 6))
+        for pid, uid, _si, d, _cla, _cln in brute(probes, segs, 500.0)
+    }
+    assert got == want
+    assert set(got) == {100, 101, 102}
