@@ -292,6 +292,24 @@ def main() -> None:
               "preserved for downstream bucketed use.",
     )
 
+    # map matching: expression-free streamed join stage, refine
+    # post-shuffle (the closest-on-segment tree overflows one JVM
+    # method — fused anywhere into the streamed stage it drops join +
+    # cover Generate + Arrow UDF to interpreted mode)
+    audit(
+        "map_match (probe -> road-network snap join)",
+        q["map_match"](spark, sf_dir),
+        must=["* BroadcastHashJoin", "hashpartitioning(point_id"],
+        must_not=["BatchEvalPython", "SortMergeJoin"],
+        notes="probe ancestor keys broadcast; the network cover "
+              "streams with NO shuffle (one ArrowEvalPython for the "
+              "int64 cover keys only); the codegen'd (*) join stage "
+              "carries zero refine expressions — candidates shuffle "
+              "on point_id and the heavy closest-on-segment + "
+              "haversine refine plus struct-min argmin run on the "
+              "cover-bounded candidate relation only.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
