@@ -185,6 +185,36 @@ def main() -> None:
 
     run("segment_supercover_z12", _supercover)
 
+    # map matching at scale: the full point table becomes the road
+    # network (one deterministic <=~450 m link per point, the
+    # events_segments recipe) and 1-in-10 points, nudged ~40 m off
+    # their link, are the GPS probes. Claim under test: cover volume
+    # stays ~5-9 int64 keys per segment and the refine touches only
+    # cover-bounded candidates — not probes x segments.
+    def _map_match():
+        from geospark.joins import match_points_to_segments
+
+        dlat = ((F.col("point_id") * 131) % 800) / 100000.0 - 0.004
+        dlng = ((F.col("point_id") * 137) % 800) / 100000.0 - 0.004
+        seg = points.select(
+            (F.col("point_id") % 1_000_003).alias("line_id"),
+            # point_uid is monotonically_increasing (partition<<33 —
+            # exceeds int), and ANSI cast would throw on overflow
+            F.pmod(F.col("point_id"), F.lit(1 << 31)).cast("int")
+            .alias("seg_idx"),
+            F.col("lat").alias("f_lat"), F.col("lng").alias("f_lng"),
+            (F.col("lat") + dlat).alias("t_lat"),
+            F.greatest(F.col("lng") + dlng, F.lit(-180.0)).alias("t_lng"),
+        )
+        probes = points.filter(F.col("point_id") % 10 == 0).select(
+            F.col("point_id"),
+            (F.col("lat") + F.lit(0.0003)).alias("lat"),
+            (F.col("lng") - F.lit(0.0002)).alias("lng"),
+        )
+        return match_points_to_segments(probes, seg, 250.0).count()
+
+    run("map_match_probes_vs_network", _map_match)
+
     # polygon rasterization at scale: 100k diamond polygons (~2x2
     # tiles each at z12) + one continental pentagon at z11 — cost must
     # track perimeter+area, not bbox
