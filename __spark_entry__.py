@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geospark import geodata as G
+from geospark import cells as Ce
 from geospark.cells import tile_rollup, with_tile
 from geospark.functions import kernels as K
 from geospark.joins import box_query, knn_join, pip_join, radius_join
@@ -995,6 +996,58 @@ def _q_polygon_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polygon_tile_cover(rings, POLY_RASTER_Z)
 
 
+def _q_tile_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector: greedy rectangle decomposition
+    (raster.vectorize_tiles — two gaps-and-islands window passes) of
+    the demo layer's z-6 rasterization. Chained on polygon_tile_cover
+    so the round trip polygon -> tiles -> rectangles is exercised
+    end-to-end; the oracle recomputes BOTH halves in DuckDB."""
+    from geospark.raster import polygon_tile_cover, vectorize_tiles
+
+    rings = spark.createDataFrame(
+        _demo_rings_rows(),
+        "area_id long, ring array<struct<lat: double, lng: double>>",
+    )
+    return vectorize_tiles(polygon_tile_cover(rings, POLY_RASTER_Z))
+
+
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the raster<->vector aggregation: event
+    points binned to z-6 tiles, joined against each demo area's
+    rasterized tile set (broadcast — the polygon raster is the small
+    side), per-area point count / tile occupancy / value sum. The
+    raster join makes 'points in polygon-shaped zone' one broadcast
+    hash join on integer tile keys at tile precision."""
+    from geospark.cells import with_tile
+    from geospark.raster import polygon_tile_cover
+
+    rings = spark.createDataFrame(
+        _demo_rings_rows(),
+        "area_id long, ring array<struct<lat: double, lng: double>>",
+    )
+    cover = polygon_tile_cover(rings, POLY_RASTER_Z).select(
+        "area_id", "tile_x", "tile_y"
+    )
+    # bin points in the raster's OWN grid (floor of the continuous
+    # tile — P3's pixel tile rounds y half a pixel differently, which
+    # would disagree with the cover at hairline tile edges)
+    pts = G.events_points(spark, sf_dir).select(
+        F.floor(Ce.ctile_x(F.col("lng"), POLY_RASTER_Z)).alias("tile_x"),
+        F.floor(Ce.ctile_y(F.col("lat"), POLY_RASTER_Z)).alias("tile_y"),
+        "value",
+    )
+    return (
+        pts.join(F.broadcast(cover), ["tile_x", "tile_y"])
+        .groupBy("area_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.count_distinct("tile_x", "tile_y").alias("n_tiles_hit"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .alias("value_cents"),
+        )
+    )
+
+
 S2_CHECK_MOD = 97003
 S2_AGG_LEVEL, S2_AGG_PARENT = 3, 1
 S2_JOIN_LEVEL = 3
@@ -1306,6 +1359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": _q_events_attribution,
         "traj_tile_cover": _q_traj_tile_cover,
         "polygon_raster": _q_polygon_raster,
+        "tile_vectorize": _q_tile_vectorize,
+        "zonal_stats": _q_zonal_stats,
         "hex_assign": _q_hex_assign,
         "hex_rollup": _q_hex_rollup,
         "hex_kring_join": _q_hex_kring_join,
@@ -2422,6 +2477,55 @@ def oracle_sql() -> dict[str, str]:
             FROM tiles GROUP BY 1, 2
         """,
         "polygon_raster": _polygon_raster_oracle_sql(),
+        "tile_vectorize": f"""
+            WITH cover AS ({_polygon_raster_oracle_sql()}),
+            runs AS (
+                SELECT area_id, tile_y, tile_x,
+                       tile_x - row_number() OVER (
+                           PARTITION BY area_id, tile_y
+                           ORDER BY tile_x) AS rk
+                FROM cover
+            ),
+            r2 AS (
+                SELECT area_id, tile_y, rk,
+                       min(tile_x) AS x0, max(tile_x) AS x1
+                FROM runs GROUP BY area_id, tile_y, rk
+            ),
+            c2 AS (
+                SELECT area_id, x0, x1, tile_y,
+                       tile_y - row_number() OVER (
+                           PARTITION BY area_id, x0, x1
+                           ORDER BY tile_y) AS ck
+                FROM r2
+            )
+            SELECT area_id, x0, x1,
+                   min(tile_y) AS y0, max(tile_y) AS y1,
+                   (x1 - x0 + 1) * (max(tile_y) - min(tile_y) + 1)
+                       AS n_tiles
+            FROM c2 GROUP BY area_id, x0, x1, ck
+        """,
+        "zonal_stats": f"""
+            WITH pts AS ({G.EVENTS_POINTS_SQL}),
+            tp AS (
+                SELECT CAST(floor({G.ctile_x_sql('lng', POLY_RASTER_Z)})
+                            AS BIGINT) AS tile_x,
+                       CAST(floor({G.ctile_y_sql('lat', POLY_RASTER_Z)})
+                            AS BIGINT) AS tile_y,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM pts
+            ),
+            cover AS (
+                SELECT DISTINCT area_id, tile_x, tile_y
+                FROM ({_polygon_raster_oracle_sql()})
+            )
+            SELECT cover.area_id,
+                   count(*) AS n_points,
+                   count(DISTINCT (tp.tile_x, tp.tile_y)) AS n_tiles_hit,
+                   CAST(sum(cents) AS BIGINT) AS value_cents
+            FROM tp JOIN cover
+              ON tp.tile_x = cover.tile_x AND tp.tile_y = cover.tile_y
+            GROUP BY cover.area_id
+        """,
         "events_attribution": """
             WITH p AS (SELECT event_id AS purchase_id, user_id, ts
                        FROM events WHERE event_type = 'purchase'),

@@ -31,7 +31,7 @@ bbox rectangle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geospark.cells import ctile_x, ctile_y, segment_tile_cover
@@ -121,3 +121,46 @@ def polygon_tile_cover(rings: DataFrame, zoom: int,
         [area, "tile_x", "tile_y"], "left_anti"
     )
     return boundary.unionByName(interior_only)
+
+
+def vectorize_tiles(tiles: DataFrame, area: str = "area_id",
+                    tile_x: str = "tile_x",
+                    tile_y: str = "tile_y") -> DataFrame:
+    """Raster -> vector: exact greedy rectangle decomposition of a
+    tile set, per area — the inverse direction of the rasterizers
+    above (the raster<->vector round trip: polygon_tile_cover /
+    segment_tile_cover go vector->raster, this goes back).
+
+    Two gaps-and-islands passes, all relational:
+
+      1. maximal horizontal RUNS: within an (area, tile_y) row,
+         consecutive tile_x values share ``tile_x - row_number()``;
+      2. runs with identical [x0, x1] extent in consecutive rows
+         merge vertically the same way on ``tile_y - row_number()``.
+
+    Output ``(area, x0, x1, y0, y1, n_tiles)``: rectangles are
+    disjoint and their union is exactly the input tile set (tested by
+    round-trip re-explosion). Deterministic — the decomposition is a
+    pure function of the set. Scale shape: both windows partition at
+    tile-row / run-extent granularity (millions of small partitions,
+    never one global sort), and each pass is one shuffle.
+    """
+    w1 = Window.partitionBy(area, tile_y).orderBy(tile_x)
+    runs = (
+        tiles.select(area, tile_x, tile_y)
+        .withColumn("_rk", F.col(tile_x) - F.row_number().over(w1))
+        .groupBy(area, tile_y, "_rk")
+        .agg(F.min(tile_x).alias("x0"), F.max(tile_x).alias("x1"))
+    )
+    w2 = Window.partitionBy(area, "x0", "x1").orderBy(tile_y)
+    return (
+        runs
+        .withColumn("_ck", F.col(tile_y) - F.row_number().over(w2))
+        .groupBy(area, "x0", "x1", "_ck")
+        .agg(F.min(tile_y).alias("y0"), F.max(tile_y).alias("y1"))
+        .select(
+            area, "x0", "x1", "y0", "y1",
+            ((F.col("x1") - F.col("x0") + 1)
+             * (F.col("y1") - F.col("y0") + 1)).alias("n_tiles"),
+        )
+    )

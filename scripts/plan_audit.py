@@ -310,6 +310,31 @@ def main() -> None:
               "cover-bounded candidate relation only.",
     )
 
+    # raster->vector rectangle decomposition: window passes only
+    audit(
+        "tile_vectorize (raster->vector rectangle decomposition)",
+        q["tile_vectorize"](spark, sf_dir),
+        must=["* HashAggregate", "Window"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "CartesianProduct"],
+        notes="two gaps-and-islands passes: run-key window partitions "
+              "by (area, tile_y), merge-key window by (area, x0, x1) "
+              "— per-row/per-extent granularity, never a global sort; "
+              "aggregations are hash aggs on the window keys.",
+    )
+
+    # zonal stats: broadcast raster side, integer-key equi-join
+    audit(
+        "zonal_stats (points x rasterized areas)",
+        q["zonal_stats"](spark, sf_dir),
+        must=["BroadcastHashJoin", "* HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "BroadcastNestedLoopJoin"],
+        notes="the polygon raster (small side) broadcasts; points "
+              "stream through an integer (tile_x, tile_y) hash join "
+              "with no geometry evaluated at join time; per-area agg "
+              "gets map-side partials.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:

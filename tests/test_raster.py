@@ -117,3 +117,56 @@ def test_polygon_cover_plan_has_no_python(spark):
     plan = polygon_tile_cover(rings, 5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_vectorize_tiles_round_trip(spark):
+    """Rectangle decomposition is exact: rectangles re-explode to
+    EXACTLY the input tile set, per area, with no overlap — on an
+    irregular shape (polygon raster with a hole) plus a degenerate
+    single-tile area and a one-row strip."""
+    from pyspark.sql import functions as F
+
+    from geospark.raster import polygon_tile_cover, vectorize_tiles
+
+    rings = spark.createDataFrame(
+        [
+            (1, [(0.0, 0.0), (8.0, 14.0), (0.0, 14.0)]),
+            (1, [(2.0, 6.0), (4.0, 10.0), (2.0, 10.0)]),  # hole
+        ],
+        "area_id long, ring array<struct<lat: double, lng: double>>",
+    )
+    cover = polygon_tile_cover(rings, 6).select(
+        "area_id", "tile_x", "tile_y")
+    extra = spark.createDataFrame(
+        [(2, 40, 40), (3, 10, 5), (3, 11, 5), (3, 12, 5)],
+        "area_id long, tile_x long, tile_y long",
+    )
+    tiles = cover.unionByName(extra)
+    rects = vectorize_tiles(tiles)
+    rows = rects.collect()
+    # degenerate cases come out as expected single rectangles
+    by_area = {}
+    for r in rows:
+        by_area.setdefault(r["area_id"], []).append(r)
+    assert [(r["x0"], r["x1"], r["y0"], r["y1"])
+            for r in by_area[2]] == [(40, 40, 40, 40)]
+    assert [(r["x0"], r["x1"], r["y0"], r["y1"])
+            for r in by_area[3]] == [(10, 12, 5, 5)]
+    # exact round trip: re-exploded rectangles == input tile set
+    re_exploded = rects.select(
+        "area_id",
+        F.explode(F.sequence("x0", "x1")).alias("tile_x"),
+        F.col("y0"), F.col("y1"),
+    ).select(
+        "area_id", "tile_x",
+        F.explode(F.sequence("y0", "y1")).alias("tile_y"),
+    )
+    got = {(r["area_id"], r["tile_x"], r["tile_y"])
+           for r in re_exploded.collect()}
+    want = {(r["area_id"], r["tile_x"], r["tile_y"])
+            for r in tiles.collect()}
+    assert got == want
+    assert re_exploded.count() == len(got)  # rectangles are disjoint
+    # conservation: per-rect n_tiles sums to the input count
+    assert (rects.agg(F.sum("n_tiles")).collect()[0][0]
+            == tiles.count())
