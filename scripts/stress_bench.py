@@ -215,6 +215,44 @@ def main() -> None:
 
     run("map_match_probes_vs_network", _map_match)
 
+    # raster->vector at scale: rectangle-decompose the z12 supercover
+    # of the 12M-segment trajectory set; claim under test: the two
+    # gaps-and-islands windows partition at tile-row granularity (no
+    # global sort) and conservation holds (sum n_tiles == input tiles)
+    def _vectorize():
+        from pyspark.sql import Window
+
+        from geospark.cells import segment_tile_cover, with_cell_at_zoom
+        from geospark.raster import vectorize_tiles
+
+        w = Window.partitionBy(
+            F.pmod(F.hash("point_id"), F.lit(1024))
+        ).orderBy("cell", "point_id")
+        seg = (
+            with_cell_at_zoom(points, 12)
+            .withColumn("lat0", F.lag("lat").over(w))
+            .withColumn("lng0", F.lag("lng").over(w))
+            .filter(F.col("lat0").isNotNull())
+            .select("lat0", "lng0", F.col("lat").alias("lat1"),
+                    F.col("lng").alias("lng1"))
+        )
+        tiles = (
+            segment_tile_cover(seg, 12)
+            .select(F.lit(1).alias("area_id"), "tile_x", "tile_y")
+            .distinct()
+        )
+        from pyspark import StorageLevel
+        tiles = tiles.persist(StorageLevel.MEMORY_AND_DISK)
+        n_tiles = tiles.count()
+        rects = vectorize_tiles(tiles)
+        agg = rects.agg(F.count("*").alias("rects"),
+                        F.sum("n_tiles").alias("tiles")).collect()[0]
+        tiles.unpersist()
+        assert agg["tiles"] == n_tiles, (agg["tiles"], n_tiles)
+        return agg["rects"]
+
+    run("tile_vectorize_supercover_z12", _vectorize)
+
     # polygon rasterization at scale: 100k diamond polygons (~2x2
     # tiles each at z12) + one continental pentagon at z11 — cost must
     # track perimeter+area, not bbox
