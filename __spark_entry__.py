@@ -1048,6 +1048,116 @@ def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TILE_PAYLOAD_Z = 4
+
+
+def _tile_payload_rect() -> tuple[int, int, int, int]:
+    """The z-4 continuous-tile rectangle of the demo BOX, computed
+    host-side with the golden ctile twin so the Spark filter literals
+    and the oracle use identical ints (the cover uses the continuous
+    grid, not P3's rounded pixel tiles)."""
+    import math as _math
+
+    from geospark import goldens as GO
+
+    lat_min, lng_min, lat_max, lng_max = BOX
+    tx1 = _math.floor(GO.ctile(lat_min, lng_min, TILE_PAYLOAD_Z)[0])
+    tx2 = _math.floor(GO.ctile(lat_min, lng_max, TILE_PAYLOAD_Z)[0])
+    ty1 = _math.floor(GO.ctile(lat_max, lng_min, TILE_PAYLOAD_Z)[1])
+    ty2 = _math.floor(GO.ctile(lat_min, lng_min, TILE_PAYLOAD_Z)[1])
+    return tx1, ty1, tx2, ty2
+
+
+def _q_tile_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile simplified geometry payloads — the tile-server leg of
+    the raster<->vector story (SURVEY §7 item 7): per-user
+    trajectories are DP-mask-simplified AT the payload zoom (M4),
+    their segments supercover-rasterized to z-4 tiles (scanline,
+    output-linear), and each tile in the demo-box rectangle gets its
+    users' per-tile segment chains polyline-encoded (G1) and digested
+    (md5 over the sorted 'uid:enc' strings — hash-strong but compact).
+    Golden-VALUES oracle from goldens.tile_payload (independent mask,
+    supercover and codec twins)."""
+    from geospark import lines as L
+    from geospark.cells import segment_tile_cover
+
+    tx1, ty1, tx2, ty2 = _tile_payload_rect()
+    pts = G.events_points(spark, sf_dir)
+    traj = (
+        pts.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "lat", "lng"))
+            ).alias("seq")
+        )
+        .withColumn(
+            "line",
+            F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))"),
+        )
+        .filter(F.size("line") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("mask", L.make_simplify_mask_udf()(F.col("line")))
+        .withColumn(
+            "sl",
+            L.apply_simplify_mask_udf(TILE_PAYLOAD_Z)(
+                F.col("mask"), F.col("line")
+            ),
+        )
+        .filter(F.size("sl") >= 2)
+    )
+    segs = traj.select(
+        "user_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(sl) - 2), i -> struct("
+                "sl[i].lat AS lat0, sl[i].lng AS lng0, "
+                "sl[i + 1].lat AS lat1, sl[i + 1].lng AS lng1))"
+            )
+        ).alias("seg_idx", "s"),
+    ).select("user_id", "seg_idx", "s.lat0", "s.lng0", "s.lat1", "s.lng1")
+    cover = segment_tile_cover(segs, TILE_PAYLOAD_Z).filter(
+        (F.col("tile_x") >= tx1) & (F.col("tile_x") <= tx2)
+        & (F.col("tile_y") >= ty1) & (F.col("tile_y") <= ty2)
+    )
+    per_user = (
+        cover.groupBy("tile_x", "tile_y", "user_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct("seg_idx", "lat0", "lng0", "lat1", "lng1")
+                )
+            ).alias("ss"),
+        )
+        .withColumn(
+            "pts",
+            F.expr(
+                "flatten(transform(ss, s -> array("
+                "struct(s.lat0 AS lat, s.lng0 AS lng), "
+                "struct(s.lat1 AS lat, s.lng1 AS lng))))"
+            ),
+        )
+        .withColumn("enc", L.encode_polyline_udf(5)(F.col("pts")))
+    )
+    return (
+        per_user.groupBy("tile_x", "tile_y")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("n_segs").alias("n_segs"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws(":", F.col("user_id"), F.col("enc"))
+                        )
+                    ),
+                )
+            ).alias("payload_md5"),
+        )
+    )
+
+
 S2_CHECK_MOD = 97003
 S2_AGG_LEVEL, S2_AGG_PARENT = 3, 1
 S2_JOIN_LEVEL = 3
@@ -1361,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_raster": _q_polygon_raster,
         "tile_vectorize": _q_tile_vectorize,
         "zonal_stats": _q_zonal_stats,
+        "tile_payload": _q_tile_payload,
         "hex_assign": _q_hex_assign,
         "hex_rollup": _q_hex_rollup,
         "hex_kring_join": _q_hex_kring_join,
@@ -1832,6 +1943,7 @@ def oracle_sql() -> dict[str, str]:
         for pid, uid, si, d, cla, cln in GO.map_match_segments(
             mm_probes, mm_segs, MAP_MATCH_MAX_M)
     ]
+    tp_rows = GO.tile_payload(traj, TILE_PAYLOAD_Z, _tile_payload_rect())
     cl_rows = [
         (int(m), int(c)) for m, c in GO.cluster_hist(ev_lats, ev_lngs, ev_ids, 5000.0)
     ]
@@ -2374,6 +2486,12 @@ def oracle_sql() -> dict[str, str]:
             [("point_id", "BIGINT"), ("line_id", "BIGINT"),
              ("seg_idx", "INTEGER"), ("dist_floor_m", "BIGINT"),
              ("c_lat", "DOUBLE"), ("c_lng", "DOUBLE")],
+        ),
+        "tile_payload": _values_sql(
+            tp_rows,
+            [("tile_x", "BIGINT"), ("tile_y", "BIGINT"),
+             ("n_users", "BIGINT"), ("n_segs", "BIGINT"),
+             ("payload_md5", "VARCHAR")],
         ),
         "tile_relevel": f"""
             SELECT CAST(x.t AS BIGINT) AS tile_x, CAST(y.t AS BIGINT) AS tile_y,

@@ -122,9 +122,8 @@ def _serialize_mask(levels: list[list[bool]]) -> bytes:
     return bytes(out)
 
 
-def simplify_mask_stats(latlngs: list[tuple[float, float]],
-                        z_a: int = 0, z_b: int = 10) -> tuple[int, int, int]:
-    """(points kept at z_a, points kept at z_b, serialized byte size)."""
+def simplify_levels(latlngs: list[tuple[float, float]]) -> list[list[bool]]:
+    """The 21 per-zoom keep-masks (simplify_mask.h semantics)."""
     pts = [pixel(la, ln, 20, 4096) for la, ln in latlngs]
     n = len(pts)
     mask = [False] * n
@@ -139,6 +138,13 @@ def simplify_mask_stats(latlngs: list[tuple[float, float]],
                 levels.append(mask[:])
             break
         levels.append(mask[:])
+    return levels
+
+
+def simplify_mask_stats(latlngs: list[tuple[float, float]],
+                        z_a: int = 0, z_b: int = 10) -> tuple[int, int, int]:
+    """(points kept at z_a, points kept at z_b, serialized byte size)."""
+    levels = simplify_levels(latlngs)
     ser = _serialize_mask(levels)
     return sum(levels[z_a]), sum(levels[z_b]), len(ser)
 
@@ -247,6 +253,86 @@ def _merc_inv(x: float, y: float) -> tuple[float, float]:
     d = 180.0 / math.pi
     lat = (2.0 * math.atan(math.exp(y / MERC_R)) - math.pi / 2.0) * d
     return lat, x * d / MERC_R
+
+
+def ctile(lat: float, lng: float, zoom: int) -> tuple[float, float]:
+    """Continuous tile coords — twin of cells.ctile_x/ctile_y (same
+    double op order)."""
+    mx, my = _merc(lat, lng)
+    n = float(1 << zoom)
+    return ((mx + ORIGIN_SHIFT) / (2.0 * ORIGIN_SHIFT) * n,
+            (ORIGIN_SHIFT - my) / (2.0 * ORIGIN_SHIFT) * n)
+
+
+def supercover_tiles(f: tuple[float, float], t: tuple[float, float],
+                     zoom: int) -> list[tuple[int, int]]:
+    """Twin of cells.segment_tile_cover for ONE segment: scanline
+    supercover over continuous tile coords, formula-identical
+    (same clamp / inverse-lerp / floor order, closed intervals)."""
+    px0, py0 = ctile(f[0], f[1], zoom)
+    px1, py1 = ctile(t[0], t[1], zoom)
+    if py0 <= py1:
+        px0s, py0s, px1s, py1s = px0, py0, px1, py1
+    else:
+        px0s, py0s, px1s, py1s = px1, py1, px0, py0
+    out: list[tuple[int, int]] = []
+    for ty in range(math.floor(py0s), math.floor(py1s) + 1):
+        ylo = max(py0s, float(ty))
+        yhi = min(py1s, float(ty + 1))
+        if py1s == py0s:
+            t0, t1 = 0.0, 1.0
+        else:
+            dy = py1s - py0s
+            t0 = (ylo - py0s) / dy
+            t1 = (yhi - py0s) / dy
+        dx = px1s - px0s
+        x0 = px0s + dx * t0
+        x1 = px0s + dx * t1
+        for tx in range(math.floor(min(x0, x1)),
+                        math.floor(max(x0, x1)) + 1):
+            out.append((tx, ty))
+    return out
+
+
+def tile_payload(trajectories: list[tuple[int, list[tuple[float, float]]]],
+                 zoom: int, rect: tuple[int, int, int, int],
+                 ) -> list[tuple[int, int, int, int, str]]:
+    """Twin of the tile_payload query: per tile in ``rect``
+    (tx1, ty1, tx2, ty2 inclusive), the users whose zoom-simplified
+    trajectory crosses it, their per-tile segment chains
+    polyline-encoded, digested as md5 over the '|'-joined sorted
+    'uid:enc' strings. Returns (tile_x, tile_y, n_users, n_segs,
+    payload_md5) rows."""
+    import hashlib
+
+    tx1, ty1, tx2, ty2 = rect
+    groups: dict[tuple[int, int, int], list] = {}
+    for uid, line in trajectories:
+        if len(line) < 2:
+            continue
+        keep = simplify_levels(line)[zoom]
+        sl = [p for p, k in zip(line, keep) if k]
+        for i in range(len(sl) - 1):
+            f, t = sl[i], sl[i + 1]
+            for tx, ty in supercover_tiles(f, t, zoom):
+                if tx1 <= tx <= tx2 and ty1 <= ty <= ty2:
+                    groups.setdefault((tx, ty, uid), []).append((i, f, t))
+    per_tile: dict[tuple[int, int], list] = {}
+    for (tx, ty, uid), segs in groups.items():
+        segs.sort()
+        pts: list[tuple[float, float]] = []
+        for _i, f, t in segs:
+            pts.extend([f, t])
+        enc = encode_polyline(pts, 5)
+        per_tile.setdefault((tx, ty), []).append((uid, len(segs), enc))
+    rows = []
+    for (tx, ty), items in sorted(per_tile.items()):
+        payload = "|".join(sorted(f"{uid}:{enc}" for uid, _n, enc in items))
+        rows.append((
+            tx, ty, len(items), sum(n for _u, n, _e in items),
+            hashlib.md5(payload.encode()).hexdigest(),
+        ))
+    return rows
 
 
 def closest_on_segment(x, f, t):

@@ -335,6 +335,21 @@ def main() -> None:
               "gets map-side partials.",
     )
 
+    # tile payloads: the only Python is the three Arrow UDF stages
+    # (DP mask, mask apply, polyline encode) — cover + grouping are JVM
+    audit(
+        "tile_payload (per-tile simplified geometry payloads)",
+        q["tile_payload"](spark, sf_dir),
+        must=["ArrowEvalPython", "ObjectHashAggregate"],
+        must_not=["BatchEvalPython", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"],
+        notes="trajectory collect + segment explode + scanline "
+              "supercover + per-tile grouping are all JVM Column "
+              "math; Python appears only as Arrow-batched UDFs for "
+              "the DP mask family and the polyline codec (the "
+              "reference's own per-line scalar kernels).",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:

@@ -123,3 +123,34 @@ def test_cover_plan_is_jvm_only(spark):
     plan = segment_tile_cover(df, 5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_supercover_golden_twin_parity(spark):
+    """goldens.supercover_tiles is formula-identical to the Spark
+    segment_tile_cover operator — checked on steep, flat, reversed,
+    long and degenerate segments at two zooms."""
+    from geospark.cells import segment_tile_cover
+    from geospark.goldens import supercover_tiles
+
+    segs = [
+        (48.1, 11.5, 48.2, 11.9),      # shallow
+        (48.2, 11.9, 10.0, 12.0),      # steep, reversed y
+        (-5.0, -120.0, 60.0, 30.0),    # transcontinental
+        (0.0, 0.0, 0.0, 0.0),          # degenerate point
+        (20.0, 5.0, 20.0, 9.0),        # exactly flat in y
+        (75.0, -30.0, 75.2, -29.0),    # high latitude
+    ]
+    for zoom in (4, 9):
+        df = spark.createDataFrame(
+            segs, "lat0 double, lng0 double, lat1 double, lng1 double")
+        got = {}
+        rows = segment_tile_cover(
+            df.withColumn("sid", F.monotonically_increasing_id()), zoom
+        ).collect()
+        for r in rows:
+            got.setdefault(
+                (r["lat0"], r["lng0"], r["lat1"], r["lng1"]), set()
+            ).add((r["tile_x"], r["tile_y"]))
+        for la0, ln0, la1, ln1 in segs:
+            want = set(supercover_tiles((la0, ln0), (la1, ln1), zoom))
+            assert got[(la0, ln0, la1, ln1)] == want, (la0, ln0, zoom)
