@@ -416,6 +416,34 @@ def _q_doc_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def _q_doc_incremental_dedup(spark, sf_dir):
+    """Incremental corpus ingest: docs with doc_id % 3 == 0 play the
+    EXISTING training set (their content hashes are the 'seen'
+    relation); the rest are the new crawl, kept only if their text
+    bytes are unseen — textops.incremental_dedup's LEFT ANTI on the
+    content hash (AQE inserts a runtime bloom filter ahead of the
+    shuffle on real clusters)."""
+    from geospark.textops import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    # the prior corpus holds the first 200 docs; the "new crawl"
+    # re-ingests EVERYTHING (a re-crawl), so exactly those 200 texts
+    # must be recognized and dropped by the hash anti-join
+    seen = docs.filter(F.col("doc_id") < 200).select(
+        F.md5("text").alias("content_md5")
+    )
+    return incremental_dedup(docs, seen)
+
+
+def _q_doc_cap_per_lang(spark, sf_dir):
+    """Language balancing: keep the 50 longest docs per language
+    (deterministic doc_id tie-break) — textops.cap_per_group, one
+    window shuffle on the group key."""
+    from geospark.textops import cap_per_group
+
+    return cap_per_group(_docs(spark, sf_dir), 50)
+
+
 def _q_doc_token_stats(spark, sf_dir):
     from geospark.textops import token_stats
 
@@ -1488,6 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_relevel": _q_tile_relevel,
         "tile_pyramid": _q_tile_pyramid,
         "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_incremental_dedup": _q_doc_incremental_dedup,
+        "doc_cap_per_lang": _q_doc_cap_per_lang,
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
@@ -2059,6 +2089,28 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
                    count(*) OVER (PARTITION BY md5(text)) AS group_size
             FROM documents
+        """,
+        "doc_incremental_dedup": """
+            WITH seen AS (
+                SELECT DISTINCT md5(text) AS content_md5
+                FROM documents WHERE doc_id < 200
+            ),
+            nw AS (
+                SELECT doc_id, lang, md5(text) AS content_md5
+                FROM documents
+            )
+            SELECT nw.doc_id, nw.lang, nw.content_md5
+            FROM nw ANTI JOIN seen USING (content_md5)
+        """,
+        "doc_cap_per_lang": """
+            SELECT doc_id, grp, n_chars_kept, CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT doc_id, lang AS grp, length(text) AS n_chars_kept,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY length(text) DESC, doc_id ASC) AS rank
+                FROM documents
+            ) WHERE rank <= 50
         """,
         "doc_token_stats": f"""
             SELECT doc_id,

@@ -123,6 +123,47 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def incremental_dedup(docs: DataFrame, seen: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      seen_hash_col: str = "content_md5") -> DataFrame:
+    """New-crawl ingest against an existing training corpus: keep only
+    docs whose content hash does NOT appear in ``seen`` (a relation of
+    md5 hex content hashes) — the standard incremental-corpus LEFT
+    ANTI join. At warehouse scale the probe side shuffles on the hash
+    once; with AQE runtime filters enabled Spark inserts a bloom
+    filter from the seen side ahead of the shuffle, so most new rows
+    never reach it. Output keeps (doc_id, lang, content_md5)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), "lang",
+                    F.md5(text_col).alias("content_md5"))
+        .join(
+            seen.select(F.col(seen_hash_col).alias("content_md5")).distinct(),
+            "content_md5", "left_anti",
+        )
+    )
+
+
+def cap_per_group(docs: DataFrame, k: int, group_col: str = "lang",
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Domain/language balancing: keep at most ``k`` docs per group,
+    preferring longer documents (n_chars desc), doc_id asc as the
+    deterministic tie-break — one window shuffle on the group key.
+    Skewed groups are exactly the hot-host case; the window partitions
+    by group so a giant group sorts only within its own partitions."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.length(text_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(group_col).alias("grp"),
+                    F.length(text_col).alias("n_chars_kept"),
+                    F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # token counting & quality scoring — pure Column exprs
 # ---------------------------------------------------------------------------
