@@ -82,42 +82,64 @@ def deserialize(flat: str) -> Column:
 # ---------------------------------------------------------------------------
 # M3/M5 simplify masks — Arrow-batched UDFs over the numpy DP kernels
 # ---------------------------------------------------------------------------
+def _line_field(line, field: str):
+    """array<struct> field extraction as a JVM expr — the Arrow
+    boundary then transfers plain numeric ListArrays. An array<struct>
+    crossing into a pandas UDF materializes one Python DICT per point
+    (the map-match cover measured 10x on exactly this); every UDF in
+    this family therefore takes (lats, lngs) double arrays."""
+    c = F.col(line) if isinstance(line, str) else line
+    return c.getField(field)
+
+
 def make_simplify_mask_udf():
     """line -> serialized 21-level keep-mask (simplify_mask.h:112-218,
     exact byte layout: u32 lvls, u32 size, LSB-first bits).
-    Factory (pandas_udf needs an active session to parse the type)."""
+    Factory (pandas_udf needs an active session to parse the type);
+    the returned callable takes the array<struct> line column and
+    splits it into numeric arrays JVM-side."""
 
     @pandas_udf("binary")
-    def _mask(lines: pd.Series) -> pd.Series:
+    def _mask(lats_s: pd.Series, lngs_s: pd.Series) -> pd.Series:
         out = []
-        for line in lines:
-            if line is None or len(line) == 0:
+        for lats, lngs in zip(lats_s, lngs_s):
+            if lats is None or len(lats) == 0:
                 out.append(None)
                 continue
-            lats = np.array([p["lat"] for p in line])
-            lngs = np.array([p["lng"] for p in line])
-            masks = NK.make_simplify_mask(lats, lngs)
+            masks = NK.make_simplify_mask(
+                np.asarray(lats, np.float64), np.asarray(lngs, np.float64))
             out.append(NK.serialize_simplify_mask(masks))
         return pd.Series(out)
 
-    return _mask
+    def _call(line):
+        return _mask(_line_field(line, "lat"), _line_field(line, "lng"))
+
+    return _call
 
 
 def apply_simplify_mask_udf(level: int):
-    """mask binary + line -> simplified line at `level` (M6/M4)."""
+    """mask binary + line -> simplified line at `level` (M6/M4).
+    The UDF itself returns KEEP INDICES (array<int>, numeric Arrow
+    path); the line is re-assembled JVM-side with transform/element_at
+    so no struct ever crosses the Python boundary."""
 
-    @pandas_udf(LINE_TYPE)
-    def _apply(masks: pd.Series, lines: pd.Series) -> pd.Series:
+    @pandas_udf("array<int>")
+    def _keep_idx(masks: pd.Series) -> pd.Series:
         out = []
-        for mask_b, line in zip(masks, lines):
-            if mask_b is None or line is None:
+        for mask_b in masks:
+            if mask_b is None:
                 out.append(None)
                 continue
             keep = NK.read_simplify_mask(bytes(mask_b), level)
-            out.append([p for i, p in enumerate(line) if keep[i]])
+            out.append(np.flatnonzero(keep).astype(np.int32))
         return pd.Series(out)
 
-    return _apply
+    def _call(mask, line):
+        c = F.col(line) if isinstance(line, str) else line
+        idx = _keep_idx(mask if not isinstance(mask, str) else F.col(mask))
+        return F.transform(idx, lambda i: F.element_at(c, i + 1))
+
+    return _call
 
 
 def simplify_udf(max_distance_deg: float):
@@ -145,18 +167,19 @@ def simplify_udf(max_distance_deg: float):
 # ---------------------------------------------------------------------------
 def encode_polyline_udf(precision: int = 5):
     @pandas_udf("string")
-    def _enc(lines: pd.Series) -> pd.Series:
+    def _enc(lats_s: pd.Series, lngs_s: pd.Series) -> pd.Series:
         out = []
-        for line in lines:
-            if line is None:
+        for lats, lngs in zip(lats_s, lngs_s):
+            if lats is None:
                 out.append(None)
                 continue
-            lats = [p["lat"] for p in line]
-            lngs = [p["lng"] for p in line]
-            out.append(NK.encode_polyline(lats, lngs, precision))
+            out.append(NK.encode_polyline(list(lats), list(lngs), precision))
         return pd.Series(out)
 
-    return _enc
+    def _call(line):
+        return _enc(_line_field(line, "lat"), _line_field(line, "lng"))
+
+    return _call
 
 
 def encode_polyline_nonzero_udf(precision: int = 5, simplification: int = 0):
@@ -165,22 +188,24 @@ def encode_polyline_nonzero_udf(precision: int = 5, simplification: int = 0):
     with encoding in one pass."""
 
     @pandas_udf("struct<enc:string,n_kept:int>")
-    def _enc(lines: pd.Series) -> pd.Series:
+    def _enc(lats_s: pd.Series, lngs_s: pd.Series) -> pd.DataFrame:
         encs, keeps = [], []
-        for line in lines:
-            if line is None:
+        for lats, lngs in zip(lats_s, lngs_s):
+            if lats is None:
                 encs.append(None)
                 keeps.append(None)
                 continue
             e, kept = NK.encode_polyline_nonzero(
-                [p["lat"] for p in line], [p["lng"] for p in line],
-                precision, simplification,
+                list(lats), list(lngs), precision, simplification,
             )
             encs.append(e)
             keeps.append(kept)
         return pd.DataFrame({"enc": encs, "n_kept": keeps})
 
-    return _enc
+    def _call(line):
+        return _enc(_line_field(line, "lat"), _line_field(line, "lng"))
+
+    return _call
 
 
 def decode_polyline_udf(precision: int = 5):
