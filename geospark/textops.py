@@ -133,10 +133,14 @@ def incremental_dedup(docs: DataFrame, seen: DataFrame,
     ANTI join. At warehouse scale the probe side shuffles on the hash
     once; with AQE runtime filters enabled Spark inserts a bloom
     filter from the seen side ahead of the shuffle, so most new rows
-    never reach it. Output keeps (doc_id, lang, content_md5)."""
+    never reach it. Output keeps (doc_id[, lang], content_md5) —
+    lang only when the input carries it."""
+    cols = [F.col(id_col).alias("doc_id")]
+    if "lang" in docs.columns:
+        cols.append(F.col("lang"))
+    cols.append(F.md5(text_col).alias("content_md5"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), "lang",
-                    F.md5(text_col).alias("content_md5"))
+        docs.select(*cols)
         .join(
             seen.select(F.col(seen_hash_col).alias("content_md5")).distinct(),
             "content_md5", "left_anti",

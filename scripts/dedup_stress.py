@@ -52,7 +52,11 @@ def main() -> None:
     n = docs.count()
     results: dict[str, dict] = {}
 
+    only = {s for s in os.environ.get("STRESS_ONLY", "").split(",") if s}
+
     def run(name: str, fn) -> None:
+        if only and name not in only:
+            return
         t0 = time.time()
         extra = fn()
         secs = time.time() - t0
@@ -66,6 +70,18 @@ def main() -> None:
     run("exact_dedup", lambda: {
         "rows_out": T.exact_dedup(docs).count(),
     })
+
+    def _incremental():
+        # prior corpus = first half by doc_id; new crawl = everything
+        # (a full re-crawl) — the anti-join must drop every text whose
+        # bytes exist in the prior half, including the mutation pool's
+        # exact dups that straddle the boundary
+        seen = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.md5("text").alias("content_md5"))
+        kept = T.incremental_dedup(docs, seen).count()
+        return {"rows_out": kept}
+
+    run("incremental_dedup_halfseen", _incremental)
 
     run("minhash_lsh_t05", lambda: {
         "pairs": T.minhash_neardup_pairs(docs, threshold=0.5).count(),
