@@ -337,3 +337,32 @@ def test_line_dedup_stats_keep_first(spark):
     assert (got[2]["n_lines"], got[2]["n_kept"]) == (1, 0)
     assert (got[3]["n_lines"], got[3]["n_kept"]) == (1, 1)
     assert got[1]["kept_frac"] == 0.333333
+
+
+def test_incremental_dedup_content_level(spark):
+    """The anti-join drops by CONTENT hash, not by id: a new doc whose
+    text equals a seen doc's text drops even with a fresh doc_id; a
+    lang-less table works (column is optional)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma"), (2, "alpha beta"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    seen = docs.filter("doc_id = 0").selectExpr("md5(text) AS content_md5")
+    got = sorted(
+        r["doc_id"]
+        for r in T.incremental_dedup(docs, seen).collect()
+    )
+    assert got == [1, 3]  # 0 seen; 2 dropped by content despite new id
+
+
+def test_cap_per_group_tie_break_deterministic(spark):
+    """Top-k per group prefers longer text; equal lengths break on
+    doc_id ascending — the full expected set, not just counts."""
+    docs = spark.createDataFrame(
+        [(0, "aaaa", "en"), (1, "bbbb", "en"), (2, "cc", "en"),
+         (3, "ddddd", "en"), (4, "e", "de")],
+        "doc_id long, text string, lang string",
+    )
+    got = {(r["grp"], r["doc_id"], r["rank"])
+           for r in T.cap_per_group(docs, 2).collect()}
+    assert got == {("en", 3, 1), ("en", 0, 2), ("de", 4, 1)}
