@@ -1110,7 +1110,12 @@ def _q_tile_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geospark.cells import segment_tile_cover
 
     tx1, ty1, tx2, ty2 = _tile_payload_rect()
-    pts = G.events_points(spark, sf_dir)
+    # every 4th user: the query demos the composition (mask ->
+    # supercover -> encode -> digest); the DP mask is the same
+    # Python-bound kernel simplify_mask already times over ALL users
+    pts = G.events_points(spark, sf_dir).filter(
+        F.col("user_id") % 4 == 0
+    )
     traj = (
         pts.groupBy("user_id")
         .agg(
@@ -1973,7 +1978,10 @@ def oracle_sql() -> dict[str, str]:
         for pid, uid, si, d, cla, cln in GO.map_match_segments(
             mm_probes, mm_segs, MAP_MATCH_MAX_M)
     ]
-    tp_rows = GO.tile_payload(traj, TILE_PAYLOAD_Z, _tile_payload_rect())
+    tp_rows = GO.tile_payload(
+        [(uid, line) for uid, line in traj if uid % 4 == 0],
+        TILE_PAYLOAD_Z, _tile_payload_rect(),
+    )
     cl_rows = [
         (int(m), int(c)) for m, c in GO.cluster_hist(ev_lats, ev_lngs, ev_ids, 5000.0)
     ]
