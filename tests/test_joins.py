@@ -437,3 +437,40 @@ def test_map_match_antimeridian_probe(spark):
     }
     assert got == want
     assert set(got) == {100, 101, 102}
+
+
+def test_knn_durable_spool_backend(spark, tmp_path):
+    """The kNN escalation loop spools per-round summaries; with the
+    reliable (DFS-checkpoint) backend the results must be identical
+    to the local default — the backend changes durability, never
+    rows."""
+    import random
+
+    from geospark.joins import knn_join_df
+
+    rng = random.Random(7)
+    pts = spark.createDataFrame(
+        [(i, 48.0 + rng.random(), 11.0 + rng.random()) for i in range(400)],
+        "point_id long, lat double, lng double",
+    )
+    centers = spark.createDataFrame(
+        [(1, 48.5, 11.5), (2, 48.9, 11.1)],
+        "query_id long, q_lat double, q_lng double",
+    )
+
+    def run():
+        return sorted(
+            (r["query_id"], r["point_id"], round(r["dist_m"], 6))
+            for r in knn_join_df(pts, centers, k=5,
+                                 id_col="point_id").collect()
+        )
+
+    base = run()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set("spark.geospark.spool", "reliable")
+    try:
+        durable = run()
+    finally:
+        spark.conf.set("spark.geospark.spool", "local")
+    assert durable == base
+    assert len(base) == 10
