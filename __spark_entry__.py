@@ -503,6 +503,55 @@ def _q_doc_split(spark, sf_dir):
     )
 
 
+# deterministic PII injection shared by the Spark query and the DuckDB
+# oracle: the synthetic docs contain no emails/phones, so both sides
+# append one of each (a pure function of doc_id) and the scrub kernel
+# is then measured doing real redaction work
+from geospark.textops import PII_EMAIL_RE as _PII_EMAIL_RE  # noqa: E402
+from geospark.textops import PII_PHONE_RE as _PII_PHONE_RE  # noqa: E402
+
+_PII_INJECT_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@example.com or +1-555-', "
+    "lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-0199')"
+)
+
+
+def _q_doc_pii_scrub(spark, sf_dir):
+    """PII scrubbing ahead of training: redact emails + E.164-style
+    phone numbers (textops.pii_scrub — two codegen'd regexp passes,
+    zero shuffles; a pure map at 10^12 docs). The corpus is synthetic,
+    so a deterministic email+phone is first injected per doc (same
+    expression in the oracle) and the query reports match counts,
+    scrubbed length and an md5 of the scrubbed text."""
+    from geospark.textops import pii_scrub
+
+    d2 = _docs(spark, sf_dir).withColumn("text", F.expr(_PII_INJECT_SPARK))
+    return pii_scrub(d2)
+
+
+def _q_doc_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling for training-mix construction:
+    exactly min(60, |lang|) docs per language, chosen by md5 order of
+    the id (textops.stratified_sample) — stable under re-sharding, one
+    bounded-cardinality window shuffle."""
+    from geospark.textops import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), 60)
+
+
+def _q_doc_mix_epochs(spark, sf_dir):
+    """Mixture-weighted epoch expansion: each doc appears floor(w)
+    times plus one more with probability frac(w) decided by a per-doc
+    hash (textops.mixture_epochs) — E[copies] = w exactly, zero RNG
+    state, narrow posexplode plan. The per-source weight here is the
+    self-contained default (stable hash of the source name into
+    [0.5, 3.5))."""
+    from geospark.textops import mixture_epochs
+
+    return mixture_epochs(_docs(spark, sf_dir))
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from geospark.textops import fingerprint
 
@@ -1530,6 +1579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": _q_doc_minhash_lsh,
         "doc_dedup_neardup": _q_doc_dedup_neardup,
         "doc_split": _q_doc_split,
+        "doc_pii_scrub": _q_doc_pii_scrub,
+        "doc_sample_stratified": _q_doc_sample_stratified,
+        "doc_mix_epochs": _q_doc_mix_epochs,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_chunk": _q_doc_chunk,
@@ -2477,6 +2529,65 @@ def oracle_sql() -> dict[str, str]:
                              AND c.canonical <> d.doc_id
                         THEN 1 ELSE 0 END AS INT) AS is_dup
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        """,
+        "doc_pii_scrub": f"""
+            WITH d2 AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-0199' AS text
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text,
+                       regexp_replace(
+                           regexp_replace(text, '{_PII_EMAIL_RE}',
+                                          '<EMAIL>', 'g'),
+                           '{_PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+                FROM d2
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_PII_EMAIL_RE}'))::INT
+                       AS n_emails,
+                   len(regexp_extract_all(text, '{_PII_PHONE_RE}'))::INT
+                       AS n_phones,
+                   length(scrubbed)::INT AS n_chars_scrubbed,
+                   md5(scrubbed) AS scrub_hash
+            FROM s
+        """,
+        "doc_sample_stratified": """
+            SELECT doc_id, stratum, CAST(sample_rank AS INTEGER)
+                       AS sample_rank
+            FROM (
+                SELECT doc_id, lang AS stratum,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                    doc_id ASC) AS sample_rank
+                FROM documents
+            ) WHERE sample_rank <= 60
+        """,
+        "doc_mix_epochs": f"""
+            WITH base AS (
+                SELECT doc_id, source,
+                       0.5 + CAST({_duck_md5_60("source")} % 300 AS DOUBLE)
+                                 / 100.0 AS weight,
+                       CAST({_duck_md5_60(
+                           "CAST(doc_id AS VARCHAR) || ':mix'")} % 1000000
+                            AS DOUBLE) / 1000000.0 AS frac
+                FROM documents
+            ), cnt AS (
+                SELECT doc_id, source, round(weight, 6) AS weight,
+                       CAST(floor(weight)
+                            + CASE WHEN frac < weight - floor(weight)
+                                   THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+                FROM base
+            )
+            SELECT doc_id, source, weight, n_copies,
+                   CAST(unnest(generate_series(1, n_copies)) AS INTEGER)
+                       AS epoch
+            FROM cnt
+            WHERE n_copies >= 1
         """,
         "doc_split": f"""
             WITH b AS (

@@ -725,3 +725,112 @@ def line_dedup_stats(docs: DataFrame, line_tokens: int = 8,
             ).alias("kept_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regex redaction ahead of training
+# ---------------------------------------------------------------------------
+# Patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround, explicit classes.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails and E.164-style phone numbers from ``text_col``:
+    (doc_id, n_emails, n_phones, n_chars_scrubbed, scrub_hash).
+    Narrow plan — two codegen'd regexp passes per row, zero shuffles;
+    at 10^12 docs this is a pure map over the corpus (the standard
+    pre-training scrub stage). Counting uses regexp_count on the raw
+    text; redaction replaces each match with a fixed token so
+    downstream tokenization stays stable."""
+    raw = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(raw, F.lit(PII_EMAIL_RE)).cast("int")
+        .alias("n_emails"),
+        F.regexp_count(raw, F.lit(PII_PHONE_RE)).cast("int")
+        .alias("n_phones"),
+        F.length(scrubbed).alias("n_chars_scrubbed"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — training-mix construction
+# ---------------------------------------------------------------------------
+def stratified_sample(docs: DataFrame, quota: int,
+                      stratum_col: str = "lang",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly ``min(quota, |stratum|)`` docs per stratum, chosen
+    by md5 order of the id — deterministic, engine-neutral, and stable
+    under re-sharding (the sample is a pure function of ids, never of
+    partition layout). One window shuffle on the stratum key; strata
+    are bounded-cardinality (languages / sources), so no skew risk at
+    10^12 rows beyond what AQE's skew-join already handles."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture-weighted epoch expansion — corpus upsampling for training
+# ---------------------------------------------------------------------------
+def mixture_epochs(docs: DataFrame, weight_expr: str | None = None,
+                   id_col: str = "doc_id",
+                   source_col: str = "source") -> DataFrame:
+    """Materialize the epoch plan of a weighted training mixture: each
+    doc appears ``floor(w)`` times plus one more with probability
+    ``frac(w)``, decided by a deterministic per-doc hash — the exact
+    expectation E[copies] = w with zero RNG state (reproducible across
+    engines, re-shards and reruns). ``weight_expr`` is a SQL expression
+    over the row yielding the per-source weight; the default derives a
+    stable weight in [0.5, 3.5) from the source name so the operator
+    is self-contained on any corpus. Narrow plan: posexplode of
+    array_repeat — no shuffle; output size = sum(w_i), the actual
+    token-budget accounting a mixture schedule needs."""
+    if weight_expr is None:
+        weight_expr = (
+            f"0.5D + ({md5_60_sql(source_col)} % 300) / 100.0D"
+        )
+    mix_key = f"concat(CAST({id_col} AS STRING), ':mix')"
+    frac_hash = f"({md5_60_sql(mix_key)} % 1000000) / 1000000.0D"
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.expr(weight_expr).alias("weight"),
+        F.expr(frac_hash).alias("_frac"),
+    ).withColumn(
+        "n_copies",
+        (F.floor("weight")
+         + (F.col("_frac") < F.col("weight") - F.floor("weight"))
+         .cast("bigint")).cast("int"),
+    )
+    return (
+        base.filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id", "source",
+            F.round("weight", 6).alias("weight"),
+            "n_copies",
+            F.posexplode(F.expr("array_repeat(true, n_copies)"))
+            .alias("_epoch0", "_x"),
+        )
+        .select(
+            "doc_id", "source", "weight", "n_copies",
+            (F.col("_epoch0") + 1).cast("int").alias("epoch"),
+        )
+    )

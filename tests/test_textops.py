@@ -366,3 +366,80 @@ def test_cap_per_group_tie_break_deterministic(spark):
     got = {(r["grp"], r["doc_id"], r["rank"])
            for r in T.cap_per_group(docs, 2).collect()}
     assert got == {("en", 3, 1), ("en", 0, 2), ("de", 4, 1)}
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (0, "mail me at a.b+c@mail.example.org today"),
+        (1, "call +44-123-456-7890 or +1-555-000-0199 now"),
+        (2, "no pii here at all"),
+        (3, "x@y.io and +1-222-333-4444 mixed"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.pii_scrub(df).collect()}
+    assert got[0]["n_emails"] == 1 and got[0]["n_phones"] == 0
+    assert got[1]["n_phones"] == 2 and got[1]["n_emails"] == 0
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+    assert got[3]["n_emails"] == 1 and got[3]["n_phones"] == 1
+    # redaction really replaced the matches (length changed to the
+    # fixed-token form) and is deterministic
+    assert got[2]["n_chars_scrubbed"] == len(rows[2][1])
+    assert got[3]["n_chars_scrubbed"] == len("<EMAIL> and <PHONE> mixed")
+
+
+def test_stratified_sample_exact_quota_and_stability(spark):
+    rows = [(i, f"text {i}", "en" if i % 3 else "de") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = T.stratified_sample(df, 4).collect()
+    by_stratum = {}
+    for r in got:
+        by_stratum.setdefault(r["stratum"], set()).add(r["doc_id"])
+    assert len(by_stratum["en"]) == 4 and len(by_stratum["de"]) == 4
+    # pure function of ids: same sample under a different partitioning
+    got2 = T.stratified_sample(df.repartition(7), 4).collect()
+    assert {(r["doc_id"], r["stratum"]) for r in got} == {
+        (r["doc_id"], r["stratum"]) for r in got2
+    }
+    # quota larger than the stratum keeps everything
+    assert T.stratified_sample(df, 100).count() == 30
+
+
+def test_mixture_epochs_copies_match_weight(spark):
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = T.mixture_epochs(df).collect()
+    import math
+
+    by_doc = {}
+    weights = {}
+    for r in out:
+        by_doc[r["doc_id"]] = max(by_doc.get(r["doc_id"], 0), r["epoch"])
+        weights[r["source"]] = r["weight"]
+        assert r["n_copies"] == len(
+            [x for x in out if x["doc_id"] == r["doc_id"]]
+        )
+    # every doc's copy count is floor(w) or ceil(w)
+    for r in out:
+        w = weights[r["source"]]
+        assert r["n_copies"] in (math.floor(w), math.ceil(w))
+    # the mean copy count per source approaches the weight (50 docs per
+    # source; hash fractions are uniform-ish — allow a wide band)
+    from collections import defaultdict
+
+    per_src = defaultdict(list)
+    for d, _s in rows:
+        src = f"s{d % 4}"
+        per_src[src].append(by_doc.get(d, 0))
+    for src, counts in per_src.items():
+        mean = sum(counts) / len(counts)
+        assert abs(mean - weights[src]) < 0.35, (src, mean, weights[src])
+
+
+def test_mixture_epochs_custom_weight_expr(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    out = T.mixture_epochs(df, weight_expr="2.0D").collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in out) == [
+        (1, 1), (1, 2), (2, 1), (2, 2),
+    ]
