@@ -246,6 +246,96 @@ def _q_box_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _qbox_grid() -> list[tuple[int, float, float, float, float]]:
+    """Deterministic 12x12 overlapping grid of query windows over the
+    demo BOX, plus one continent-scale window (id 144) that exercises
+    box_overlap_join's broadcast big-box branch. Host-side floats are
+    shared verbatim with the oracle's VALUES relation."""
+    lat_min, lng_min, lat_max, lng_max = BOX
+    n = 12
+    dlat = (lat_max - lat_min) / n
+    dlng = (lng_max - lng_min) / n
+    out = []
+    for i in range(n):
+        for j in range(n):
+            out.append((
+                i * n + j,
+                lat_min + i * dlat - 0.3 * dlat,
+                lng_min + j * dlng - 0.3 * dlng,
+                lat_min + (i + 1) * dlat + 0.3 * dlat,
+                lng_min + (j + 1) * dlng + 0.3 * dlng,
+            ))
+    out.append((n * n, lat_min - 5.0, lng_min - 5.0,
+                lat_max + 5.0, lng_max + 5.0))
+    return out
+
+
+def _q_box_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 as a distributed JOIN: the bboxes of every road-network
+    segment against a grid of query windows (plus one continent-scale
+    window), via joins.box_overlap_join — small boxes cover-explode to
+    z6 tiles JVM-side and equi-join; the oversized window broadcasts
+    through the nested-loop branch. Output carries both containment
+    flags (box_contains_box in each direction)."""
+    from geospark.joins import box_overlap_join
+
+    segs = G.events_segments(spark, sf_dir)
+    seg_boxes = segs.select(
+        F.col("seg_idx").cast("long").alias("box_id"),
+        F.least("f_lat", "t_lat").alias("min_lat"),
+        F.least("f_lng", "t_lng").alias("min_lng"),
+        F.greatest("f_lat", "t_lat").alias("max_lat"),
+        F.greatest("f_lng", "t_lng").alias("max_lng"),
+    )
+    grid = spark.createDataFrame(
+        _qbox_grid(),
+        "box_id long, min_lat double, min_lng double, "
+        "max_lat double, max_lng double",
+    )
+    return box_overlap_join(seg_boxes, grid, zoom=6)
+
+
+_SEG_STRETCH = 150  # corridor factor: ~450 m links -> ~60 km corridors
+
+
+def _corridor_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long 'corridor' segments inside the demo BOX: the road-network
+    delta stretched x150 so crossings actually occur at driver scale
+    (the raw ~450 m links are too sparse to intersect at sf<=0.1)."""
+    pts = G.events_points(spark, sf_dir)
+    dlat = ((F.col("event_id") * 131) % 800) / 100000.0 - 0.004
+    dlng = ((F.col("event_id") * 137) % 800) / 100000.0 - 0.004
+    lat_min, lng_min, lat_max, lng_max = BOX
+    return (
+        pts.filter(
+            (F.col("lat") > lat_min) & (F.col("lat") < lat_max)
+            & (F.col("lng") > lng_min) & (F.col("lng") < lng_max)
+        )
+        .select(
+            F.col("event_id").alias("seg_id"),
+            F.col("lat").alias("f_lat"),
+            F.col("lng").alias("f_lng"),
+            (F.col("lat") + dlat * _SEG_STRETCH).alias("t_lat"),
+            (F.col("lng") + dlng * _SEG_STRETCH).alias("t_lng"),
+        )
+    )
+
+
+def _q_seg_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact segment-crossing self-join over corridor segments in the
+    demo BOX (joins.segment_intersection_join): scanline supercover to
+    z9 tiles, tile equi-join, dedup, then the exact orientation
+    predicate — all JVM codegen. The oracle is a DuckDB nested-loop
+    with the term-identical predicate, so green certifies the cover
+    join's recall, not just its plan."""
+    from geospark.joins import segment_intersection_join
+
+    rel = _corridor_segments(spark, sf_dir)
+    return segment_intersection_join(rel, rel, zoom=9).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+
+
 def _q_polyline_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 via the engine's array-expression length operator: build the
     per-user trajectory (deterministic (ts, event_id) order), then
@@ -1608,6 +1698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": _q_radius_join,
         "box_query": _q_box_query,
         "box_semi_anti": _q_box_semi_anti,
+        "box_join": _q_box_join,
+        "seg_intersections": _q_seg_intersections,
         "knn": _q_knn,
         "pip_join": _q_pip_join,
         "tile_rollup": _q_tile_rollup,
@@ -2978,6 +3070,90 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events, 'anti' AS side
             FROM pts WHERE user_id NOT IN (SELECT user_id FROM inbox)
             GROUP BY user_id
+        """,
+        "box_join": f"""
+            WITH pts AS ({pts}),
+            seg AS (
+                SELECT event_id,
+                       lat AS f_lat, lng AS f_lng,
+                       lat + ((event_id * 131) % 800) / 100000.0 - 0.004
+                           AS t_lat,
+                       greatest(lng + ((event_id * 137) % 800) / 100000.0
+                                    - 0.004, -180.0) AS t_lng
+                FROM pts
+            ),
+            sb AS (
+                SELECT event_id AS id_a,
+                       least(f_lat, t_lat) AS a_min_lat,
+                       least(f_lng, t_lng) AS a_min_lng,
+                       greatest(f_lat, t_lat) AS a_max_lat,
+                       greatest(f_lng, t_lng) AS a_max_lng
+                FROM seg
+            ),
+            grid AS ({_values_sql(
+                _qbox_grid(),
+                [("id_b", "BIGINT"), ("b_min_lat", "DOUBLE"),
+                 ("b_min_lng", "DOUBLE"), ("b_max_lat", "DOUBLE"),
+                 ("b_max_lng", "DOUBLE")],
+            )})
+            SELECT id_a, id_b,
+                   (b_min_lat >= a_min_lat AND b_max_lat <= a_max_lat AND
+                    b_min_lng >= a_min_lng AND b_max_lng <= a_max_lng)
+                       AS a_contains_b,
+                   (a_min_lat >= b_min_lat AND a_max_lat <= b_max_lat AND
+                    a_min_lng >= b_min_lng AND a_max_lng <= b_max_lng)
+                       AS b_contains_a
+            FROM sb JOIN grid
+              ON a_min_lat <= b_max_lat AND a_max_lat >= b_min_lat
+             AND a_min_lng <= b_max_lng AND a_max_lng >= b_min_lng
+        """,
+        "seg_intersections": f"""
+            WITH pts AS ({pts}),
+            seg AS (
+                SELECT event_id AS seg_id, lat AS f_lat, lng AS f_lng,
+                       lat + (((event_id * 131) % 800) / 100000.0 - 0.004)
+                                 * {_SEG_STRETCH} AS t_lat,
+                       lng + (((event_id * 137) % 800) / 100000.0 - 0.004)
+                                 * {_SEG_STRETCH} AS t_lng
+                FROM pts
+                WHERE lat > {repr(lat_min)} AND lat < {repr(lat_max)}
+                  AND lng > {repr(lng_min)} AND lng < {repr(lng_max)}
+            ),
+            pair AS (
+                SELECT a.seg_id AS id_a, b.seg_id AS id_b,
+                       a.f_lng AS ax0, a.f_lat AS ay0,
+                       a.t_lng AS ax1, a.t_lat AS ay1,
+                       b.f_lng AS bx0, b.f_lat AS by0,
+                       b.t_lng AS bx1, b.t_lat AS by1
+                FROM seg a JOIN seg b ON a.seg_id < b.seg_id
+            ),
+            o AS (
+                SELECT id_a, id_b,
+                       ax0, ay0, ax1, ay1, bx0, by0, bx1, by1,
+                       CASE WHEN (ax1-ax0)*(by0-ay0)-(ay1-ay0)*(bx0-ax0) > 0 THEN 1
+                            WHEN (ax1-ax0)*(by0-ay0)-(ay1-ay0)*(bx0-ax0) < 0 THEN -1
+                            ELSE 0 END AS o1,
+                       CASE WHEN (ax1-ax0)*(by1-ay0)-(ay1-ay0)*(bx1-ax0) > 0 THEN 1
+                            WHEN (ax1-ax0)*(by1-ay0)-(ay1-ay0)*(bx1-ax0) < 0 THEN -1
+                            ELSE 0 END AS o2,
+                       CASE WHEN (bx1-bx0)*(ay0-by0)-(by1-by0)*(ax0-bx0) > 0 THEN 1
+                            WHEN (bx1-bx0)*(ay0-by0)-(by1-by0)*(ax0-bx0) < 0 THEN -1
+                            ELSE 0 END AS o3,
+                       CASE WHEN (bx1-bx0)*(ay1-by0)-(by1-by0)*(ax1-bx0) > 0 THEN 1
+                            WHEN (bx1-bx0)*(ay1-by0)-(by1-by0)*(ax1-bx0) < 0 THEN -1
+                            ELSE 0 END AS o4
+                FROM pair
+            )
+            SELECT id_a, id_b FROM o
+            WHERE (o1 <> o2 AND o3 <> o4)
+               OR (o1 = 0 AND bx0 >= least(ax0, ax1) AND bx0 <= greatest(ax0, ax1)
+                          AND by0 >= least(ay0, ay1) AND by0 <= greatest(ay0, ay1))
+               OR (o2 = 0 AND bx1 >= least(ax0, ax1) AND bx1 <= greatest(ax0, ax1)
+                          AND by1 >= least(ay0, ay1) AND by1 <= greatest(ay0, ay1))
+               OR (o3 = 0 AND ax0 >= least(bx0, bx1) AND ax0 <= greatest(bx0, bx1)
+                          AND ay0 >= least(by0, by1) AND ay0 <= greatest(by0, by1))
+               OR (o4 = 0 AND ax1 >= least(bx0, bx1) AND ax1 <= greatest(bx0, bx1)
+                          AND ay1 >= least(by0, by1) AND ay1 <= greatest(by0, by1))
         """,
         "knn": f"""
             WITH pts AS ({pts}),

@@ -1169,3 +1169,194 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
             F.col("_b.c_lng").alias("c_lng"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Box-overlap join — rectangle x rectangle spatial join (Q8 as a JOIN)
+# ---------------------------------------------------------------------------
+def _box_cover_cols(zoom: int, min_lat: str, min_lng: str,
+                    max_lat: str, max_lng: str):
+    """(tx1, tx2, ty1, ty2) integer tile ranges of a lat/lng box on the
+    continuous mercator grid at ``zoom`` (closed ranges; lng=180 maps
+    to tx=2^z unclamped, same convention as the reference tiles)."""
+    from geospark.cells import ctile_x, ctile_y
+
+    tx1 = F.floor(ctile_x(F.col(min_lng), zoom))
+    tx2 = F.floor(ctile_x(F.col(max_lng), zoom))
+    ty1 = F.floor(ctile_y(F.col(max_lat), zoom))   # y grows southward
+    ty2 = F.floor(ctile_y(F.col(min_lat), zoom))
+    return tx1, tx2, ty1, ty2
+
+
+def box_overlap_join(a: DataFrame, b: DataFrame, zoom: int,
+                     cover_limit: int = 64) -> DataFrame:
+    """Join two rectangle relations on interior-overlap — the rectangle
+    counterpart of pip_join, turning the reference's box::overlaps /
+    box::contains predicates (box.h) into a distributed JOIN.
+
+    Inputs both carry (box_id, min_lat, min_lng, max_lat, max_lng).
+    Output: (id_a, id_b, a_contains_b, b_contains_a), one row per
+    overlapping pair.
+
+    Two-tier filter-refine (the classic large-object split of spatial
+    join literature):
+
+    - SMALL boxes (cover at ``zoom`` <= cover_limit cells) explode to
+      their cover tiles with a pure-JVM sequence() — no UDF — and
+      equi-join on (tile_x, tile_y); candidate pairs are deduped
+      before the exact Column-predicate refine, so refine cost is one
+      codegen pass over unique candidates.
+    - BIG boxes (the long tail: continent-scale query windows) would
+      explode the cover, so they broadcast-nested-loop against the
+      other side instead. The three branches (bigA x allB,
+      bigB x smallA, smallA x smallB) partition the pair space — no
+      double counting, no pair missed.
+
+    At 10^12 rows the small-small branch is one shuffle on tile keys
+    (AQE skew-join handles hot cities); the big branches are bounded
+    by the number of oversized boxes, which callers keep broadcast-
+    small (query windows, admin regions)."""
+    def prep(df: DataFrame, side: str):
+        tx1, tx2, ty1, ty2 = _box_cover_cols(
+            zoom, "min_lat", "min_lng", "max_lat", "max_lng")
+        sel = df.select(
+            F.col("box_id").alias(f"id_{side}"),
+            F.col("min_lat").alias(f"{side}_min_lat"),
+            F.col("min_lng").alias(f"{side}_min_lng"),
+            F.col("max_lat").alias(f"{side}_max_lat"),
+            F.col("max_lng").alias(f"{side}_max_lng"),
+            tx1.alias("_tx1"), tx2.alias("_tx2"),
+            ty1.alias("_ty1"), ty2.alias("_ty2"),
+        ).withColumn(
+            "_ncells",
+            (F.col("_tx2") - F.col("_tx1") + 1)
+            * (F.col("_ty2") - F.col("_ty1") + 1),
+        )
+        return sel
+
+    def cover(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(F.expr("sequence(_tx1, _tx2)")).alias("_tx"),
+        ).select(
+            "*",
+            F.explode(F.expr("sequence(_ty1, _ty2)")).alias("_ty"),
+        )
+
+    pa, pb = prep(a, "a"), prep(b, "b")
+    big_a = pa.filter(F.col("_ncells") > cover_limit)
+    small_a = pa.filter(F.col("_ncells") <= cover_limit)
+    big_b = pb.filter(F.col("_ncells") > cover_limit)
+    small_b = pb.filter(F.col("_ncells") <= cover_limit)
+
+    ac = [F.col(c) for c in ("a_min_lat", "a_min_lng",
+                             "a_max_lat", "a_max_lng")]
+    bc = [F.col(c) for c in ("b_min_lat", "b_min_lng",
+                             "b_max_lat", "b_max_lng")]
+    overlap = K.box_overlaps_box(*ac, *bc)
+
+    drop = ["_tx1", "_tx2", "_ty1", "_ty2", "_ncells"]
+    small_small = (
+        cover(small_a).drop(*drop)
+        .join(cover(small_b).drop(*drop), ["_tx", "_ty"])
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(overlap)
+        .drop("_tx", "_ty")
+    )
+    big_a_all = (
+        F.broadcast(big_a.drop(*drop))
+        .crossJoin(pb.drop(*drop))
+        .filter(overlap)
+    )
+    small_a_big_b = (
+        small_a.drop(*drop)
+        .crossJoin(F.broadcast(big_b.drop(*drop)))
+        .filter(overlap)
+    )
+    out = small_small.unionByName(big_a_all).unionByName(small_a_big_b)
+    return out.select(
+        "id_a", "id_b",
+        K.box_contains_box(*ac, *bc).alias("a_contains_b"),
+        K.box_contains_box(*bc, *ac).alias("b_contains_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment-intersection join — exact line x line crossing detection
+# ---------------------------------------------------------------------------
+def _orient_sign(px, py, qx, qy, rx, ry):
+    """sign of the 2D cross product (q-p) x (r-p): +1 / -1 / 0."""
+    d = (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    return F.when(d > 0, F.lit(1)).when(d < 0, F.lit(-1)).otherwise(F.lit(0))
+
+
+def segments_intersect_expr(prefix_a: str = "a_", prefix_b: str = "b_"):
+    """Column predicate: do segments a and b intersect (touching
+    counts)? Standard orientation test with collinear on-segment
+    handling, in planar lat/lng space (same planar convention as the
+    engine's default PIP winding). Pure codegen arithmetic — the
+    DuckDB oracle evaluates the identical formula term for term."""
+    ax0, ay0 = F.col(f"{prefix_a}f_lng"), F.col(f"{prefix_a}f_lat")
+    ax1, ay1 = F.col(f"{prefix_a}t_lng"), F.col(f"{prefix_a}t_lat")
+    bx0, by0 = F.col(f"{prefix_b}f_lng"), F.col(f"{prefix_b}f_lat")
+    bx1, by1 = F.col(f"{prefix_b}t_lng"), F.col(f"{prefix_b}t_lat")
+    o1 = _orient_sign(ax0, ay0, ax1, ay1, bx0, by0)
+    o2 = _orient_sign(ax0, ay0, ax1, ay1, bx1, by1)
+    o3 = _orient_sign(bx0, by0, bx1, by1, ax0, ay0)
+    o4 = _orient_sign(bx0, by0, bx1, by1, ax1, ay1)
+
+    def on_seg(px, py, qx, qy, rx, ry):
+        # r collinear with pq already known; is r within pq's bbox?
+        return (
+            (rx >= F.least(px, qx)) & (rx <= F.greatest(px, qx))
+            & (ry >= F.least(py, qy)) & (ry <= F.greatest(py, qy))
+        )
+
+    proper = (o1 != o2) & (o3 != o4)
+    touch = (
+        ((o1 == 0) & on_seg(ax0, ay0, ax1, ay1, bx0, by0))
+        | ((o2 == 0) & on_seg(ax0, ay0, ax1, ay1, bx1, by1))
+        | ((o3 == 0) & on_seg(bx0, by0, bx1, by1, ax0, ay0))
+        | ((o4 == 0) & on_seg(bx0, by0, bx1, by1, ax1, ay1))
+    )
+    return proper | touch
+
+
+def segment_intersection_join(a: DataFrame, b: DataFrame,
+                              zoom: int = 14) -> DataFrame:
+    """All intersecting segment pairs between two segment relations —
+    the line-crossing join a road/trajectory engine needs (conflation,
+    turn detection, trajectory x boundary crossings). Inputs carry
+    (seg_id, f_lat, f_lng, t_lat, t_lng).
+
+    Filter-refine: each side is scanline-supercover-rasterized to
+    tiles at ``zoom`` (cells.segment_tile_cover — O(answer) JVM
+    explode, no bbox blowup on long diagonals), candidates equi-join
+    on the tile, dedup, then the exact orientation predicate refines.
+    Two segments that intersect share the tile containing the
+    intersection point, so the cover join is recall-complete."""
+    from geospark.cells import segment_tile_cover
+
+    def cov(df: DataFrame, side: str) -> DataFrame:
+        pref = f"{side}_"
+        sel = df.select(
+            F.col("seg_id").alias(f"id_{side}"),
+            F.col("f_lat").alias(f"{pref}f_lat"),
+            F.col("f_lng").alias(f"{pref}f_lng"),
+            F.col("t_lat").alias(f"{pref}t_lat"),
+            F.col("t_lng").alias(f"{pref}t_lng"),
+        )
+        return segment_tile_cover(
+            sel, zoom, lat0=f"{pref}f_lat", lng0=f"{pref}f_lng",
+            lat1=f"{pref}t_lat", lng1=f"{pref}t_lng",
+        )
+
+    cand = (
+        cov(a, "a")
+        .join(cov(b, "b"), ["tile_x", "tile_y"])
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.filter(segments_intersect_expr())
+        .select("id_a", "id_b")
+    )
