@@ -77,6 +77,39 @@ def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/P8/P4 as one oracle-checked relation: the distinct z10 tiles
+    of the events points, each with its mercator AABB
+    (kernels.tile_bounds_merc — google-flipped y), its pixel AABB
+    (kernels.tile_bounds_pixel), and the P4 pixel->merc->lat/lng
+    roundtrip of the tile's NW pixel corner (merc_to_lat is atan/exp —
+    rounded to 7 dp to absorb cross-libm ulps; everything else is
+    exact double arithmetic, unrounded)."""
+    z = 10
+    pts = G.events_points(spark, sf_dir)
+    tiles = with_tile(pts, z).select("tile_x", "tile_y").distinct()
+    mn_x, mn_y, mx_x, mx_y = K.tile_bounds_merc(
+        F.col("tile_x"), F.col("tile_y"), z
+    )
+    px1, py1, px2, py2 = K.tile_bounds_pixel(F.col("tile_x"), F.col("tile_y"))
+    nw_mx = K.pixel_to_merc_x(px1, z)
+    nw_my = K.pixel_to_merc_y(py1, z)
+    return tiles.select(
+        "tile_x",
+        "tile_y",
+        mn_x.alias("merc_min_x"),
+        mn_y.alias("merc_min_y"),
+        mx_x.alias("merc_max_x"),
+        mx_y.alias("merc_max_y"),
+        px1.alias("px_min_x"),
+        py1.alias("px_min_y"),
+        px2.alias("px_max_x"),
+        py2.alias("px_max_y"),
+        F.round(K.merc_to_lat(nw_my), 7).alias("nw_lat"),
+        F.round(K.merc_to_lng(nw_mx), 7).alias("nw_lng"),
+    )
+
+
 def _q_cell_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geospark.cells import with_cell_at_zoom
 
@@ -1691,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_codec": _q_polyline_codec,
         "cluster": _q_cluster,
         "tile_assign": _q_tile_assign,
+        "tile_bounds": _q_tile_bounds,
         "cell_morton": _q_cell_morton,
         "min_distance": _q_min_distance,
         "bbox_agg": _q_bbox_agg,
@@ -1966,6 +2000,7 @@ def oracle_sql() -> dict[str, str]:
     )
     tx = G.tile_x_sql("lng", TILE_Z)
     ty = G.tile_y_sql("lat", TILE_Z)
+    _res10 = repr(K.resolution(10))
     lat_min, lng_min, lat_max, lng_max = BOX
 
     pip_union = "\nUNION ALL\n".join(
@@ -2976,6 +3011,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_points,
                    min(event_id) AS min_event, max(event_id) AS max_event
             FROM pts GROUP BY 1, 2
+        """,
+        "tile_bounds": f"""
+            WITH pts AS ({pts}),
+            tiles AS (
+                SELECT DISTINCT {G.tile_x_sql("lng", 10)} AS tile_x,
+                                {G.tile_y_sql("lat", 10)} AS tile_y
+                FROM pts
+            )
+            SELECT tile_x, tile_y,
+                   {_res10} * (CAST(tile_x AS DOUBLE) * 4096.0)
+                       - {G.SHIFT} AS merc_min_x,
+                   {_res10} * ((1023.0 - CAST(tile_y AS DOUBLE)) * 4096.0)
+                       - {G.SHIFT} AS merc_min_y,
+                   {_res10} * ((CAST(tile_x AS DOUBLE) + 1.0) * 4096.0)
+                       - {G.SHIFT} AS merc_max_x,
+                   {_res10} * (((1023.0 - CAST(tile_y AS DOUBLE)) + 1.0)
+                               * 4096.0) - {G.SHIFT} AS merc_max_y,
+                   tile_x * 4096 AS px_min_x,
+                   tile_y * 4096 AS px_min_y,
+                   (tile_x + 1) * 4096 AS px_max_x,
+                   (tile_y + 1) * 4096 AS px_max_y,
+                   round((2.0 * atan(exp(
+                       ((4194304.0 - CAST(tile_y * 4096 AS DOUBLE))
+                            * {_res10} - {G.SHIFT}) / {G.MERC_R}))
+                       - {repr(K.PI / 2)}) * {repr(180.0 / K.PI)}, 7)
+                       AS nw_lat,
+                   round((CAST(tile_x * 4096 AS DOUBLE) * {_res10}
+                              - {G.SHIFT}) * {repr(180.0 / K.PI)}
+                             / {G.MERC_R}, 7) AS nw_lng
+            FROM tiles
         """,
         "hex_assign": f"""
             WITH pts AS ({pts})
