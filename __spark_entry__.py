@@ -1459,6 +1459,73 @@ def _q_hex_kring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GEOHASH_CHARS = 6    # ~1.2 km x 0.6 km cells
+GEOHASH_PREFIX = 2   # parent rollup ~1250 km x 625 km (real fan-in)
+HLL_GH_CHARS = 1     # 32 world cells: NDV/cell straddles m, so BOTH
+HLL_P = 6            # HLL branches (raw + linear counting) execute
+
+
+def _q_geohash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash index family (functions/geohash.py): flat bit-interleave
+    encode (depth-2 codegen plan, no Morton-spread chains), prefix
+    rollup (parent = substring — zero math), and cell-center decode on
+    the ~39 km parents AFTER the aggregate, so the 100-TB scan does
+    one narrow JVM map + one shuffle and the trig-free decode runs on
+    cell-count rows. Per 4-char parent: point count, distinct 6-char
+    children, decoded parent center."""
+    from geospark.functions import geohash as GH
+
+    pts = G.events_points(spark, sf_dir)
+    d = GH.with_geohash(pts, "lat", "lng", GEOHASH_CHARS, out="gh",
+                        keep_code=True)
+    cells = (
+        d.groupBy(F.substring("gh", 1, GEOHASH_PREFIX).alias("gh_parent"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.count_distinct("gh").alias("n_cells"),
+            F.min("gh_code").alias("_min_code"),
+        )
+    )
+    # parent integer code = any child code >> 5*(chars-prefix): the
+    # prefix property in bit form. Decoding after the aggregate keeps
+    # the deinterleave off the full scan AND gives the optimizer an
+    # Aggregate boundary (encode->decode in one projection chain would
+    # re-inline the interleave per reference under predicate pushdown).
+    cells = cells.withColumn(
+        "_pcode",
+        F.shiftright("_min_code", 5 * (GEOHASH_CHARS - GEOHASH_PREFIX)),
+    )
+    cells = GH.with_geohash_center(cells, "_pcode", GEOHASH_PREFIX,
+                                   "c_lat", "c_lng")
+    return cells.select(
+        "gh_parent", "n_points", "n_cells",
+        F.round("c_lat", 6).alias("c_lat"),
+        F.round("c_lng", 6).alias("c_lng"),
+    )
+
+
+def _q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-users-per-cell (geospark/sketch.py): the
+    register relation is ~2^p rows per cell and MERGEABLE (max is the
+    sketch union), so day/tile rollups at 100 TB reuse persisted
+    sketches instead of rescanning raw events. Engine-neutral md5-60
+    hash + exact-integer Z accumulator make the estimate bit-stable
+    across Spark and the DuckDB oracle; the exact NDV rides along
+    (item->register is a function) as the ground-truth column."""
+    from geospark import sketch as SK
+    from geospark.functions import geohash as GH
+
+    pts = G.events_points(spark, sf_dir)
+    d = GH.with_geohash(pts, "lat", "lng", HLL_GH_CHARS, out="gh")
+    out = SK.hll_sketch(d.select("gh", "user_id"), ["gh"], "user_id",
+                        p=HLL_P)
+    return out.select(
+        "gh", "regs_hit",
+        F.round("est_users", 3).alias("est_users"),
+        "exact_users",
+    )
+
+
 def _q_s2_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell index (functions/s2cell.py): leaf encode once in ONE
     Arrow-batched pandas UDF pass, then every re-level is a pure
@@ -1680,6 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_assign": _q_hex_assign,
         "hex_rollup": _q_hex_rollup,
         "hex_kring_join": _q_hex_kring_join,
+        "geohash_rollup": _q_geohash_rollup,
+        "hll_users": _q_hll_users,
         "s2_cell_agg": _q_s2_cell_agg,
         "s2_range_join": _q_s2_range_join,
         "s2_radius_query": _q_s2_radius_query,
@@ -1980,6 +2049,73 @@ def _polygon_raster_oracle_sql() -> str:
              AND i.tile_y = b.tile_y
             WHERE b.area_id IS NULL
         """
+
+
+def _geohash_rollup_oracle() -> str:
+    """DuckDB twin of _q_geohash_rollup: same flat interleave formula
+    (geospark.functions.geohash SQL generators), staged through CTEs
+    so each axis/code is computed once."""
+    from geospark.functions import geohash as GH
+
+    ilng, ilat = GH.quantize_axes_sql("lat", "lng", GEOHASH_CHARS)
+    code = GH.interleave_sql("ilng", "ilat", GEOHASH_CHARS)
+    gh = GH.geohash_chars_sql("code", GEOHASH_CHARS)
+    clat, clng = GH.center_sql("pcode", GEOHASH_PREFIX)
+    shift = 5 * (GEOHASH_CHARS - GEOHASH_PREFIX)
+    return f"""
+        WITH pts AS ({G.EVENTS_POINTS_SQL}),
+        q AS (SELECT {ilng} AS ilng, {ilat} AS ilat FROM pts),
+        c AS (SELECT {code} AS code FROM q),
+        enc AS (SELECT {gh} AS gh, code FROM c),
+        cells AS (
+            SELECT substr(gh, 1, {GEOHASH_PREFIX}) AS gh_parent,
+                   count(*) AS n_points,
+                   count(DISTINCT gh) AS n_cells,
+                   min(code) AS mc
+            FROM enc GROUP BY 1
+        ),
+        p AS (
+            SELECT gh_parent, n_points, n_cells, (mc >> {shift}) AS pcode
+            FROM cells
+        )
+        SELECT gh_parent, n_points, n_cells,
+               round({clat}, 6) AS c_lat,
+               round({clng}, 6) AS c_lng
+        FROM p
+    """
+
+
+def _hll_users_oracle() -> str:
+    """DuckDB twin of _q_hll_users: md5-60 registers, exact-integer Z,
+    identical estimator formula (geospark.sketch SQL generators)."""
+    from geospark import sketch as SK
+    from geospark.functions import geohash as GH
+
+    ilng, ilat = GH.quantize_axes_sql("lat", "lng", HLL_GH_CHARS)
+    code = GH.interleave_sql("ilng", "ilat", HLL_GH_CHARS)
+    gh = GH.geohash_chars_sql("code", HLL_GH_CHARS)
+    reg, rho = SK.hll_register_sql("user_id", HLL_P)
+    zint = SK.hll_zint_sql(HLL_P)
+    _z, est = SK.hll_estimate_sql(HLL_P)
+    return f"""
+        WITH pts AS ({G.EVENTS_POINTS_SQL}),
+        q AS (SELECT user_id, {ilng} AS ilng, {ilat} AS ilat FROM pts),
+        c AS (SELECT user_id, {code} AS code FROM q),
+        enc AS (SELECT {gh} AS gh, user_id FROM c),
+        d AS (SELECT DISTINCT gh, user_id FROM enc),
+        r AS (SELECT gh, {reg} AS reg, {rho} AS rho FROM d),
+        regs AS (
+            SELECT gh, reg, max(rho) AS m_rho, count(*) AS n_items
+            FROM r GROUP BY 1, 2
+        ),
+        sk AS (
+            SELECT gh, count(*) AS regs_hit, {zint} AS z_int,
+                   CAST(sum(n_items) AS BIGINT) AS exact_users
+            FROM regs GROUP BY 1
+        )
+        SELECT gh, regs_hit, round({est}, 3) AS est_users, exact_users
+        FROM sk
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3050,6 +3186,8 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(value), 6) AS avg_value
             FROM pts GROUP BY 1
         """,
+        "geohash_rollup": _geohash_rollup_oracle(),
+        "hll_users": _hll_users_oracle(),
         "hex_rollup": f"""
             WITH pts AS ({pts}),
             child AS (
