@@ -1526,6 +1526,80 @@ def _q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GH_RING_CHARS = 4    # ~39 km cells; 3x3 ring ~ a metro region
+
+
+def _q_geohash_kring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash k=1 ring neighbor join: neighbors are ±1 integer steps
+    on the QUANTIZED AXES (wrapping in longitude, NULL past a pole) —
+    never string munging on the base-32 form — re-interleaved to cell
+    codes, so the join is a broadcastable equi-join on a long key with
+    no geometry at join time. Per center: points and non-empty cells
+    in its 3x3 block."""
+    from geospark.functions import geohash as GH
+
+    pts = G.events_points(spark, sf_dir)
+    binned = GH.with_geohash_int(pts, "lat", "lng", GH_RING_CHARS, "cell")
+    cells = binned.groupBy("cell").agg(F.count("*").alias("n"))
+    centers = GH.with_geohash_axes(
+        pts.filter(F.col("event_id") < 40), "lat", "lng", GH_RING_CHARS,
+        "ilng", "ilat",
+    ).select("event_id", "ilng", "ilat")
+    probes = centers.select(
+        "event_id",
+        F.explode(F.array(*[
+            GH.neighbor_code(F.col("ilng"), F.col("ilat"), GH_RING_CHARS,
+                             dq, dr)
+            for dq, dr in GH.kring_offsets(1)
+        ])).alias("cell"),
+    ).filter(F.col("cell").isNotNull())
+    hits = (
+        cells.join(F.broadcast(probes), "cell")
+        .groupBy("event_id")
+        .agg(
+            F.sum("n").alias("_n_in_ring"),
+            F.count("n").alias("_n_cells_hit"),
+        )
+    )
+    return centers.select("event_id").join(
+        F.broadcast(hits), "event_id", "left"
+    ).select(
+        "event_id",
+        F.coalesce("_n_in_ring", F.lit(0)).alias("n_in_ring"),
+        F.coalesce("_n_cells_hit", F.lit(0)).alias("n_cells_hit"),
+    )
+
+
+def _q_hll_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL MERGEABILITY contract as a driver query: per-child-cell
+    register relations (2-char geohash) are merged to the 1-char
+    parent with groupBy-max — the 100-TB rollup path that never
+    rescans raw events — and the estimates are checked against an
+    oracle that sketches the PARENT DIRECTLY from raw rows. Green ==
+    merge(children) is bit-identical to sketch(union), the associativity
+    that makes persisted sketches reusable across days/tiles/zooms."""
+    from geospark import sketch as SK
+    from geospark.functions import geohash as GH
+
+    pts = G.events_points(spark, sf_dir)
+    d = GH.with_geohash_int(pts, "lat", "lng", 2, out="cell2")
+    child = SK.hll_registers(d.select("cell2", "user_id"), ["cell2"],
+                             "user_id", p=HLL_P)
+    merged = SK.hll_merge(
+        child.withColumn("cell1", F.shiftright("cell2", 5)), ["cell1"]
+    )
+    est = SK.hll_estimate(merged, ["cell1"], p=HLL_P, exact=False)
+    n_children = (
+        child.select(F.shiftright("cell2", 5).alias("cell1"), "cell2")
+        .groupBy("cell1")
+        .agg(F.count_distinct("cell2").alias("n_child_cells"))
+    )
+    return est.join(n_children, "cell1").select(
+        "cell1", "n_child_cells", "regs_hit",
+        F.round("est_users", 3).alias("est_users"),
+    )
+
+
 def _q_s2_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell index (functions/s2cell.py): leaf encode once in ONE
     Arrow-batched pandas UDF pass, then every re-level is a pure
@@ -1748,7 +1822,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_rollup": _q_hex_rollup,
         "hex_kring_join": _q_hex_kring_join,
         "geohash_rollup": _q_geohash_rollup,
+        "geohash_kring_join": _q_geohash_kring_join,
         "hll_users": _q_hll_users,
+        "hll_tile_rollup": _q_hll_tile_rollup,
         "s2_cell_agg": _q_s2_cell_agg,
         "s2_range_join": _q_s2_range_join,
         "s2_radius_query": _q_s2_radius_query,
@@ -2115,6 +2191,82 @@ def _hll_users_oracle() -> str:
         )
         SELECT gh, regs_hit, round({est}, 3) AS est_users, exact_users
         FROM sk
+    """
+
+
+def _geohash_kring_oracle() -> str:
+    """DuckDB twin of _q_geohash_kring_join: same quantize + wrapped
+    ±1 axis steps + flat interleave."""
+    from geospark.functions import geohash as GH
+
+    bits, n_lng, n_lat = 5 * GH_RING_CHARS, -(-5 * GH_RING_CHARS // 2), \
+        5 * GH_RING_CHARS // 2
+    m_lng = 1 << n_lng
+    ilng, ilat = GH.quantize_axes_sql("lat", "lng", GH_RING_CHARS)
+    cell = GH.interleave_sql("ilng", "ilat", GH_RING_CHARS)
+    # wrapped/NULL-guarded neighbor axes (pmod twin of neighbor_code)
+    ncell = GH.interleave_sql(
+        f"(((ilng + dq) % {m_lng}) + {m_lng}) % {m_lng}", "(ilat + dr)",
+        GH_RING_CHARS,
+    )
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in GH.kring_offsets(1))
+    return f"""
+        WITH pts AS ({G.EVENTS_POINTS_SQL}),
+        q AS (SELECT event_id, {ilng} AS ilng, {ilat} AS ilat FROM pts),
+        cells AS (
+            SELECT {cell} AS cell, count(*) AS n FROM q GROUP BY 1
+        ),
+        centers AS (SELECT event_id, ilng, ilat FROM q
+                    WHERE event_id < 40),
+        offs(dq, dr) AS (VALUES {offs}),
+        probes AS (
+            SELECT event_id, {ncell} AS cell
+            FROM centers CROSS JOIN offs
+            WHERE ilat + dr >= 0 AND ilat + dr < {1 << n_lat}
+        )
+        SELECT event_id,
+               CAST(sum(COALESCE(cells.n, 0)) AS BIGINT) AS n_in_ring,
+               CAST(count(cells.n) AS BIGINT) AS n_cells_hit
+        FROM probes LEFT JOIN cells USING (cell)
+        GROUP BY event_id
+    """
+
+
+def _hll_tile_rollup_oracle() -> str:
+    """DuckDB twin of _q_hll_tile_rollup — sketches the PARENT cell
+    DIRECTLY from raw rows (independent of the Spark side's
+    child-merge path), so green certifies merge(children) ==
+    sketch(union)."""
+    from geospark import sketch as SK
+    from geospark.functions import geohash as GH
+
+    ilng, ilat = GH.quantize_axes_sql("lat", "lng", 2)
+    cell2 = GH.interleave_sql("ilng", "ilat", 2)
+    reg, rho = SK.hll_register_sql("user_id", HLL_P)
+    zint = SK.hll_zint_sql(HLL_P)
+    _z, est = SK.hll_estimate_sql(HLL_P)
+    return f"""
+        WITH pts AS ({G.EVENTS_POINTS_SQL}),
+        q AS (SELECT user_id, {ilng} AS ilng, {ilat} AS ilat FROM pts),
+        c AS (SELECT user_id, {cell2} AS cell2 FROM q),
+        d AS (SELECT DISTINCT (cell2 >> 5) AS cell1, cell2, user_id
+              FROM c),
+        r AS (SELECT cell1, cell2, {reg} AS reg, {rho} AS rho FROM d),
+        regs AS (
+            SELECT cell1, reg, max(rho) AS m_rho
+            FROM r GROUP BY 1, 2
+        ),
+        sk AS (
+            SELECT cell1, count(*) AS regs_hit, {zint} AS z_int
+            FROM regs GROUP BY 1
+        ),
+        kids AS (
+            SELECT cell1, count(DISTINCT cell2) AS n_child_cells
+            FROM r GROUP BY 1
+        )
+        SELECT cell1, n_child_cells, regs_hit,
+               round({est}, 3) AS est_users
+        FROM sk JOIN kids USING (cell1)
     """
 
 
@@ -3187,7 +3339,9 @@ def oracle_sql() -> dict[str, str]:
             FROM pts GROUP BY 1
         """,
         "geohash_rollup": _geohash_rollup_oracle(),
+        "geohash_kring_join": _geohash_kring_oracle(),
         "hll_users": _hll_users_oracle(),
+        "hll_tile_rollup": _hll_tile_rollup_oracle(),
         "hex_rollup": f"""
             WITH pts AS ({pts}),
             child AS (

@@ -180,6 +180,39 @@ def with_geohash_center(df: DataFrame, code: str, chars: int,
     return df.drop(t + "ilng", t + "ilat")
 
 
+def with_geohash_axes(df: DataFrame, lat: str, lng: str, chars: int = 6,
+                      out_lng: str = "gh_ilng",
+                      out_lat: str = "gh_ilat") -> DataFrame:
+    """Adds the quantized axis columns — the integer grid coordinates
+    underneath the geohash. Neighbor math happens on these (plain ±1
+    integer steps), not on the interleaved code."""
+    bits, n_lng, n_lat = _bit_split(chars)
+    return df.withColumns({
+        out_lng: _quantize(F.col(lng), -180.0, 360.0, n_lng),
+        out_lat: _quantize(F.col(lat), -90.0, 180.0, n_lat),
+    })
+
+
+def neighbor_code(ilng: Column, ilat: Column, chars: int,
+                  dq: int, dr: int) -> Column:
+    """Code of the (dq east, dr north) neighbor cell of quantized axis
+    columns. Longitude WRAPS (the grid is cyclic across the
+    antimeridian); latitude steps past a pole return NULL (no cell
+    exists there)."""
+    bits, n_lng, n_lat = _bit_split(chars)
+    nlng = F.pmod(ilng + F.lit(dq), F.lit(1 << n_lng))
+    nlat = ilat + F.lit(dr)
+    return F.when(
+        (nlat >= 0) & (nlat < (1 << n_lat)), _interleave(nlng, nlat, chars)
+    )
+
+
+def kring_offsets(k: int = 1) -> list[tuple[int, int]]:
+    """All (dq, dr) offsets within Chebyshev distance k (the (2k+1)^2
+    block, centre included)."""
+    return [(dq, dr) for dq in range(-k, k + 1) for dr in range(-k, k + 1)]
+
+
 # ---------------------------------------------------------------------------
 # Plain-Python golden twin — deliberately the CLASSIC 64-bit Morton
 # spread (an independent derivation of the same function), used by

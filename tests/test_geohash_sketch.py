@@ -235,3 +235,72 @@ def test_hll_zint_bound():
     for p in (4, 10, 16):
         s = SK.HASH_BITS - p + 1
         assert (1 << p) * (1 << (s - 1)) == 1 << 60
+
+
+# -------------------------------------------------------- neighbors/kring --
+def test_geohash_neighbor_codes(spark):
+    """neighbor_code == encode of a point displaced by one cell pitch:
+    interior cells, antimeridian wrap, and pole NULL."""
+    chars = 4
+    n_lng, n_lat = 10, 10
+    rows = [
+        (0, 40.0, -100.0),       # interior
+        (1, 12.3, 179.95),       # east neighbor wraps to lng ~ -180
+        (2, 89.95, 10.0),        # top row: north neighbor is NULL
+        (3, -89.95, -10.0),      # bottom row: south neighbor is NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lng double")
+    d = GH.with_geohash_axes(df, "lat", "lng", chars, "ilng", "ilat")
+    d = d.select(
+        "id", "lat", "lng", "ilng", "ilat",
+        GH.neighbor_code(F.col("ilng"), F.col("ilat"), chars, 1, 0)
+        .alias("e"),
+        GH.neighbor_code(F.col("ilng"), F.col("ilat"), chars, 0, 1)
+        .alias("n"),
+        GH.neighbor_code(F.col("ilng"), F.col("ilat"), chars, 0, -1)
+        .alias("s"),
+    )
+    pitch_lng, pitch_lat = 360.0 / (1 << n_lng), 180.0 / (1 << n_lat)
+    got = {r.id: r for r in d.collect()}
+    # interior + wrap: east neighbor == encode(point shifted one pitch,
+    # wrapped into [-180, 180))
+    for i in (0, 1):
+        r = got[i]
+        ln2 = r.lng + pitch_lng
+        if ln2 >= 180.0:
+            ln2 -= 360.0
+        assert r.e == GH.geohash_int_py(r.lat, ln2, chars), i
+    r = got[0]
+    assert r.n == GH.geohash_int_py(r.lat + pitch_lat, r.lng, chars)
+    assert r.s == GH.geohash_int_py(r.lat - pitch_lat, r.lng, chars)
+    assert got[2].n is None and got[2].s is not None
+    assert got[3].s is None and got[3].n is not None
+
+
+def test_geohash_kring_block_is_exhaustive():
+    assert len(GH.kring_offsets(1)) == 9
+    assert len(GH.kring_offsets(2)) == 25
+    assert (0, 0) in GH.kring_offsets(1)
+
+
+def test_hll_child_merge_equals_direct_parent(spark):
+    """merge(child sketches) == sketch(parent directly) — the
+    associativity the rollup query's oracle certifies, asserted here
+    at the register level."""
+    rows = [(t, f"user_{(t * 31 + u) % 97}") for t in range(20)
+            for u in range(1 + (t * 13) % 60)]
+    df = spark.createDataFrame(rows, "child int, user string")
+    p = 6
+    child = SK.hll_registers(df, ["child"], "user", p)
+    merged = SK.hll_merge(
+        child.withColumn("parent", (F.col("child") / 4).cast("int")),
+        ["parent"],
+    )
+    direct = SK.hll_registers(
+        df.withColumn("parent", (F.col("child") / 4).cast("int"))
+        .select("parent", "user"),
+        ["parent"], "user", p,
+    ).select("parent", "reg", "m_rho")
+    a = {(r.parent, r.reg): r.m_rho for r in merged.collect()}
+    b = {(r.parent, r.reg): r.m_rho for r in direct.collect()}
+    assert a == b
