@@ -663,6 +663,40 @@ def _q_doc_sample_stratified(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir), 60)
 
 
+def _q_doc_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus downsampling: Efraimidis–Spirakis order
+    sampling with deterministic hash-derived randomness (textops.
+    weighted_sample) — longer docs proportionally likelier, the sample
+    a pure function of the ids. TakeOrderedAndProject plan: per-
+    partition top-k heaps, no global sort."""
+    from geospark.textops import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), 60).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _q_doc_len_quantiles(spark, sf_dir):
+    """Per-language corpus length distribution: EXACT interpolated
+    p50/p90/p99 of n_chars. Spark's exact percentile buffers a
+    counts-map keyed by DISTINCT value — memory is O(distinct
+    lengths), naturally bounded for document lengths, so the exact
+    form is scale-safe here (approx_percentile is the fallback for
+    unbounded domains). One partial-aggregatable shuffle on lang."""
+    docs = _docs(spark, sf_dir)
+    q = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))")
+        .alias("_qs"),
+    )
+    return q.select(
+        "lang", "n_docs",
+        F.round(q._qs[0], 4).alias("p50"),
+        F.round(q._qs[1], 4).alias("p90"),
+        F.round(q._qs[2], 4).alias("p99"),
+    )
+
+
 def _q_doc_mix_epochs(spark, sf_dir):
     """Mixture-weighted epoch expansion: each doc appears floor(w)
     times plus one more with probability frac(w) decided by a per-doc
@@ -1849,6 +1883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": _q_doc_split,
         "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_sample_stratified": _q_doc_sample_stratified,
+        "doc_weighted_sample": _q_doc_weighted_sample,
+        "doc_len_quantiles": _q_doc_len_quantiles,
         "doc_mix_epochs": _q_doc_mix_epochs,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2271,6 +2307,7 @@ def _hll_tile_rollup_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from geospark import textops as TX
     from geospark.functions import hexgrid as HX
     from geospark.sessions import sessionize_sql
 
@@ -2981,6 +3018,16 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id ASC) AS sample_rank
                 FROM documents
             ) WHERE sample_rank <= 60
+        """,
+        "doc_weighted_sample": TX.weighted_sample_sql(
+            "documents", 60, cols="doc_id, lang, n_chars"
+        ),
+        "doc_len_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99
+            FROM documents GROUP BY lang
         """,
         "doc_mix_epochs": f"""
             WITH base AS (

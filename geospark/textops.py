@@ -764,6 +764,45 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 # Deterministic stratified sampling — training-mix construction
 # ---------------------------------------------------------------------------
+def weighted_sample(docs: DataFrame, k: int, id_col: str = "doc_id",
+                    weight_col: str = "n_chars") -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES order sampling, 2006): each row gets the
+    key ln(u)/w with u = (md5_60(id)+0.5)/2^60 strictly inside (0,1) —
+    a pure function of the id, so the sample is re-shard/append-stable
+    exactly like split_assign. Taking the top-k by this key is
+    equivalent to top-k by u^(1/w) (ln is monotone), which ES prove
+    draws a weighted sample without replacement: heavier docs (longer,
+    here) are proportionally more likely to be kept — the
+    quality-weighted corpus-downsampling primitive.
+
+    Plan shape: narrow key computation, then orderBy().limit(k) which
+    Spark executes as TakeOrderedAndProject — per-partition top-k
+    heaps merged once, NO global sort and NO single-partition window,
+    so the same plan holds at 100 TB. Ties (impossible for distinct
+    ids, but) break on the id for engine determinism."""
+    h = F.expr(md5_60_sql(f"CAST({id_col} AS STRING)"))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    return (
+        docs.withColumn("_es_key", F.log(u) / w)
+        .orderBy(F.desc("_es_key"), F.col(id_col))
+        .limit(k)
+        .drop("_es_key")
+    )
+
+
+def weighted_sample_sql(table: str, k: int, id_col: str = "doc_id",
+                        weight_col: str = "n_chars",
+                        cols: str = "*") -> str:
+    """DuckDB twin of weighted_sample (0x-literal md5-60 form)."""
+    h = f"('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT"
+    u = f"((CAST({h} AS DOUBLE) + 0.5) / {float(1 << 60)!r})"
+    w = f"GREATEST(CAST({weight_col} AS DOUBLE), 1.0)"
+    return (f"SELECT {cols} FROM {table} "
+            f"ORDER BY (ln({u}) / {w}) DESC, {id_col} LIMIT {k}")
+
+
 def stratified_sample(docs: DataFrame, quota: int,
                       stratum_col: str = "lang",
                       id_col: str = "doc_id") -> DataFrame:

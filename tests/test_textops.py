@@ -443,3 +443,42 @@ def test_mixture_epochs_custom_weight_expr(spark):
     assert sorted((r["doc_id"], r["epoch"]) for r in out) == [
         (1, 1), (1, 2), (2, 1), (2, 2),
     ]
+
+
+def test_weighted_sample_matches_scalar_twin_and_is_stable(spark):
+    """The ES order-sample equals a from-scratch Python derivation of
+    the same keys, and is invariant under re-sharding (pure function
+    of the ids)."""
+    import hashlib
+    import math
+
+    rows = [(i, 10 + (i * 37) % 991) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = sorted(r.doc_id for r in T.weighted_sample(df, 50).collect())
+    got2 = sorted(
+        r.doc_id
+        for r in T.weighted_sample(df.repartition(7), 50).collect()
+    )
+    assert got == got2  # re-shard stable
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        return math.log(u) / max(float(w), 1.0)
+
+    want = sorted(
+        i for i, _ in sorted(rows, key=lambda t: (-key(*t), t[0]))[:50]
+    )
+    assert got == want
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """10x-weighted rows are selected far more often than 1x rows —
+    the ES inclusion-probability property, checked in aggregate."""
+    rows = [(i, 1000 if i % 2 == 0 else 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    sel = [r.doc_id for r in T.weighted_sample(df, 200).collect()]
+    heavy = sum(1 for i in sel if i % 2 == 0)
+    assert len(sel) == 200
+    # E[heavy] ~ 183 of 200 for w-ratio 10; require a clear majority
+    assert heavy > 150
