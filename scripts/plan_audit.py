@@ -350,6 +350,53 @@ def main() -> None:
               "reference's own per-line scalar kernels).",
     )
 
+    audit(
+        "geohash_rollup (flat-interleave encode + prefix rollup)",
+        q["geohash_rollup"](spark, sf_dir),
+        must=["* HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="the 6-char encode is one narrow codegen projection "
+              "(flat bit terms, no Morton-spread chains); the only "
+              "shuffle is the prefix aggregate; the center decode "
+              "runs post-aggregate on cell-count rows.",
+    )
+
+    audit(
+        "geohash_kring_join (axis-step neighbors, equi-join)",
+        q["geohash_kring_join"](spark, sf_dir),
+        must=["BroadcastHashJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "BroadcastNestedLoopJoin", "SortMergeJoin",
+                  "CartesianProduct"],
+        notes="ring probes are +-1 integer steps on the quantized "
+              "axes re-interleaved to long keys; both the ring join "
+              "and the zero-fill join broadcast; no geometry at join "
+              "time.",
+    )
+
+    audit(
+        "hll_users (mergeable distinct-count sketch)",
+        q["hll_users"](spark, sf_dir),
+        must=["* HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="three shuffles by design — distinct(keys,item), "
+              "register max, per-key fold — the last two on "
+              "register-relation cardinality (cells x 2^p rows), not "
+              "event volume; all md5/bit math is codegen.",
+    )
+
+    audit(
+        "doc_weighted_sample (ES order sampling)",
+        q["doc_weighted_sample"](spark, sf_dir),
+        must=["TakeOrderedAndProject"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "Exchange hashpartitioning",
+                  "Exchange rangepartitioning"],
+        notes="per-partition top-k heaps merged once on the driver — "
+              "no global sort and no key shuffle (the only Exchange "
+              "is the round-robin test-data fan-out in _docs).",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:

@@ -289,6 +289,58 @@ def main() -> None:
 
     run("polygon_raster_100k_plus_continent", _poly_raster)
 
+    # geohash encode at operator scale: 6-char flat-interleave encode
+    # of the full table + 2-char prefix rollup — claim under test: the
+    # encode is one narrow codegen map (no Python, no shuffle before
+    # the rollup agg)
+    def _geohash():
+        from geospark.functions import geohash as GH
+
+        d = GH.with_geohash(points, "lat", "lng", 6, out="gh")
+        return (d.groupBy(F.substring("gh", 1, 2).alias("p"))
+                .count().count())
+
+    run("geohash_encode6_rollup2", _geohash)
+
+    # HLL distinct-count at operator scale: ~2M distinct synthetic
+    # users over 3-char geohash cells, p=12 (4096 registers, ~1.6%
+    # std err). Claim under test: the sketch relation caps the second
+    # shuffle at cells x 4096 rows no matter the event volume, and the
+    # estimate tracks the exact NDV (which rides along)
+    def _hll():
+        from geospark import sketch as SK
+        from geospark.functions import geohash as GH
+
+        ev = GH.with_geohash(points, "lat", "lng", 3, out="gh").select(
+            "gh", (F.col("point_id") % 2_000_003).alias("user_id")
+        )
+        est = SK.hll_sketch(ev, ["gh"], "user_id", p=12)
+        r = est.agg(
+            F.count("*").alias("cells"),
+            F.avg(F.abs(F.col("est_users") - F.col("exact_users"))
+                  / F.greatest("exact_users", F.lit(1))).alias("err"),
+        ).collect()[0]
+        assert r["err"] < 0.05, r["err"]  # ~3 sigma at p=12
+        return r["cells"]
+
+    run("hll_users_gh3_p12", _hll)
+
+    # ES weighted sampling at operator scale: top-10k of the full
+    # table by the hash-derived ES key — claim under test: the plan is
+    # TakeOrderedAndProject (per-partition heaps), so wall time is one
+    # narrow scan, not a global sort
+    def _wsample():
+        from geospark.textops import weighted_sample
+
+        w = points.withColumn(
+            "weight", (F.col("point_id") % 997 + 1).cast("long")
+        )
+        return weighted_sample(
+            w, 10_000, id_col="point_id", weight_col="weight"
+        ).count()
+
+    run("weighted_sample_top10k", _wsample)
+
     out = {"n_pages": n_pages, "n_points": n_points, "ops": results,
            "cpus": 32, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(out))
