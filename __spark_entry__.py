@@ -1493,6 +1493,24 @@ def _q_hex_kring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DBSCAN_EPS, DBSCAN_MIN_PTS = 250_000.0, 4
+
+
+def _q_density_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core/border/noise labeling (geospark/density.py): the
+    eps-pair relation reuses cluster_nearby's latitude-aware cell-cover
+    self-join (density-bounded candidates, never O(n^2)); the labels
+    are one count aggregate + one semi-join against the core set. The
+    oracle is a brute-force all-pairs haversine join (lat-band
+    prefiltered), so green certifies the cover's recall, the exact
+    <= eps predicate, and both label rules."""
+    from geospark.density import density_classify
+
+    pts = G.events_points(spark, sf_dir)
+    return density_classify(pts, DBSCAN_EPS, DBSCAN_MIN_PTS,
+                            id_col="event_id")
+
+
 GEOHASH_CHARS = 6    # ~1.2 km x 0.6 km cells
 GEOHASH_PREFIX = 2   # parent rollup ~1250 km x 625 km (real fan-in)
 HLL_GH_CHARS = 1     # 32 world cells: NDV/cell straddles m, so BOTH
@@ -1857,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_kring_join": _q_hex_kring_join,
         "geohash_rollup": _q_geohash_rollup,
         "geohash_kring_join": _q_geohash_kring_join,
+        "density_classify": _q_density_classify,
         "hll_users": _q_hll_users,
         "hll_tile_rollup": _q_hll_tile_rollup,
         "s2_cell_agg": _q_s2_cell_agg,
@@ -2161,6 +2180,50 @@ def _polygon_raster_oracle_sql() -> str:
              AND i.tile_y = b.tile_y
             WHERE b.area_id IS NULL
         """
+
+
+def _density_oracle() -> str:
+    """Brute-force DBSCAN twin: all pairs within eps by exact haversine
+    (lat-band prefilter only prunes pairs the distance bound already
+    excludes: |dlat_deg| <= eps/111194.9 < eps/111000 * 1.05)."""
+    hav = G.haversine_sql("a.lat", "a.lng", "b.lat", "b.lng")
+    eps_deg = DBSCAN_EPS / 111000.0 * 1.05
+    return f"""
+        WITH pts AS ({G.EVENTS_POINTS_SQL}),
+        e AS (
+            SELECT a.event_id AS pid, b.event_id AS qid
+            FROM pts a JOIN pts b
+              ON a.event_id < b.event_id
+             AND abs(a.lat - b.lat) <= {eps_deg!r}
+             AND {hav} <= {DBSCAN_EPS!r}
+        ),
+        sym AS (
+            SELECT pid AS id, qid AS nb FROM e
+            UNION ALL SELECT qid, pid FROM e
+        ),
+        counts AS (
+            SELECT p.event_id AS id,
+                   COALESCE(c.n, 0) AS n_neighbors
+            FROM pts p LEFT JOIN (
+                SELECT id, count(*) AS n FROM sym GROUP BY 1
+            ) c ON p.event_id = c.id
+        ),
+        core AS (
+            SELECT id, n_neighbors,
+                   (n_neighbors + 1 >= {DBSCAN_MIN_PTS}) AS is_core
+            FROM counts
+        ),
+        hcn AS (
+            SELECT DISTINCT s.id FROM sym s
+            JOIN core c ON s.nb = c.id AND c.is_core
+        )
+        SELECT core.id AS event_id,
+               CAST(n_neighbors AS BIGINT) AS n_neighbors,
+               CASE WHEN is_core THEN 'core'
+                    WHEN hcn.id IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS label
+        FROM core LEFT JOIN hcn ON core.id = hcn.id
+    """
 
 
 def _geohash_rollup_oracle() -> str:
@@ -3387,6 +3450,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "geohash_rollup": _geohash_rollup_oracle(),
         "geohash_kring_join": _geohash_kring_oracle(),
+        "density_classify": _density_oracle(),
         "hll_users": _hll_users_oracle(),
         "hll_tile_rollup": _hll_tile_rollup_oracle(),
         "hex_rollup": f"""

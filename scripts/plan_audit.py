@@ -350,6 +350,25 @@ def main() -> None:
               "reference's own per-line scalar kernels).",
     )
 
+    # audit the PAIR BUILD subplan (the full query spools it eagerly,
+    # which hides the cover UDF behind a checkpoint scan in explain)
+    from geospark.density import eps_pairs as _eps_pairs
+
+    audit(
+        "density_classify pair build (DBSCAN eps-disk cover join)",
+        _eps_pairs(G.events_points(spark, sf_dir), 250_000.0,
+                   id_col="event_id"),
+        must=["ArrowEvalPython"],
+        must_not=["BatchEvalPython", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"],
+        notes="the only Python is the Arrow-batched eps-disk cover "
+              "(the cluster module's numpy kernel); the pair build is "
+              "a cell equi-join + codegen haversine refine; the label "
+              "stages downstream are a count aggregate and a "
+              "semi-join over the spooled pairs — no quadratic "
+              "operator anywhere.",
+    )
+
     audit(
         "geohash_rollup (flat-interleave encode + prefix rollup)",
         q["geohash_rollup"](spark, sf_dir),

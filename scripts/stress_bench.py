@@ -289,6 +289,20 @@ def main() -> None:
 
     run("polygon_raster_100k_plus_continent", _poly_raster)
 
+    # DBSCAN labeling at operator scale: same cover-join shape as
+    # cluster_10m plus the count/semi-join label stages; integrity
+    # assert = every point labeled exactly once
+    def _density():
+        from geospark.density import density_classify
+
+        r = density_classify(points, 10.0, 3).groupBy("label").agg(
+            F.count("*").alias("n")).collect()
+        d = {row["label"]: row["n"] for row in r}
+        assert sum(d.values()) == n_points, d
+        return d.get("core", 0)
+
+    run("density_classify_eps10m_minpts3", _density)
+
     # geohash encode at operator scale: 6-char flat-interleave encode
     # of the full table + 2-char prefix rollup — claim under test: the
     # encode is one narrow codegen map (no Python, no shuffle before
