@@ -1493,6 +1493,27 @@ def _q_hex_kring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESAMPLE_STEP_M = 2_000_000.0  # 2000 km ticks over transcontinental demo trajectories
+
+
+def _q_traj_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-interval trajectory resampling (lines.resample): one
+    window shuffle (lag + integer-centimeter cumsum share the (user,
+    ts, event_id) partitioning) + a per-segment sequence() explode —
+    tick-linear output, no Python. The cm quantization makes the
+    running arc length exact integer math, so the DuckDB twin's
+    window sum cannot drift by a float-summation-order ulp."""
+    from geospark import lines as L
+
+    pts = G.events_points(spark, sf_dir)
+    out = L.resample(pts, RESAMPLE_STEP_M)
+    return out.select(
+        "user_id", "tick_idx",
+        F.round("r_lat", 7).alias("r_lat"),
+        F.round("r_lng", 7).alias("r_lng"),
+    )
+
+
 DBSCAN_EPS, DBSCAN_MIN_PTS = 250_000.0, 4
 
 
@@ -1876,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_rollup": _q_geohash_rollup,
         "geohash_kring_join": _q_geohash_kring_join,
         "density_classify": _q_density_classify,
+        "traj_resample": _q_traj_resample,
         "hll_users": _q_hll_users,
         "hll_tile_rollup": _q_hll_tile_rollup,
         "s2_cell_agg": _q_s2_cell_agg,
@@ -2180,6 +2202,54 @@ def _polygon_raster_oracle_sql() -> str:
              AND i.tile_y = b.tile_y
             WHERE b.area_id IS NULL
         """
+
+
+def _traj_resample_oracle() -> str:
+    """DuckDB twin of lines.resample: identical lag/integer-cumsum
+    windows and integer tick ranges; unnest(generate_series) is the
+    explode."""
+    step_cm = int(round(RESAMPLE_STEP_M * 100))
+    hav = G.haversine_sql("plat", "plng", "lat", "lng")
+    return f"""
+        WITH pts AS ({G.EVENTS_POINTS_SQL}),
+        seg AS (
+            SELECT user_id, ts, event_id, lat, lng,
+                   lag(lat) OVER w AS plat, lag(lng) OVER w AS plng
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        len AS (
+            SELECT *, CASE WHEN plat IS NULL THEN 0
+                           ELSE CAST(floor({hav} * 100.0) AS BIGINT)
+                      END AS len_cm
+            FROM seg
+        ),
+        cum AS (
+            SELECT *, sum(len_cm) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+            ) AS cum_cm
+            FROM len
+        ),
+        ticks AS (
+            SELECT user_id, plat, plng, lat, lng, len_cm,
+                   (cum_cm - len_cm) AS cum0,
+                   unnest(generate_series(
+                       CAST((cum_cm - len_cm + {step_cm} - 1)
+                            // {step_cm} AS BIGINT),
+                       CAST((cum_cm - 1) // {step_cm} AS BIGINT)
+                   )) AS tick_idx
+            FROM cum
+            WHERE plat IS NOT NULL AND len_cm > 0
+        )
+        SELECT user_id, tick_idx,
+               round(plat + (CAST(tick_idx * {step_cm} - cum0 AS DOUBLE)
+                             / CAST(len_cm AS DOUBLE)) * (lat - plat), 7)
+                   AS r_lat,
+               round(plng + (CAST(tick_idx * {step_cm} - cum0 AS DOUBLE)
+                             / CAST(len_cm AS DOUBLE)) * (lng - plng), 7)
+                   AS r_lng
+        FROM ticks
+    """
 
 
 def _density_oracle() -> str:
@@ -3451,6 +3521,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_rollup": _geohash_rollup_oracle(),
         "geohash_kring_join": _geohash_kring_oracle(),
         "density_classify": _density_oracle(),
+        "traj_resample": _traj_resample_oracle(),
         "hll_users": _hll_users_oracle(),
         "hll_tile_rollup": _hll_tile_rollup_oracle(),
         "hex_rollup": f"""

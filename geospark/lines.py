@@ -330,3 +330,77 @@ def approx_distance_to_polyline(pairs: DataFrame, point_lat: str, point_lng: str
             F.col("_best.closest_lng").alias("closest_lng"),
         )
     )
+
+
+def resample(points: DataFrame, step_m: float, user: str = "user_id",
+             order: tuple[str, ...] = ("ts", "event_id"),
+             lat: str = "lat", lng: str = "lng") -> DataFrame:
+    """Equal-interval resampling along each user's polyline: emit a
+    point every ``step_m`` meters of (centimeter-quantized) arc
+    length — the trajectory-normalization primitive (fixed-rate GPS
+    from irregular pings; the tile-rendering analogue of the
+    reference's simplify family, densifying instead of thinning).
+
+    Determinism spec: per-segment haversine lengths are quantized to
+    integer CENTIMETERS before the cumulative sum, so the running arc
+    length is exact integer math — immune to float-summation order
+    (window aggregates may accumulate pairwise vs sequentially across
+    engines). Tick k sits at arc length k*step in [seg_start,
+    seg_end) (half-open, so a tick on a boundary belongs to the
+    LATER segment); its position is planar interpolation between the
+    segment endpoints at f = (k*step - seg_start)/seg_len.
+
+    Plan shape: two window passes over (user, order) — lag + integer
+    cumsum, same partitioning so ONE shuffle — then a per-segment
+    integer sequence() explode; output is tick-linear, never
+    O(points x ticks). No Python anywhere.
+
+    Returns (user, tick_idx, r_lat, r_lng)."""
+    from pyspark.sql import Window
+
+    step_cm = int(round(step_m * 100))
+    if step_cm <= 0:
+        raise ValueError("step_m must be >= 0.01 m")
+    w = Window.partitionBy(user).orderBy(*order)
+    d = points.select(user, *order, lat, lng)
+    d = d.withColumns({
+        "_plat": F.lag(lat).over(w),
+        "_plng": F.lag(lng).over(w),
+    })
+    d = d.withColumns({
+        "_len_cm": F.when(
+            F.col("_plat").isNull(), F.lit(0).cast("long")
+        ).otherwise(
+            F.floor(
+                K.distance(F.col("_plat"), F.col("_plng"),
+                           F.col(lat), F.col(lng)) * F.lit(100.0)
+            ).cast("long")
+        ),
+    })
+    d = d.withColumns({"_cum_cm": F.sum("_len_cm").over(w)})
+    segs = d.filter(F.col("_plat").isNotNull() & (F.col("_len_cm") > 0))
+    segs = segs.withColumns({
+        "_cum0": F.col("_cum_cm") - F.col("_len_cm"),
+    })
+    # integer tick range: smallest k with k*step >= cum0 (ceil div) up
+    # to largest k with k*step < cum (half-open upper end)
+    segs = segs.withColumns({
+        "_k_lo": F.expr(f"(_cum0 + {step_cm} - 1) DIV {step_cm}"),
+        "_k_hi": F.expr(f"(_cum_cm - 1) DIV {step_cm}"),
+    })
+    ticks = segs.filter(F.col("_k_lo") <= F.col("_k_hi")).select(
+        user, "_plat", "_plng", lat, lng, "_cum0", "_len_cm",
+        F.explode(F.sequence("_k_lo", "_k_hi")).alias("tick_idx"),
+    )
+    f = (
+        (F.col("tick_idx") * F.lit(step_cm) - F.col("_cum0"))
+        .cast("double") / F.col("_len_cm").cast("double")
+    )
+    return ticks.select(
+        user,
+        "tick_idx",
+        (F.col("_plat") + f * (F.col(lat) - F.col("_plat")))
+        .alias("r_lat"),
+        (F.col("_plng") + f * (F.col(lng) - F.col("_plng")))
+        .alias("r_lng"),
+    )

@@ -213,3 +213,56 @@ def test_cluster_high_latitude_edges(spark):
         assert out[a] == out[b], (a, b, out)
     # distinct latitude bands stay separate
     assert len(set(out.values())) == len(expected_pairs)
+
+
+def test_resample_matches_python_twin(spark):
+    """lines.resample == a from-scratch scalar twin on a small mixed
+    trajectory set (short/long/degenerate-zero segments), including
+    the half-open boundary rule and the k=0 tick at the start."""
+    import math
+
+    from geospark.functions import kernels as K
+    from geospark.lines import resample
+
+    def hav(a, b):
+        la1, ln1, la2, ln2 = map(math.radians, (a[0], a[1], b[0], b[1]))
+        s = (math.sin((la2 - la1) / 2) ** 2 + math.cos(la1) * math.cos(la2)
+             * math.sin((ln2 - ln1) / 2) ** 2)
+        return 2 * K.EARTH_RADIUS_M * math.asin(min(1.0, math.sqrt(s)))
+
+    trajs = {
+        1: [(0.0, 0.0), (0.0, 1.0), (0.0, 1.0), (1.0, 1.0), (5.0, 9.0)],
+        2: [(50.0, 10.0)],                      # single point: no ticks? k=0 needs a segment
+        3: [(10.0, 10.0), (10.0, 10.4)],
+    }
+    rows = []
+    for u, seq in trajs.items():
+        for i, (la, ln) in enumerate(seq):
+            rows.append((u, i, i, la, ln))
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long,"
+                                     " lat double, lng double")
+    step_m = 20_000.0
+    step_cm = int(round(step_m * 100))
+    got = {(r.user_id, r.tick_idx): (r.r_lat, r.r_lng)
+           for r in resample(df, step_m).collect()}
+
+    want = {}
+    for u, seq in trajs.items():
+        cum = 0
+        for (a, b) in zip(seq, seq[1:]):
+            ln_cm = int(math.floor(hav(a, b) * 100.0))
+            if ln_cm <= 0:
+                continue
+            cum0, cum = cum, cum + ln_cm
+            k_lo = (cum0 + step_cm - 1) // step_cm
+            k_hi = (cum - 1) // step_cm
+            for k in range(k_lo, k_hi + 1):
+                f = (k * step_cm - cum0) / ln_cm
+                want[(u, k)] = (a[0] + f * (b[0] - a[0]),
+                                a[1] + f * (b[1] - a[1]))
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == want[key], key
+    # start tick exists and equals the first point exactly
+    assert got[(1, 0)] == (0.0, 0.0)
+    assert (2, 0) not in got  # single point -> no segments -> no ticks
