@@ -1493,6 +1493,41 @@ def _q_hex_kring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OD_ZOOM = 4
+
+
+def _q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix: each user's FIRST and LAST
+    event (deterministic (ts, event_id) order via min_by/max_by on a
+    struct key — no window, no sort), binned to z4 webmercator tiles,
+    aggregated into per-(from, to) flows with user counts and mean
+    trip value. Two shuffles total (user agg + flow agg), both
+    partial-aggregatable — the mobility-analytics staple at any
+    scale."""
+    pts = G.events_points(spark, sf_dir)
+    key = F.struct("ts", "event_id")
+    ends = pts.groupBy("user_id").agg(
+        F.min_by(F.struct("lat", "lng"), key).alias("o"),
+        F.max_by(F.struct("lat", "lng"), key).alias("d"),
+        F.count("*").alias("n_ev"),
+        # integer cents: exact, immune to cross-engine float-sum order
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .alias("value_cents"),
+    )
+    ends = ends.select(
+        "user_id", "n_ev", "value_cents",
+        K.latlng_to_tile_x(F.col("o.lng"), OD_ZOOM).alias("from_x"),
+        K.latlng_to_tile_y(F.col("o.lat"), OD_ZOOM).alias("from_y"),
+        K.latlng_to_tile_x(F.col("d.lng"), OD_ZOOM).alias("to_x"),
+        K.latlng_to_tile_y(F.col("d.lat"), OD_ZOOM).alias("to_y"),
+    )
+    return ends.groupBy("from_x", "from_y", "to_x", "to_y").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_ev").alias("n_events"),
+        F.sum("value_cents").alias("value_cents"),
+    )
+
+
 RESAMPLE_STEP_M = 2_000_000.0  # 2000 km ticks over transcontinental demo trajectories
 
 
@@ -1898,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_kring_join": _q_geohash_kring_join,
         "density_classify": _q_density_classify,
         "traj_resample": _q_traj_resample,
+        "od_matrix": _q_od_matrix,
         "hll_users": _q_hll_users,
         "hll_tile_rollup": _q_hll_tile_rollup,
         "s2_cell_agg": _q_s2_cell_agg,
@@ -2202,6 +2238,50 @@ def _polygon_raster_oracle_sql() -> str:
              AND i.tile_y = b.tile_y
             WHERE b.area_id IS NULL
         """
+
+
+def _od_matrix_oracle() -> str:
+    """DuckDB twin of _q_od_matrix — INDEPENDENT derivation: first/
+    last rows via row_number windows (the Spark side uses min_by/
+    max_by struct argmin), integer-cents value sums (exact both
+    sides)."""
+    fx = G.tile_x_sql("o_lng", OD_ZOOM)
+    fy = G.tile_y_sql("o_lat", OD_ZOOM)
+    tx = G.tile_x_sql("d_lng", OD_ZOOM)
+    ty = G.tile_y_sql("d_lat", OD_ZOOM)
+    return f"""
+        WITH pts AS ({G.EVENTS_POINTS_SQL}),
+        r AS (
+            SELECT user_id, lat, lng, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn_d
+            FROM pts
+        ),
+        per_user AS (
+            SELECT user_id, count(*) AS n_ev,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM pts GROUP BY 1
+        ),
+        ends AS (
+            SELECT a.user_id, u.n_ev, u.value_cents,
+                   a.lat AS o_lat, a.lng AS o_lng,
+                   d.lat AS d_lat, d.lng AS d_lng
+            FROM r a
+            JOIN r d ON a.user_id = d.user_id AND d.rn_d = 1
+            JOIN per_user u ON a.user_id = u.user_id
+            WHERE a.rn_a = 1
+        )
+        SELECT {fx} AS from_x, {fy} AS from_y,
+               {tx} AS to_x, {ty} AS to_y,
+               count(*) AS n_users,
+               CAST(sum(n_ev) AS BIGINT) AS n_events,
+               CAST(sum(value_cents) AS BIGINT) AS value_cents
+        FROM ends GROUP BY 1, 2, 3, 4
+    """
 
 
 def _traj_resample_oracle() -> str:
@@ -3522,6 +3602,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_kring_join": _geohash_kring_oracle(),
         "density_classify": _density_oracle(),
         "traj_resample": _traj_resample_oracle(),
+        "od_matrix": _od_matrix_oracle(),
         "hll_users": _hll_users_oracle(),
         "hll_tile_rollup": _hll_tile_rollup_oracle(),
         "hex_rollup": f"""

@@ -335,3 +335,35 @@ def test_box_extend_overloads(spark):
     row3 = line_df.select(bb[0].alias("x1"), bb[1].alias("y1"),
                           bb[2].alias("x2"), bb[3].alias("y2")).collect()[0]
     assert (row3["x1"], row3["y1"], row3["x2"], row3["y2"]) == (49.0, 8.0, 50.0, 9.5)
+
+
+def test_od_matrix_first_last_selection(spark):
+    """min_by/max_by struct argmin picks the (ts, event_id)-first and
+    -last rows per user — including when the last event has an
+    EARLIER row position and when ts ties break on event_id."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: ts tie at the start -> event_id breaks it
+        (1, 5, 100, 10.0, 10.0, 1.0),
+        (1, 5, 99, 20.0, 20.0, 2.0),   # first (same ts, lower id)
+        (1, 9, 101, 30.0, 30.0, 3.0),  # last
+        # user 2: single event -> origin == destination
+        (2, 1, 200, -40.0, 50.0, 7.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, lat double,"
+              " lng double, value double")
+    key = F.struct("ts", "event_id")
+    ends = df.groupBy("user_id").agg(
+        F.min_by(F.struct("lat", "lng"), key).alias("o"),
+        F.max_by(F.struct("lat", "lng"), key).alias("d"),
+    ).collect()
+    got = {r.user_id: (r.o.lat, r.o.lng, r.d.lat, r.d.lng) for r in ends}
+    assert got[1] == (20.0, 20.0, 30.0, 30.0)
+    assert got[2] == (-40.0, 50.0, -40.0, 50.0)
