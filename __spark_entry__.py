@@ -1708,6 +1708,80 @@ def _q_hll_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_D, CMS_W = 4, 1024   # 4 rows x 1024 buckets: 4096-cell sketch state
+CMS_PHI = 1000           # heavy hitter = estimate >= N/1000 occurrences
+BLOOM_K, BLOOM_M = 7, 1 << 14
+
+
+def _bigram_occurrences(docs: DataFrame) -> DataFrame:
+    """One row per token-bigram OCCURRENCE (single-space tokenizer,
+    matching the DuckDB twin's string_split).  The token array is
+    staged once; docs under 2 tokens contribute nothing (same as the
+    oracle's empty range(1, len))."""
+    base = docs.select(F.split(F.col("text"), " ").alias("_t")) \
+        .filter(F.size("_t") >= 2)
+    return base.select(
+        F.explode(F.expr(
+            "transform(sequence(0, size(_t) - 2),"
+            " i -> concat_ws(' ', _t[i], _t[i + 1]))"
+        )).alias("bigram")
+    )
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter bigrams (geospark/sketch.py): the sketch
+    is a <= d*w-row relation no matter the corpus size — map-side
+    partial aggregation compresses each task to <= 4096 cells before
+    the one tiny shuffle, and sketches MERGE by sum (per-day /
+    per-partition sketches roll up without rescanning text).  CMS
+    never underestimates, so every true heavy hitter (count >= N/1000)
+    survives the estimate filter; the exact count rides along as the
+    oracle's ground-truth column.  Engine-neutral row-salted md5-60
+    buckets + integer sum/min keep Spark and DuckDB bit-identical."""
+    from geospark import sketch as SK
+
+    bg = _bigram_occurrences(_docs(spark, sf_dir))
+    sk = SK.cms_table(bg, [], "bigram", d=CMS_D, w=CMS_W)
+    est = SK.cms_lookup(sk, bg.distinct(), [], "bigram", d=CMS_D, w=CMS_W)
+    exact = bg.groupBy("bigram").agg(F.count("*").alias("exact_cnt"))
+    total = bg.agg(F.count("*").alias("_n"))
+    return (
+        est.join(exact, "bigram")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est_cnt") >= F.col("_n") / F.lit(float(CMS_PHI)))
+        .select("bigram", "est_cnt", "exact_cnt")
+    )
+
+
+def _q_bloom_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter crawl membership (geospark/sketch.py): docs with
+    doc_id % 3 == 0 play the already-ingested corpus; its filter state
+    is the DISTINCT lit-bit relation (<= 2^14 longs — broadcastable,
+    union-mergeable, incrementally extensible), probed by every
+    re-crawled doc's content hash.  A present text is ALWAYS maybe
+    (no false negatives — the property that makes the filter a safe
+    pre-join pass at 100 TB); `present` is the exact membership the
+    oracle checks the maybe-bit against."""
+    from geospark import sketch as SK
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.select("doc_id", F.md5("text").alias("h"))
+    prior = docs.filter(F.col("doc_id") % 3 == 0) \
+        .select(F.md5("text").alias("h"))
+    bits = SK.bloom_bits(prior, "h", k=BLOOM_K, mbits=BLOOM_M)
+    maybe = SK.bloom_probe(bits, probes, "h", k=BLOOM_K, mbits=BLOOM_M)
+    seen = prior.distinct().withColumn("_p", F.lit(1))
+    return (
+        probes.join(F.broadcast(maybe), "h")
+        .join(F.broadcast(seen), "h", "left")
+        .select(
+            "doc_id",
+            F.col("bloom_maybe").cast("long").alias("bloom_maybe"),
+            F.coalesce("_p", F.lit(0)).cast("long").alias("present"),
+        )
+    )
+
+
 def _q_s2_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell index (functions/s2cell.py): leaf encode once in ONE
     Arrow-batched pandas UDF pass, then every re-level is a pure
@@ -1936,6 +2010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": _q_od_matrix,
         "hll_users": _q_hll_users,
         "hll_tile_rollup": _q_hll_tile_rollup,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "bloom_crawl_filter": _q_bloom_crawl_filter,
         "s2_cell_agg": _q_s2_cell_agg,
         "s2_range_join": _q_s2_range_join,
         "s2_radius_query": _q_s2_radius_query,
@@ -2516,6 +2592,66 @@ def _hll_tile_rollup_oracle() -> str:
         SELECT cell1, n_child_cells, regs_hit,
                round({est}, 3) AS est_users
         FROM sk JOIN kids USING (cell1)
+    """
+
+
+def _cms_heavy_hitters_oracle() -> str:
+    """DuckDB twin of _q_cms_heavy_hitters: same single-space bigrams,
+    same row-salted md5-60 buckets, integer sum/min estimator."""
+    from geospark import sketch as SK
+
+    rws = ", ".join(f"({r})" for r in range(CMS_D))
+    bsk = SK.cms_bucket_sql("bg", "r", CMS_W)
+    return f"""
+        WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),
+        b AS (
+            SELECT unnest(list_transform(range(1, len(a)),
+                          i -> a[i] || ' ' || a[i + 1])) AS bg
+            FROM t
+        ),
+        rws(r) AS (VALUES {rws}),
+        e AS (SELECT bg, r, {bsk} AS bucket FROM b CROSS JOIN rws),
+        sk AS (SELECT r, bucket, count(*) AS cnt FROM e GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT bg FROM b),
+        pe AS (SELECT bg, r, {bsk} AS bucket FROM probes CROSS JOIN rws),
+        est AS (
+            SELECT bg, min(COALESCE(cnt, 0)) AS est_cnt
+            FROM pe LEFT JOIN sk USING (r, bucket) GROUP BY bg
+        ),
+        exact AS (SELECT bg, count(*) AS exact_cnt FROM b GROUP BY 1),
+        n AS (SELECT count(*) AS n_bg FROM b)
+        SELECT bg AS bigram, est_cnt, exact_cnt
+        FROM est JOIN exact USING (bg) CROSS JOIN n
+        WHERE est_cnt >= n_bg / {float(CMS_PHI)!r}
+    """
+
+
+def _bloom_crawl_filter_oracle() -> str:
+    """DuckDB twin of _q_bloom_crawl_filter: identical salted-md5 bit
+    positions; `present` is the exact seen-set membership."""
+    from geospark import sketch as SK
+
+    js = ", ".join(f"({j})" for j in range(BLOOM_K))
+    bit = SK.bloom_bit_sql("h", "j", BLOOM_M)
+    return f"""
+        WITH probes AS (SELECT doc_id, md5(text) AS h FROM documents),
+        prior AS (SELECT DISTINCT md5(text) AS h FROM documents
+                  WHERE doc_id % 3 = 0),
+        js(j) AS (VALUES {js}),
+        bits AS (SELECT DISTINCT {bit} AS bit FROM prior CROSS JOIN js),
+        pp AS (SELECT DISTINCT h FROM probes),
+        pe AS (SELECT h, {bit} AS bit FROM pp CROSS JOIN js),
+        hit AS (
+            SELECT h, min(CASE WHEN bits.bit IS NOT NULL
+                               THEN 1 ELSE 0 END) AS bloom_maybe
+            FROM pe LEFT JOIN bits USING (bit) GROUP BY h
+        )
+        SELECT doc_id, CAST(bloom_maybe AS BIGINT) AS bloom_maybe,
+               CAST(CASE WHEN prior.h IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS present
+        FROM probes
+        JOIN hit USING (h)
+        LEFT JOIN prior ON probes.h = prior.h
     """
 
 
@@ -3605,6 +3741,8 @@ def oracle_sql() -> dict[str, str]:
         "od_matrix": _od_matrix_oracle(),
         "hll_users": _hll_users_oracle(),
         "hll_tile_rollup": _hll_tile_rollup_oracle(),
+        "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
+        "bloom_crawl_filter": _bloom_crawl_filter_oracle(),
         "hex_rollup": f"""
             WITH pts AS ({pts}),
             child AS (

@@ -195,3 +195,151 @@ def hll_estimate_sql(p: int) -> tuple[str, str]:
 
 def hll_std_error(p: int) -> float:
     return 1.04 / math.sqrt(1 << p)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+# stream summary: the count-min sketch and its applications")
+# ---------------------------------------------------------------------------
+# The 100-TB frequency problem: "how often does this token/host/url
+# appear across the corpus" without keeping one counter per distinct
+# item.  The sketch is a d x w counter grid; its relational form is a
+# (row, bucket, cnt) table of AT MOST d*w rows per key-group no matter
+# how large the stream — mergeable by plain sum, so per-partition /
+# per-day sketches roll up without rescanning raw data.  Guarantees:
+# est >= true always (no false negatives above a heavy-hitter
+# threshold), est <= true + (e/w)*N with probability 1 - e^-d.
+#
+# Plan shape: explode each occurrence into d (row, bucket) cells, then
+# ONE groupBy(row, bucket) whose map-side partial aggregation
+# compresses every task's contribution to <= d*w cells before the
+# shuffle — the shuffle moves O(d*w*tasks) rows, not O(stream).
+# Lookups broadcast the tiny sketch.  Hashing is the same
+# engine-neutral md5-60 as the rest of the dedup family, salted with
+# the row index, so the DuckDB oracle reproduces estimates bit-for-bit
+# (all remaining math is integer sum/min).
+
+def cms_bucket(item: Column, row: int, w: int) -> Column:
+    """Bucket of ``item`` in sketch row ``row``: md5-60 of the
+    row-salted string, mod w.  md5-60 is non-negative (< 2^60) so
+    `pmod` == `%` in every engine."""
+    return F.pmod(_md5_60(F.concat(F.lit(f"{row}:"), item.cast("string"))),
+                  F.lit(w))
+
+
+def cms_table(df: DataFrame, keys: list[str], item: str,
+              d: int = 4, w: int = 1024, weight: str | None = None,
+              ) -> DataFrame:
+    """The MERGEABLE sketch relation (keys..., row, bucket, cnt):
+    <= d*w rows per key-group regardless of stream size.  ``weight``
+    counts each input row ``weight`` times (default 1)."""
+    wcol = F.col(weight) if weight else F.lit(1)
+    e = df.select(
+        *keys,
+        wcol.alias("_w"),
+        F.posexplode(F.array(*[
+            cms_bucket(F.col(item), r, w) for r in range(d)
+        ])).alias("row", "bucket"),
+    )
+    return (e.groupBy(*keys, "row", "bucket")
+            .agg(F.sum("_w").alias("cnt")))
+
+
+def cms_merge(sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge sketch relations (days/partitions/files -> corpus, or
+    fine keys -> coarse): counter-wise sum is the sketch union."""
+    return (sketches.groupBy(*keys, "row", "bucket")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_lookup(sketch: DataFrame, probes: DataFrame, keys: list[str],
+               item: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """Point-query a sketch relation: per probe (keys..., item) the
+    CMS estimate min over d rows (missing cell = 0).  The sketch side
+    is <= d*w rows per key-group -> broadcast; the only shuffle is the
+    per-item min."""
+    pe = probes.select(
+        *keys, item,
+        F.posexplode(F.array(*[
+            cms_bucket(F.col(item), r, w) for r in range(d)
+        ])).alias("row", "bucket"),
+    )
+    joined = pe.join(F.broadcast(sketch), [*keys, "row", "bucket"], "left")
+    return (joined.groupBy(*keys, item)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("est_cnt")))
+
+
+def cms_bucket_sql(item: str, row_expr: str, w: int) -> str:
+    """DuckDB twin of cms_bucket; ``row_expr`` may be a column."""
+    salted = f"(CAST({row_expr} AS VARCHAR) || ':' || " \
+             f"CAST({item} AS VARCHAR))"
+    h = f"('0x' || substr(md5({salted}), 1, 15))::BIGINT"
+    return f"(({h}) % {w})"
+
+
+def cms_error_bound(w: int, n: int) -> float:
+    """Additive overestimate bound e*N/w (holds per row w.p. 1-1/e)."""
+    return math.e * n / w
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — relational form
+# ---------------------------------------------------------------------------
+# The crawl-frontier membership problem: "have we already ingested
+# this URL/content hash" against a multi-billion-row seen-set, without
+# joining the raw set every batch.  State = the DISTINCT set of lit
+# bit positions (<= mbits rows, one long each) — mergeable by union,
+# broadcastable at any realistic mbits, and rebuildable incrementally
+# (new batch's bits union in).  Guarantee: a present item is ALWAYS
+# maybe (no false negatives); absent items are maybe with
+# p ~ (1 - e^(-k*n/m))^k.
+
+def bloom_bit(item: Column, j: int, mbits: int) -> Column:
+    """Bit position of hash function j — row-salted md5-60 mod mbits,
+    same construction as cms_bucket."""
+    return F.pmod(_md5_60(F.concat(F.lit(f"{j}:"), item.cast("string"))),
+                  F.lit(mbits))
+
+
+def bloom_bits(df: DataFrame, item: str, k: int = 7,
+               mbits: int = 1 << 14) -> DataFrame:
+    """Build the filter: the distinct (bit) relation of all k salted
+    hashes of every item.  One explode + one distinct capped at mbits
+    rows out."""
+    return df.select(
+        F.explode(F.array(*[
+            bloom_bit(F.col(item), j, mbits) for j in range(k)
+        ])).alias("bit")
+    ).distinct()
+
+
+def bloom_probe(bits: DataFrame, probes: DataFrame, item: str,
+                k: int = 7, mbits: int = 1 << 14) -> DataFrame:
+    """Membership test: per distinct probe item, maybe = every one of
+    its k bits is lit.  The bits relation (<= mbits rows) broadcasts;
+    the only shuffle is the per-item fold."""
+    pe = probes.select(item).distinct().select(
+        item,
+        F.explode(F.array(*[
+            bloom_bit(F.col(item), j, mbits) for j in range(k)
+        ])).alias("bit"),
+    )
+    marked = bits.withColumn("_lit", F.lit(1))
+    joined = pe.join(F.broadcast(marked), "bit", "left")
+    return (joined.groupBy(item)
+            .agg(F.min(F.coalesce(F.col("_lit"), F.lit(0)))
+                 .alias("bloom_maybe")))
+
+
+def bloom_bit_sql(item: str, j_expr: str, mbits: int) -> str:
+    """DuckDB twin of bloom_bit; ``j_expr`` may be a column."""
+    salted = f"(CAST({j_expr} AS VARCHAR) || ':' || " \
+             f"CAST({item} AS VARCHAR))"
+    h = f"('0x' || substr(md5({salted}), 1, 15))::BIGINT"
+    return f"(({h}) % {mbits})"
+
+
+def bloom_fpr(k: int, mbits: int, n: int) -> float:
+    """Expected false-positive rate after inserting n items."""
+    return (1.0 - math.exp(-k * n / mbits)) ** k

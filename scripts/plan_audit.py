@@ -416,6 +416,30 @@ def main() -> None:
               "is the round-robin test-data fan-out in _docs).",
     )
 
+    audit(
+        "cms_heavy_hitters (Count-Min sketch, mergeable frequency state)",
+        q["cms_heavy_hitters"](spark, sf_dir),
+        must=["* HashAggregate", "BroadcastHashJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "SortMergeJoin"],
+        notes="sketch build is one groupBy(row,bucket) whose map-side "
+              "partial agg caps each task at d*w cells before the "
+              "shuffle; the <=4096-row sketch broadcasts into the "
+              "lookup; all salted-md5 bucket math is codegen.",
+    )
+
+    audit(
+        "bloom_crawl_filter (bit-set membership, zero false negatives)",
+        q["bloom_crawl_filter"](spark, sf_dir),
+        must=["BroadcastHashJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "SortMergeJoin"],
+        notes="the <=2^14-row lit-bit relation broadcasts into the "
+              "probe join (LEFT + min fold = all-k-bits test); the "
+              "seen-set equality join also broadcasts — no shuffle "
+              "scales with probe volume beyond the per-item fold.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:

@@ -1,0 +1,116 @@
+"""Count-Min sketch + Bloom filter property tests (geospark/sketch.py).
+
+The contracts that make the sketches safe at 100 TB:
+  CMS:   est >= true always; est == true when w is collision-free;
+         merge(sum) of partition sketches == sketch of the union.
+  Bloom: a present item is ALWAYS maybe (zero false negatives);
+         absent items are maybe at ~ the analytic fpr; bit-set union
+         == filter of the union.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geospark import sketch as SK
+
+
+def _stream(spark, n_items=300, reps=5):
+    """Deterministic skewed stream: item i appears (i % reps) + 1
+    times, plus item 0 appears 50 extra times (the heavy hitter)."""
+    rows = []
+    for i in range(n_items):
+        rows += [(f"item-{i}",)] * ((i % reps) + 1)
+    rows += [("item-0",)] * 50
+    return spark.createDataFrame(rows, "item string")
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    df = _stream(spark)
+    exact = {r["item"]: r["c"] for r in
+             df.groupBy("item").agg(F.count("*").alias("c")).collect()}
+
+    # tight sketch: collisions possible, but never an underestimate
+    sk = SK.cms_table(df, [], "item", d=3, w=64)
+    est = {r["item"]: r["est_cnt"] for r in
+           SK.cms_lookup(sk, df.distinct(), [], "item", d=3, w=64)
+           .collect()}
+    assert set(est) == set(exact)
+    for it, c in exact.items():
+        assert est[it] >= c, f"{it}: est {est[it]} < true {c}"
+
+    # wide sketch: w >> NDV so every estimate is exact
+    skw = SK.cms_table(df, [], "item", d=3, w=1 << 14)
+    estw = {r["item"]: r["est_cnt"] for r in
+            SK.cms_lookup(skw, df.distinct(), [], "item", d=3,
+                          w=1 << 14).collect()}
+    assert estw == exact
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    df = _stream(spark, n_items=200)
+    half_a = df.filter(F.crc32(F.col("item")) % 2 == 0)
+    half_b = df.filter(F.crc32(F.col("item")) % 2 == 1)
+    full = SK.cms_table(df, [], "item", d=4, w=128)
+    merged = SK.cms_merge(
+        SK.cms_table(half_a, [], "item", d=4, w=128).unionAll(
+            SK.cms_table(half_b, [], "item", d=4, w=128)), [])
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+
+def test_cms_absent_item_estimates_small(spark):
+    df = _stream(spark, n_items=100)
+    sk = SK.cms_table(df, [], "item", d=4, w=1 << 12)
+    probes = spark.createDataFrame(
+        [(f"never-{i}",) for i in range(20)], "item string")
+    est = SK.cms_lookup(sk, probes, [], "item", d=4, w=1 << 12).collect()
+    n = df.count()
+    bound = SK.cms_error_bound(1 << 12, n)
+    assert all(r["est_cnt"] <= bound for r in est)
+
+
+def test_bloom_no_false_negatives_and_fpr(spark):
+    present = spark.range(0, 400).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("h"))
+    absent = spark.range(10_000, 12_000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("h"))
+    k, m = 7, 1 << 13
+    bits = SK.bloom_bits(present, "h", k=k, mbits=m)
+
+    hits = SK.bloom_probe(bits, present, "h", k=k, mbits=m).collect()
+    assert all(r["bloom_maybe"] == 1 for r in hits), \
+        "false negative — breaks the Bloom contract"
+
+    miss = SK.bloom_probe(bits, absent, "h", k=k, mbits=m).collect()
+    fp = sum(r["bloom_maybe"] for r in miss) / len(miss)
+    # analytic fpr ~ (1 - e^(-7*400/8192))^7 ~ 2e-4; allow 50x slack
+    assert fp <= 50 * SK.bloom_fpr(k, m, 400) + 1e-9
+
+
+def test_bloom_union_merge(spark):
+    a = spark.range(0, 200).select(
+        F.concat(F.lit("a-"), F.col("id")).alias("h"))
+    b = spark.range(0, 200).select(
+        F.concat(F.lit("b-"), F.col("id")).alias("h"))
+    k, m = 5, 1 << 12
+    merged = SK.bloom_bits(a, "h", k=k, mbits=m).unionAll(
+        SK.bloom_bits(b, "h", k=k, mbits=m)).distinct()
+    direct = SK.bloom_bits(a.unionAll(b), "h", k=k, mbits=m)
+    assert sorted(r["bit"] for r in merged.collect()) == \
+        sorted(r["bit"] for r in direct.collect())
+
+
+def test_cms_keyed_sketch(spark):
+    """Per-key sketches stay independent: estimates within a key group
+    match that group's exact counts when w is collision-free."""
+    df = _stream(spark, n_items=60).withColumn(
+        "grp", (F.crc32("item") % 3).cast("int"))
+    sk = SK.cms_table(df, ["grp"], "item", d=3, w=1 << 13)
+    est = SK.cms_lookup(sk, df.select("grp", "item").distinct(),
+                        ["grp"], "item", d=3, w=1 << 13)
+    exact = df.groupBy("grp", "item").agg(F.count("*").alias("c"))
+    diff = est.join(exact, ["grp", "item"]) \
+        .filter(F.col("est_cnt") != F.col("c"))
+    assert diff.count() == 0
