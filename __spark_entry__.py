@@ -1782,6 +1782,69 @@ def _q_bloom_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STAY_D_MAX_M = 5_000_000          # synthetic pings are continent-scale
+STAY_MIN_DWELL_US = 3_600_000_000  # 1 h
+
+
+def _q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (lines.staypoints): maximal consecutive
+    runs whose step distance stays <= d_max, kept at dwell >= 1 h —
+    GPS streams -> visit records, ONE exchange on user_id (lag/cumsum
+    windows + segment rollup + stay re-numbering all cluster on the
+    user key).  Integer-exact determinism: floor(haversine) meters for
+    the step test, integer-microsecond dwell, floor-divided x1e7
+    fixed-point centroid."""
+    from geospark import lines as L
+
+    pts = G.events_points(spark, sf_dir)
+    return L.staypoints(pts, STAY_D_MAX_M, STAY_MIN_DWELL_US)
+
+
+KMV_K = 128
+
+
+def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-overlap sketch (geospark/sketch.py): the question HLL
+    can't answer — how much do two crawl snapshots OVERLAP (train/eval
+    contamination at 100 TB).  Each snapshot's sketch is its k=128
+    smallest distinct md5-60 text hashes; union = k smallest of the
+    concatenation, Jaccard = fraction of the union sketch present in
+    both sides — pure integer set algebra on <= 3k rows once the
+    per-snapshot sketches exist (and they PERSIST, so snapshot-pair
+    queries never rescan text).  Exact NDV/Jaccard ride along as the
+    oracle's ground truth."""
+    from geospark import sketch as SK
+
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("text")
+    b = docs.filter(F.col("doc_id") % 2 == 1).select("text")
+    ska, skb = (SK.kmv_sketch(s, [], "text", KMV_K) for s in (a, b))
+    est_a = SK.kmv_estimate(ska, [], KMV_K) \
+        .select(F.col("est_ndv").alias("est_ndv_a"))
+    est_b = SK.kmv_estimate(skb, [], KMV_K) \
+        .select(F.col("est_ndv").alias("est_ndv_b"))
+    jac = SK.kmv_jaccard(ska, skb, KMV_K).select("k_both", "est_jaccard")
+    da, db = a.distinct(), b.distinct()
+    exact = (
+        da.agg(F.count("*").alias("exact_ndv_a"))
+        .crossJoin(db.agg(F.count("*").alias("exact_ndv_b")))
+        .crossJoin(da.join(db, "text", "left_semi")
+                   .agg(F.count("*").alias("_inter")))
+    )
+    return (
+        est_a.crossJoin(est_b).crossJoin(jac).crossJoin(exact)
+        .select(
+            "est_ndv_a", "exact_ndv_a", "est_ndv_b", "exact_ndv_b",
+            "k_both", "est_jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("exact_ndv_a") + F.col("exact_ndv_b")
+                   - F.col("_inter")).cast("double"), 6,
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
 def _q_s2_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell index (functions/s2cell.py): leaf encode once in ONE
     Arrow-batched pandas UDF pass, then every re-level is a pure
@@ -2012,6 +2075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tile_rollup": _q_hll_tile_rollup,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bloom_crawl_filter": _q_bloom_crawl_filter,
+        "kmv_overlap": _q_kmv_overlap,
+        "staypoints": _q_staypoints,
         "s2_cell_agg": _q_s2_cell_agg,
         "s2_range_join": _q_s2_range_join,
         "s2_radius_query": _q_s2_radius_query,
@@ -2652,6 +2717,102 @@ def _bloom_crawl_filter_oracle() -> str:
         FROM probes
         JOIN hit USING (h)
         LEFT JOIN prior ON probes.h = prior.h
+    """
+
+
+def _staypoints_oracle() -> str:
+    """DuckDB twin of _q_staypoints: same windows, same quantized step
+    test, same integer centroid math."""
+    hav = G.haversine_sql("plat", "plng", "lat", "lng")
+    return f"""
+        WITH pts AS ({G.EVENTS_POINTS_SQL}),
+        q AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us, lat, lng,
+                   CAST(round(lat * 10000000.0) AS BIGINT) AS lat7,
+                   CAST(round(lng * 10000000.0) AS BIGINT) AS lng7
+            FROM pts
+        ),
+        l AS (
+            SELECT *, lag(lat) OVER w AS plat, lag(lng) OVER w AS plng
+            FROM q
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        b AS (
+            SELECT *, CASE WHEN plat IS NULL
+                           OR floor({hav}) > {STAY_D_MAX_M}
+                      THEN 1 ELSE 0 END AS brk
+            FROM l
+        ),
+        s AS (
+            SELECT *, sum(brk) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING) AS seg_id
+            FROM b
+        ),
+        g AS (
+            SELECT user_id, seg_id, count(*) AS n_pts,
+                   min(us) AS start_us, max(us) AS end_us,
+                   sum(lat7) AS slat, sum(lng7) AS slng
+            FROM s GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY start_us, seg_id
+               ) - 1 AS BIGINT) AS sp_idx,
+               n_pts, start_us, end_us,
+               (end_us - start_us) AS dwell_us,
+               CAST(floor(slat / n_pts) AS BIGINT) AS c_lat7,
+               CAST(floor(slng / n_pts) AS BIGINT) AS c_lng7
+        FROM g
+        WHERE end_us - start_us >= {STAY_MIN_DWELL_US}
+    """
+
+
+def _kmv_overlap_oracle() -> str:
+    """DuckDB twin of _q_kmv_overlap: same md5-60 hash order, LIMIT-k
+    sketches, identical estimator formulas."""
+    from geospark import sketch as SK
+
+    h = SK.kmv_hash_sql("text")
+    est = SK.kmv_estimate_sql(KMV_K)
+    return f"""
+        WITH a AS (SELECT DISTINCT text FROM documents
+                   WHERE doc_id % 2 = 0),
+        b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 1),
+        ska AS (SELECT {h} AS h FROM a ORDER BY 1 LIMIT {KMV_K}),
+        skb AS (SELECT {h} AS h FROM b ORDER BY 1 LIMIT {KMV_K}),
+        uk AS (
+            SELECT DISTINCT h FROM (
+                SELECT h FROM ska UNION ALL SELECT h FROM skb
+            ) ORDER BY h LIMIT {KMV_K}
+        ),
+        jac AS (
+            SELECT (SELECT count(*) FROM uk) AS k_u,
+                   count(*) AS k_both
+            FROM uk
+            WHERE h IN (SELECT h FROM ska)
+              AND h IN (SELECT h FROM skb)
+        ),
+        ea AS (SELECT count(*) AS n_sk, max(h) AS h_k FROM ska),
+        eb AS (SELECT count(*) AS n_sk, max(h) AS h_k FROM skb),
+        ex AS (
+            SELECT (SELECT count(*) FROM a) AS exact_ndv_a,
+                   (SELECT count(*) FROM b) AS exact_ndv_b,
+                   (SELECT count(*) FROM a JOIN b USING (text))
+                       AS inter
+        )
+        SELECT round((SELECT {est} FROM ea), 3) AS est_ndv_a,
+               exact_ndv_a,
+               round((SELECT {est} FROM eb), 3) AS est_ndv_b,
+               exact_ndv_b,
+               (SELECT k_both FROM jac) AS k_both,
+               (SELECT round(CAST(k_both AS DOUBLE)
+                             / CAST(k_u AS DOUBLE), 6) FROM jac)
+                   AS est_jaccard,
+               round(CAST(inter AS DOUBLE)
+                     / CAST(exact_ndv_a + exact_ndv_b - inter
+                            AS DOUBLE), 6) AS exact_jaccard
+        FROM ex
     """
 
 
@@ -3743,6 +3904,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_tile_rollup": _hll_tile_rollup_oracle(),
         "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
         "bloom_crawl_filter": _bloom_crawl_filter_oracle(),
+        "kmv_overlap": _kmv_overlap_oracle(),
+        "staypoints": _staypoints_oracle(),
         "hex_rollup": f"""
             WITH pts AS ({pts}),
             child AS (

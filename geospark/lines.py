@@ -404,3 +404,82 @@ def resample(points: DataFrame, step_m: float, user: str = "user_id",
         (F.col("_plng") + f * (F.col(lng) - F.col("_plng")))
         .alias("r_lng"),
     )
+
+
+def staypoints(points: DataFrame, d_max_m: int,
+               min_dwell_us: int, user: str = "user_id",
+               ts: str = "ts", order_tiebreak: str = "event_id",
+               lat: str = "lat", lng: str = "lng") -> DataFrame:
+    """Stay-point detection: maximal runs of consecutive pings whose
+    STEP distance stays <= ``d_max_m``, kept when the run's dwell is
+    >= ``min_dwell_us`` — the movement/pause segmentation that turns
+    raw GPS streams into visit records (the spatial analogue of
+    sessions.sessionize, and the usual precursor to place-mining over
+    the cluster operator's output).
+
+    Determinism spec: the step test compares floor(haversine) in
+    INTEGER meters (map_match's quantized-compare trick — an engine
+    ulp can only flip membership when a step lands within 1 ulp of an
+    exact integer meter), dwell is integer microseconds, and the
+    centroid is a floor-divided integer average of the x1e7
+    fixed-point coords (S14 codec) — no float summation or rounding
+    anywhere, so the DuckDB twin is bit-identical.
+
+    Plan shape (sessionize's): lag + cumsum windows and the segment
+    rollup all cluster on ``user``, so the whole operator is ONE
+    exchange on the user key; the final per-user stay re-numbering
+    reuses the same partitioning.
+
+    Returns (user, sp_idx, n_pts, start_us, end_us, dwell_us,
+    c_lat7, c_lng7)."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    d = points.select(
+        user, F.col(order_tiebreak), us.alias("_us"),
+        F.col(lat).alias("_lat"), F.col(lng).alias("_lng"),
+        K.double_to_fix(F.col(lat)).cast("long").alias("_lat7"),
+        K.double_to_fix(F.col(lng)).cast("long").alias("_lng7"),
+    )
+    w = Window.partitionBy(user).orderBy("_us", order_tiebreak)
+    d = d.withColumns({
+        "_plat": F.lag("_lat").over(w),
+        "_plng": F.lag("_lng").over(w),
+    })
+    step_m = F.floor(K.distance(F.col("_plat"), F.col("_plng"),
+                                F.col("_lat"), F.col("_lng")))
+    d = d.withColumn(
+        "_brk",
+        F.when(F.col("_plat").isNull() | (step_m > F.lit(d_max_m)),
+               F.lit(1)).otherwise(F.lit(0)),
+    )
+    d = d.withColumn(
+        "seg_id",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    seg = d.groupBy(user, "seg_id").agg(
+        F.count("*").alias("n_pts"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+        F.sum("_lat7").alias("_slat"),
+        F.sum("_lng7").alias("_slng"),
+    )
+    stays = seg.filter(
+        (F.col("end_us") - F.col("start_us")) >= F.lit(min_dwell_us)
+    )
+    w2 = Window.partitionBy(user).orderBy("start_us", "seg_id")
+    # floor(bigint / bigint) via double: sums stay < 2^53 (|lat7| <=
+    # 1.8e9 x run length), so the division is exact enough for floor
+    # and identical in DuckDB (whose / is also float division)
+    return stays.select(
+        F.col(user),
+        (F.row_number().over(w2) - 1).alias("sp_idx"),
+        "n_pts", "start_us", "end_us",
+        (F.col("end_us") - F.col("start_us")).alias("dwell_us"),
+        F.floor(F.col("_slat") / F.col("n_pts")).cast("long")
+        .alias("c_lat7"),
+        F.floor(F.col("_slng") / F.col("n_pts")).cast("long")
+        .alias("c_lng7"),
+    )

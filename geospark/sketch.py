@@ -343,3 +343,107 @@ def bloom_bit_sql(item: str, j_expr: str, mbits: int) -> str:
 def bloom_fpr(k: int, mbits: int, n: int) -> float:
     """Expected false-positive rate after inserting n items."""
     return (1.0 - math.exp(-k * n / mbits)) ** k
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — distinct counts AND set overlap
+# (Bar-Yossef et al. 2002 "Counting distinct elements in a data
+# stream"; Beyer et al. 2007 for the unbiased (k-1)/h_k estimator and
+# the union/intersection algebra)
+# ---------------------------------------------------------------------------
+# What HLL can't answer: "how much do two corpora OVERLAP" (crawl
+# snapshots, train-vs-eval contamination).  The KMV sketch of a set is
+# its k smallest distinct md5-60 hashes — a k-row relation per key.
+# Union = k smallest of the concatenation (mergeable); Jaccard(A,B) is
+# estimated by |U_k ∩ A_k ∩ B_k| / k over the union sketch U_k; NDV by
+# (k-1) * 2^60 / h_(k).  Every step is distinct/sort/min on 60-bit
+# integers — bit-identical in any engine; the single double division
+# in the estimators is the only float op.
+#
+# Plan shape: one distinct on (keys, hash), one window top-k ON THE
+# DISTINCT HASH RELATION (cardinality NDV, not stream volume), then
+# k-row-per-key algebra.  At 100 TB the distinct is the only big
+# shuffle — the same one exact NDV would pay — but the k-row sketch
+# persists, so repeat overlap queries across snapshots never rescan.
+
+KMV_SPACE = float(1 << HASH_BITS)  # hash space size as exact double
+
+
+def _k_smallest(d: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """k smallest hashes per key.  Un-keyed: sort-limit, which Spark
+    plans as TakeOrderedAndProject — per-partition top-k heaps merged
+    once, NO single-partition shuffle.  Keyed: window row_number (one
+    shuffle on the key over the already-distinct hash relation)."""
+    if not keys:
+        return d.orderBy("h").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def kmv_sketch(df: DataFrame, keys: list[str], item: str,
+               k: int = 128) -> DataFrame:
+    """The sketch relation (keys..., h): per key the k smallest
+    distinct md5-60 hashes of ``item``."""
+    d = df.select(*keys, _md5_60(F.col(item)).alias("h")).distinct()
+    return _k_smallest(d, keys, k)
+
+
+def kmv_merge(sketches: DataFrame, keys: list[str],
+              k: int = 128) -> DataFrame:
+    """Union of sketch relations (concatenate first): re-take the k
+    smallest distinct hashes per key — kmv(A ∪ B)."""
+    return _k_smallest(sketches.select(*keys, "h").distinct(), keys, k)
+
+
+def kmv_estimate(sk: DataFrame, keys: list[str],
+                 k: int = 128) -> DataFrame:
+    """Per-key NDV estimate: (k-1) * 2^60 / h_(k); when the key holds
+    fewer than k distinct items the sketch IS the set and the count is
+    exact."""
+    agg = sk.groupBy(*keys) if keys else sk.groupBy()
+    g = agg.agg(F.count("*").alias("n_sk"), F.max("h").alias("h_k"))
+    est = F.when(
+        F.col("n_sk") < k, F.col("n_sk").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE)
+        / F.col("h_k").cast("double")
+    )
+    return g.select(*keys, "n_sk", F.round(est, 3).alias("est_ndv"))
+
+
+def kmv_jaccard(sk_a: DataFrame, sk_b: DataFrame,
+                k: int = 128) -> DataFrame:
+    """Jaccard estimate between two (un-keyed) sketches: over the
+    union sketch U_k, the fraction of hashes present in BOTH input
+    sketches.  Exact set algebra on <= 3k rows."""
+    u = kmv_merge(sk_a.select("h").unionAll(sk_b.select("h")), [], k)
+    in_both = (u.join(sk_a.select("h"), "h", "left_semi")
+               .join(sk_b.select("h"), "h", "left_semi"))
+    return u.agg(F.count("*").alias("k_u")).crossJoin(
+        in_both.agg(F.count("*").alias("k_both"))
+    ).select(
+        "k_u", "k_both",
+        F.round(F.col("k_both").cast("double")
+                / F.col("k_u").cast("double"), 6).alias("est_jaccard"),
+    )
+
+
+def kmv_hash_sql(item: str) -> str:
+    """DuckDB twin of the sketch hash."""
+    return (f"('0x' || substr(md5(CAST({item} AS VARCHAR)), 1, 15))"
+            f"::BIGINT")
+
+
+def kmv_estimate_sql(k: int) -> str:
+    """Estimator over columns n_sk / h_k (matches kmv_estimate)."""
+    return (f"(CASE WHEN n_sk < {k} THEN CAST(n_sk AS DOUBLE) "
+            f"ELSE {float(k - 1)!r} * {KMV_SPACE!r} "
+            f"/ CAST(h_k AS DOUBLE) END)")
+
+
+def kmv_std_error(k: int) -> float:
+    """Relative standard error of the NDV estimate, ~1/sqrt(k-2)."""
+    return 1.0 / math.sqrt(k - 2)

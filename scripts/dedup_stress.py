@@ -135,6 +135,87 @@ def main() -> None:
         "rows_out": T.token_stats(docs).count(),
     })
 
+    # --- mergeable sketches at corpus scale -------------------------
+    import __spark_entry__ as E
+    from geospark import sketch as SK
+
+    # wider than the driver query's 1024: additive noise is ~N/w, and
+    # the bigram stream N here is ~39x docs
+    CMS_W = 1 << 16
+
+    def _cms_build():
+        # the whole point at scale: the bigram stream (~39x docs)
+        # explodes x4 rows, but map-side partial agg caps every task's
+        # shuffle output at d*w cells — the sketch row count IS the
+        # shuffle volume
+        sk = SK.cms_table(E._bigram_occurrences(docs), [], "bigram",
+                          d=4, w=CMS_W)
+        return {"sketch_cells": sk.count()}
+
+    run("cms_build_bigrams", _cms_build)
+
+    def _cms_lookup():
+        # the scale-shaped use: a SMALL probe set against a sketch of
+        # a huge stream (this corpus is uniform by construction, so
+        # there are no true heavy hitters — the honest metric is the
+        # point-query overestimate, expected ~N/w per probe)
+        bg = _spool(E._bigram_occurrences(docs), "stress_cms_bg")
+        sk = SK.cms_table(bg, [], "bigram", d=4, w=CMS_W)
+        probe_docs = docs.filter(F.col("doc_id") < 200)
+        probes = E._bigram_occurrences(probe_docs).distinct()
+        est = SK.cms_lookup(sk, probes, [], "bigram", d=4, w=CMS_W)
+        exact = (bg.join(F.broadcast(probes), "bigram")
+                 .groupBy("bigram").agg(F.count("*").alias("c")))
+        agg = est.join(exact, "bigram").agg(
+            F.count("*").alias("n_probes"),
+            F.max(F.col("est_cnt") - F.col("c")).alias("max_over"),
+            F.round(F.avg(F.col("est_cnt") - F.col("c")), 1)
+            .alias("mean_over"),
+            F.sum(F.when(F.col("est_cnt") < F.col("c"), 1).otherwise(0))
+            .alias("underestimates"),
+        ).collect()[0]
+        return {"n_probes": int(agg["n_probes"]),
+                "mean_over": float(agg["mean_over"]),
+                "max_over": int(agg["max_over"]),
+                "underestimates": int(agg["underestimates"])}
+
+    run("cms_point_lookup", _cms_lookup)
+
+    BLOOM_K, BLOOM_M = 7, 1 << 25  # sized for ~n/2 distinct hashes
+
+    def _bloom():
+        prior = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.md5("text").alias("h"))
+        bits = _spool(
+            SK.bloom_bits(prior, "h", k=BLOOM_K, mbits=BLOOM_M),
+            "stress_bloom_bits",
+        )
+        nb = bits.count()
+        probes = docs.select(F.md5("text").alias("h"))
+        maybe = SK.bloom_probe(bits, probes, "h", k=BLOOM_K,
+                               mbits=BLOOM_M)
+        seen = prior.distinct().withColumn("_p", F.lit(1))
+        agg = maybe.join(seen, "h", "left").agg(
+            F.count("*").alias("probed"),
+            F.sum("bloom_maybe").alias("maybe"),
+            F.sum(F.when(F.col("_p").isNull()
+                         & (F.col("bloom_maybe") == 1), 1)
+                  .otherwise(0)).alias("false_pos"),
+            F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0))
+            .alias("absent"),
+            F.sum(F.when(F.col("_p").isNotNull()
+                         & (F.col("bloom_maybe") == 0), 1)
+                  .otherwise(0)).alias("false_neg"),
+        ).collect()[0]
+        return {
+            "bits_lit": nb,
+            "probed_distinct": int(agg["probed"]),
+            "false_neg": int(agg["false_neg"]),
+            "fpr": round(agg["false_pos"] / max(agg["absent"], 1), 6),
+        }
+
+    run("bloom_crawl_filter", _bloom)
+
     out = {"n_docs": n, "ops": results, "cpus": 32,
            "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(out))

@@ -102,6 +102,70 @@ def test_bloom_union_merge(spark):
         sorted(r["bit"] for r in direct.collect())
 
 
+def test_kmv_exact_when_small_and_estimate_when_large(spark):
+    k = 128
+    small = spark.range(0, 50).select(
+        F.concat(F.lit("s-"), F.col("id")).alias("item"))
+    est = SK.kmv_estimate(SK.kmv_sketch(small, [], "item", k), [], k) \
+        .collect()[0]
+    assert est["n_sk"] == 50 and est["est_ndv"] == 50.0
+
+    big = spark.range(0, 20_000).select(
+        F.concat(F.lit("b-"), F.col("id")).alias("item"))
+    est = SK.kmv_estimate(SK.kmv_sketch(big, [], "item", k), [], k) \
+        .collect()[0]
+    # rse ~ 1/sqrt(k-2) ~ 8.9%; allow 4 sigma
+    assert abs(est["est_ndv"] - 20_000) < 4 * 20_000 * SK.kmv_std_error(k)
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    k = 64
+    a = spark.range(0, 3000).select(
+        F.concat(F.lit("x-"), F.col("id")).alias("item"))
+    b = spark.range(2000, 5000).select(
+        F.concat(F.lit("x-"), F.col("id")).alias("item"))
+    merged = SK.kmv_merge(
+        SK.kmv_sketch(a, [], "item", k).unionAll(
+            SK.kmv_sketch(b, [], "item", k)), [], k)
+    direct = SK.kmv_sketch(a.unionAll(b), [], "item", k)
+    assert sorted(r["h"] for r in merged.collect()) == \
+        sorted(r["h"] for r in direct.collect())
+
+
+def test_kmv_jaccard_tracks_exact_overlap(spark):
+    k = 256
+    # |A| = |B| = 4000, |A ∩ B| = 2000 -> J = 2000/6000 = 1/3
+    a = spark.range(0, 4000).select(
+        F.concat(F.lit("x-"), F.col("id")).alias("item"))
+    b = spark.range(2000, 6000).select(
+        F.concat(F.lit("x-"), F.col("id")).alias("item"))
+    j = SK.kmv_jaccard(SK.kmv_sketch(a, [], "item", k),
+                       SK.kmv_sketch(b, [], "item", k), k).collect()[0]
+    assert j["k_u"] == k
+    assert abs(j["est_jaccard"] - 1 / 3) < 0.12  # binomial(k, J) noise
+
+    # disjoint sets -> 0 exactly (no hash can be in both sketches)
+    c = spark.range(10_000, 14_000).select(
+        F.concat(F.lit("x-"), F.col("id")).alias("item"))
+    j0 = SK.kmv_jaccard(SK.kmv_sketch(a, [], "item", k),
+                        SK.kmv_sketch(c, [], "item", k), k).collect()[0]
+    assert j0["est_jaccard"] == 0.0
+
+
+def test_kmv_keyed_sketch_is_per_group(spark):
+    k = 32
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 4).cast("int").alias("grp"),
+        F.concat(F.lit("i-"), F.col("id")).alias("item"))
+    sk = SK.kmv_sketch(df, ["grp"], "item", k)
+    per = {r["grp"]: r["c"] for r in
+           sk.groupBy("grp").agg(F.count("*").alias("c")).collect()}
+    assert per == {0: k, 1: k, 2: k, 3: k}
+    est = SK.kmv_estimate(sk, ["grp"], k)
+    for r in est.collect():
+        assert abs(r["est_ndv"] - 500) < 4 * 500 * SK.kmv_std_error(k)
+
+
 def test_cms_keyed_sketch(spark):
     """Per-key sketches stay independent: estimates within a key group
     match that group's exact counts when w is collision-free."""
