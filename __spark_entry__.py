@@ -1800,6 +1800,25 @@ def _q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.staypoints(pts, STAY_D_MAX_M, STAY_MIN_DWELL_US)
 
 
+COLOC_D_M = 300_000                # continent-scale synthetic pings
+COLOC_T_US = 6 * 3_600_000_000     # 6 h
+
+
+def _q_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal co-location (geospark/colocate.py): user pairs
+    within 300 km AND 6 h of each other — encounter mining as ONE
+    (cell, time-bucket) hash equi-join instead of a quadratic range
+    self-join.  The left side explodes the latitude-aware d-disk cover
+    x two time replicas; every qualifying pair matches exactly one
+    join key, so no dedup pass.  The DuckDB oracle is the NAIVE range
+    join (a genuinely independent algorithm) — green certifies the
+    bucketed plan finds exactly the brute-force pair set."""
+    from geospark.colocate import colocate_pairs
+
+    pts = G.events_points(spark, sf_dir)
+    return colocate_pairs(pts, COLOC_D_M, COLOC_T_US)
+
+
 KMV_K = 128
 
 
@@ -2077,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_crawl_filter": _q_bloom_crawl_filter,
         "kmv_overlap": _q_kmv_overlap,
         "staypoints": _q_staypoints,
+        "colocate": _q_colocate,
         "s2_cell_agg": _q_s2_cell_agg,
         "s2_range_join": _q_s2_range_join,
         "s2_radius_query": _q_s2_radius_query,
@@ -2765,6 +2785,30 @@ def _staypoints_oracle() -> str:
                CAST(floor(slng / n_pts) AS BIGINT) AS c_lng7
         FROM g
         WHERE end_us - start_us >= {STAY_MIN_DWELL_US}
+    """
+
+
+def _colocate_oracle() -> str:
+    """Brute-force range-join twin of _q_colocate — no cells, no time
+    buckets: the independent algorithm that certifies the bucketed
+    plan's recall."""
+    hav = G.haversine_sql("l.lat", "l.lng", "r.lat", "r.lng")
+    return f"""
+        WITH pts AS ({G.EVENTS_POINTS_SQL}),
+        q AS (SELECT user_id AS u, event_id AS eid, epoch_us(ts) AS us,
+                     lat, lng
+              FROM pts)
+        SELECT least(l.u, r.u) AS user_lo,
+               greatest(l.u, r.u) AS user_hi,
+               count(*) AS n_encounters,
+               CAST(sum(CAST(floor({hav}) AS BIGINT)) AS BIGINT)
+                   AS sum_step_m
+        FROM q l JOIN q r
+          ON r.us >= l.us AND r.us <= l.us + {COLOC_T_US}
+        WHERE (l.us < r.us OR (l.us = r.us AND l.eid < r.eid))
+          AND l.u <> r.u
+          AND floor({hav}) <= {COLOC_D_M}
+        GROUP BY 1, 2
     """
 
 
@@ -3906,6 +3950,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_crawl_filter": _bloom_crawl_filter_oracle(),
         "kmv_overlap": _kmv_overlap_oracle(),
         "staypoints": _staypoints_oracle(),
+        "colocate": _colocate_oracle(),
         "hex_rollup": f"""
             WITH pts AS ({pts}),
             child AS (

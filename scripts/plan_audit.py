@@ -440,6 +440,42 @@ def main() -> None:
               "scales with probe volume beyond the per-item fold.",
     )
 
+    audit(
+        "kmv_overlap (k-minimum-values set overlap)",
+        q["kmv_overlap"](spark, sf_dir),
+        must=["TakeOrderedAndProject"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "Window"],
+        notes="un-keyed k-smallest plans as TakeOrderedAndProject "
+              "(per-partition heaps, driver merge of k rows) — no "
+              "single-partition window sort; the set algebra runs on "
+              "<= 3k-row relations.",
+    )
+
+    audit(
+        "staypoints (GPS stay segmentation)",
+        q["staypoints"](spark, sf_dir),
+        must=["Window"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="lag/cumsum windows, segment rollup and stay "
+              "re-numbering all cluster on user_id — "
+              "test_staypoints_single_exchange asserts exactly ONE "
+              "Exchange; all step/dwell/centroid math integer-exact "
+              "and codegen.",
+    )
+
+    audit(
+        "colocate (spatiotemporal co-location join)",
+        q["colocate"](spark, sf_dir),
+        must=["* HashAggregate"],
+        must_not=["BatchEvalPython", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"],
+        notes="the quadratic range self-join becomes ONE hash "
+              "equi-join on (cell, time-bucket) — left side explodes "
+              "the latitude-aware d-disk cover (the one Arrow UDF) x "
+              "2 time replicas; refine + per-pair rollup are codegen.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
