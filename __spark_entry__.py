@@ -1819,6 +1819,32 @@ def _q_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return colocate_pairs(pts, COLOC_D_M, COLOC_T_US)
 
 
+PR_EDGE_SALTS = [(1, 7919), (2, 104729), (3, 999983)]
+PR_ITERS = 5
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (graph.pagerank) over a deterministic
+    3-out-regular link graph on the event ids — crawl/link-authority
+    scoring whose fixed-point arithmetic (BIGINT floor divisions only)
+    makes every rank bit-reproducible in any engine: the DuckDB oracle
+    re-runs all 5 iterations as unrolled CTEs and must match every
+    rank EXACTLY, not approximately."""
+    from geospark.graph import pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("node"))
+    nn = ev.agg(F.count("*").alias("_n"))
+    edges = ev.crossJoin(F.broadcast(nn)).select(
+        F.col("node").alias("src"),
+        F.explode(F.array(*[
+            (F.col("node") * F.lit(p) + F.lit(j)) % F.col("_n")
+            for j, p in PR_EDGE_SALTS
+        ])).alias("dst"),
+    )
+    return pagerank(ev, edges, iters=PR_ITERS)
+
+
 KMV_K = 128
 
 
@@ -2097,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": _q_kmv_overlap,
         "staypoints": _q_staypoints,
         "colocate": _q_colocate,
+        "pagerank": _q_pagerank,
         "s2_cell_agg": _q_s2_cell_agg,
         "s2_range_join": _q_s2_range_join,
         "s2_radius_query": _q_s2_radius_query,
@@ -2810,6 +2837,36 @@ def _colocate_oracle() -> str:
           AND floor({hav}) <= {COLOC_D_M}
         GROUP BY 1, 2
     """
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB twin of _q_pagerank: the same 5 iterations unrolled as
+    CTEs — BIGINT floor division everywhere, so ranks match exactly."""
+    scale = 10 ** 15
+    n = "(SELECT n FROM nn)"
+    jp = ", ".join(f"({j}, {p})" for j, p in PR_EDGE_SALTS)
+    base = f"(({scale}::BIGINT * 15 // 100) // {n})"
+    sql = f"""
+        WITH nodes AS (SELECT event_id AS node FROM events),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        jp(j, p) AS (VALUES {jp}),
+        edges AS (SELECT node AS src, (node * p + j) % {n} AS dst
+                  FROM nodes CROSS JOIN jp),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        ed AS (SELECT e.src, e.dst, deg.d
+               FROM edges e JOIN deg USING (src)),
+        r0 AS (SELECT node, {scale}::BIGINT // {n} AS r FROM nodes)"""
+    for i in range(1, PR_ITERS + 1):
+        sql += f""",
+        c{i} AS (SELECT ed.dst AS node, sum(r{i - 1}.r // ed.d) AS s
+                 FROM ed JOIN r{i - 1} ON ed.src = r{i - 1}.node
+                 GROUP BY 1),
+        r{i} AS (SELECT nodes.node,
+                        CAST({base} + (85 * COALESCE(c{i}.s, 0)) // 100
+                             AS BIGINT) AS r
+                 FROM nodes LEFT JOIN c{i} USING (node))"""
+    sql += f"\n        SELECT node, r AS rank_i FROM r{PR_ITERS}"
+    return sql
 
 
 def _kmv_overlap_oracle() -> str:
@@ -3951,6 +4008,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_overlap": _kmv_overlap_oracle(),
         "staypoints": _staypoints_oracle(),
         "colocate": _colocate_oracle(),
+        "pagerank": _pagerank_oracle(),
         "hex_rollup": f"""
             WITH pts AS ({pts}),
             child AS (

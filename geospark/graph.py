@@ -139,3 +139,67 @@ def neardup_dedup(docs: DataFrame, pairs: DataFrame,
             "is_dup", (F.col("canonical_id") != F.col(id_col)).cast("int")
         )
     )
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
+             scale: int = 10 ** 15, damp_num: int = 85,
+             damp_den: int = 100, node: str = "node",
+             src: str = "src", dst: str = "dst",
+             use_spool: bool = True) -> DataFrame:
+    """Integer-exact PageRank — crawl/link-authority scoring whose
+    fixed-point arithmetic is engine-reproducible BY CONSTRUCTION:
+
+      r_0        = scale DIV N
+      contrib(e) = r(src) DIV out_deg(src)           (integer floor)
+      r_{i+1}(v) = (scale * (den-num) DIV den) DIV N
+                   + (num * sum contrib) DIV den
+
+    All operations are BIGINT floor divisions and sums, so there is no
+    float-summation-order hazard anywhere — a DuckDB oracle (or any
+    engine) reproduces every rank bit-for-bit.  Floor division leaks
+    <= 1 unit of mass per edge per iteration (a ~1e-10 relative
+    quantization at the default scale) — the documented price of
+    exactness; ordering is preserved to that quantization.
+
+    Contract: every node has >= 1 out-edge (rank of dangling mass is
+    not redistributed).  Plan per iteration: join ranks with the
+    degree-annotated edge relation on ``src`` (one shuffle), sum
+    contributions on ``dst`` (second shuffle), left-join back to the
+    node relation so rank-sinks keep their base rank.  This is the
+    standard distributed PageRank shape — E-row shuffles per
+    iteration, no driver data; ranks spool between iterations to keep
+    the plan shallow.
+
+    Returns (node, rank_i) with rank_i ~ scale * pagerank."""
+    base_lit = f"(CAST({scale} AS BIGINT) * {damp_den - damp_num} " \
+               f"DIV {damp_den})"
+    deg = edges.groupBy(src).agg(F.count("*").alias("_d"))
+    ed = edges.join(deg, src)
+    if use_spool:
+        ed = spool(ed.select(src, dst, "_d"), "pagerank_edges")
+    nn = nodes.agg(F.count("*").alias("_n"))
+    nb = nodes.crossJoin(F.broadcast(nn)).select(
+        node,
+        F.expr(f"CAST({scale} AS BIGINT) DIV _n").alias("_r0"),
+        F.expr(f"{base_lit} DIV _n").alias("_base"),
+    )
+    if use_spool:
+        nb = spool(nb, "pagerank_nodes")
+    r = nb.select(node, F.col("_r0").alias("rank_i"))
+    for i in range(iters):
+        contrib = (
+            r.join(ed, F.col(node) == F.col(src))
+            .select(F.col(dst).alias("_to"),
+                    F.expr("rank_i DIV _d").alias("_c"))
+            .groupBy("_to")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        r = nb.join(contrib, F.col(node) == F.col("_to"), "left").select(
+            node,
+            (F.col("_base")
+             + F.expr(f"{damp_num} * coalesce(_s, CAST(0 AS BIGINT)) "
+                      f"DIV {damp_den}")).alias("rank_i"),
+        )
+        if use_spool:
+            r = spool(r, f"pagerank_iter_{i}")
+    return r

@@ -476,6 +476,20 @@ def main() -> None:
               "2 time replicas; refine + per-pair rollup are codegen.",
     )
 
+    audit(
+        "pagerank (integer-exact link authority, 5 iterations)",
+        q["pagerank"](spark, sf_dir),
+        must=["* HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "CartesianProduct"],
+        notes="per iteration: rank x degree-annotated edges join on "
+              "src + contribution sum on dst + left-join back to "
+              "nodes — the standard distributed shape; BIGINT floor "
+              "divisions only, ranks spool between iterations (the "
+              "explain shows the LAST iteration over the spooled "
+              "prior ranks).",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
