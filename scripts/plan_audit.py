@@ -476,18 +476,37 @@ def main() -> None:
               "2 time replicas; refine + per-pair rollup are codegen.",
     )
 
+    def _pagerank_unspooled():
+        # the driver query spools ranks each iteration (eager), so its
+        # returned plan is just the final spool scan; audit the same
+        # operator with the spool off to see the iteration shape
+        from geospark.graph import pagerank
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.col("event_id").alias("node"))
+        nn = ev.agg(F.count("*").alias("_n"))
+        edges = ev.crossJoin(F.broadcast(nn)).select(
+            F.col("node").alias("src"),
+            F.explode(F.array(
+                (F.col("node") * 7919 + 1) % F.col("_n"),
+                (F.col("node") * 104729 + 2) % F.col("_n"),
+            )).alias("dst"),
+        )
+        return pagerank(ev, edges, iters=2, use_spool=False)
+
     audit(
-        "pagerank (integer-exact link authority, 5 iterations)",
-        q["pagerank"](spark, sf_dir),
+        "pagerank (integer-exact link authority)",
+        _pagerank_unspooled(),
         must=["* HashAggregate"],
         must_not=["BatchEvalPython", "ArrowEvalPython",
                   "CartesianProduct"],
         notes="per iteration: rank x degree-annotated edges join on "
               "src + contribution sum on dst + left-join back to "
               "nodes — the standard distributed shape; BIGINT floor "
-              "divisions only, ranks spool between iterations (the "
-              "explain shows the LAST iteration over the spooled "
-              "prior ranks).",
+              "divisions only. The driver query additionally spools "
+              "ranks between iterations to keep lineage shallow "
+              "(audited here with the spool off so the iteration "
+              "plan is visible).",
     )
 
     out = ["# PLANS — physical-plan audit (generated by "
