@@ -1819,6 +1819,17 @@ def _q_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return colocate_pairs(pts, COLOC_D_M, COLOC_T_US)
 
 
+def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user convex hull (geospark/hull.py): exact x1e7 fixed-point
+    monotone chain in one Arrow-batched grouped kernel — integer cross
+    products, no epsilon, canonical CCW order.  The oracle is a JARVIS
+    MARCH (goldens.convex_hull_jarvis) — a different algorithm that
+    must reproduce every vertex exactly."""
+    from geospark.hull import convex_hull
+
+    return convex_hull(G.events_points(spark, sf_dir))
+
+
 PR_EDGE_SALTS = [(1, 7919), (2, 104729), (3, 999983)]
 PR_ITERS = 5
 
@@ -2124,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staypoints": _q_staypoints,
         "colocate": _q_colocate,
         "pagerank": _q_pagerank,
+        "convex_hull": _q_convex_hull,
         "s2_cell_agg": _q_s2_cell_agg,
         "s2_range_join": _q_s2_range_join,
         "s2_radius_query": _q_s2_radius_query,
@@ -2837,6 +2849,21 @@ def _colocate_oracle() -> str:
           AND floor({hav}) <= {COLOC_D_M}
         GROUP BY 1, 2
     """
+
+
+def _convex_hull_oracle() -> str:
+    """Golden-VALUES twin of _q_convex_hull: Jarvis march per user
+    over the same DuckDB-derived trajectories."""
+    from geospark import goldens as GO
+
+    rows = []
+    for uid, line in _oracle_trajectories():
+        for i, la7, ln7 in GO.convex_hull_jarvis(line):
+            rows.append((uid, i, la7, ln7))
+    return _values_sql(rows, [
+        ("user_id", "BIGINT"), ("hull_idx", "BIGINT"),
+        ("h_lat7", "BIGINT"), ("h_lng7", "BIGINT"),
+    ])
 
 
 def _pagerank_oracle() -> str:
@@ -4009,6 +4036,7 @@ def oracle_sql() -> dict[str, str]:
         "staypoints": _staypoints_oracle(),
         "colocate": _colocate_oracle(),
         "pagerank": _pagerank_oracle(),
+        "convex_hull": _convex_hull_oracle(),
         "hex_rollup": f"""
             WITH pts AS ({pts}),
             child AS (

@@ -760,3 +760,51 @@ def map_match_segments(
             out.append((pid, best[1], best[2], best[0],
                         best[3][0], best[3][1]))
     return out
+
+
+def convex_hull_jarvis(
+    latlngs: list[tuple[float, float]],
+) -> list[tuple[int, int, int]]:
+    """Independent convex-hull twin for the driver oracle: a JARVIS
+    MARCH (gift wrapping) over the same x1e7 fixed-point quantization
+    as geospark.hull — a different algorithm that must land on the
+    identical canonical CCW vertex sequence (start = lexicographic
+    min (lng7, lat7); collinear interior points excluded by the
+    farthest-candidate rule).  Returns (hull_idx, lat7, lng7)."""
+    import math
+
+    q = sorted({
+        (int(math.floor(ln * 1e7 + 0.5)), int(math.floor(la * 1e7 + 0.5)))
+        for la, ln in latlngs
+    })
+    if len(q) == 1:
+        return [(0, q[0][1], q[0][0])]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) \
+            - (a[1] - o[1]) * (b[0] - o[0])
+
+    def d2(a, b):
+        return (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+
+    start = q[0]
+    hull = [start]
+    cur = start
+    while True:
+        cand = None
+        for p in q:
+            if p == cur:
+                continue
+            if cand is None:
+                cand = p
+                continue
+            c = cross(cur, cand, p)
+            if c < 0 or (c == 0 and d2(cur, p) > d2(cur, cand)):
+                cand = p
+        if cand == start:
+            break
+        hull.append(cand)
+        cur = cand
+        if len(hull) > len(q):  # safety: cannot happen on exact ints
+            raise RuntimeError("jarvis march failed to close")
+    return [(i, p[1], p[0]) for i, p in enumerate(hull)]

@@ -355,6 +355,44 @@ def main() -> None:
 
     run("weighted_sample_top10k", _wsample)
 
+    def _pagerank():
+        # 3-out-regular graph on n_points contiguous node ids: per
+        # iteration one 3n-row join + dst-sum + node left-join
+        from geospark.graph import pagerank
+
+        nodes = spark.range(n_points).select(F.col("id").alias("node"))
+        nn = nodes.agg(F.count("*").alias("_n"))
+        edges = nodes.crossJoin(F.broadcast(nn)).select(
+            F.col("node").alias("src"),
+            F.explode(F.array(*[
+                (F.col("node") * F.lit(p) + F.lit(j)) % F.col("_n")
+                for j, p in [(1, 7919), (2, 104729), (3, 999983)]
+            ])).alias("dst"),
+        )
+        return pagerank(nodes, edges, iters=3).count()
+
+    run("pagerank_3out_3iter", _pagerank)
+
+    def _colocate():
+        # city-skewed points + deterministic 30-day timestamps: the
+        # (cell, bucket) equi-join's pair volume is the scale driver
+        from geospark.colocate import colocate_pairs
+
+        ev = points.select(
+            F.col("point_id").alias("event_id"),
+            (F.col("point_id") % 100_000).alias("user_id"),
+            F.expr(
+                "timestamp_micros(pmod(xxhash64(point_id), "
+                "2592000000000))"
+            ).alias("ts"),
+            "lat", "lng",
+        )
+        return colocate_pairs(
+            ev, 500.0, 15 * 60 * 1_000_000
+        ).count()
+
+    run("colocate_500m_15min", _colocate)
+
     out = {"n_pages": n_pages, "n_points": n_points, "ops": results,
            "cpus": 32, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(out))
