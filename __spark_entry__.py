@@ -1819,6 +1819,56 @@ def _q_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return colocate_pairs(pts, COLOC_D_M, COLOC_T_US)
 
 
+def _demo_ring_rows() -> list[tuple]:
+    """The demo polygon layer's rings as a vertex relation — shared
+    verbatim by the Spark query and the oracle's VALUES twin."""
+    rows = []
+    for aid, spec in G.DEMO_RINGS.items():
+        for ri, ring in enumerate(spec["outers"]):
+            for vi, (la, ln) in enumerate(ring):
+                rows.append((aid, "outer", ri, vi, float(la), float(ln)))
+        k = 0
+        for inner_list in spec["inners"]:
+            for ring in inner_list:
+                for vi, (la, ln) in enumerate(ring):
+                    rows.append((aid, "inner", k, vi, float(la),
+                                 float(ln)))
+                k += 1
+    return rows
+
+
+def _q_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact signed ring areas (lines.ring_shoelace) over the demo
+    polygon layer: twice the shoelace area in (1e-5 deg)^2 units as an
+    exact BIGINT (quantized vertices, integer cross products — no
+    float summation), plus the winding sign.  ONE shuffle on the ring
+    key; the oracle runs the identical window algebra in DuckDB over
+    the same VALUES geometry."""
+    from geospark.lines import ring_shoelace
+
+    v = spark.createDataFrame(
+        _demo_ring_rows(),
+        "area_id long, ring_kind string, ring_idx long, vtx_idx long, "
+        "lat double, lng double",
+    )
+    return ring_shoelace(v, ["area_id", "ring_kind", "ring_idx"])
+
+
+FRECHET_REF = [(la, ln) for _i, la, ln in G.DEMO_CENTERS]
+
+
+def _q_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fréchet distance (lines.frechet_to_ref) of every
+    user's trajectory against the 4-city demo reference path — the
+    trajectory-similarity operator.  The distance matrix floors to
+    integer meters BEFORE the int64 max/min DP; the oracle twin
+    (goldens.frechet_to_ref_py) is a recursive-memo implementation of
+    the same coupling, so green means two algorithms agree exactly."""
+    from geospark.lines import frechet_to_ref
+
+    return frechet_to_ref(G.events_points(spark, sf_dir), FRECHET_REF)
+
+
 def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user convex hull (geospark/hull.py): exact x1e7 fixed-point
     monotone chain in one Arrow-batched grouped kernel — integer cross
@@ -2136,6 +2186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocate": _q_colocate,
         "pagerank": _q_pagerank,
         "convex_hull": _q_convex_hull,
+        "polygon_area": _q_polygon_area,
+        "frechet": _q_frechet,
         "s2_cell_agg": _q_s2_cell_agg,
         "s2_range_join": _q_s2_range_join,
         "s2_radius_query": _q_s2_radius_query,
@@ -2849,6 +2901,58 @@ def _colocate_oracle() -> str:
           AND floor({hav}) <= {COLOC_D_M}
         GROUP BY 1, 2
     """
+
+
+def _polygon_area_oracle() -> str:
+    """DuckDB twin of _q_polygon_area: same VALUES geometry, same
+    quantization, same wraparound window shoelace."""
+    vals = _values_sql(_demo_ring_rows(), [
+        ("area_id", "BIGINT"), ("ring_kind", "VARCHAR"),
+        ("ring_idx", "BIGINT"), ("vtx_idx", "BIGINT"),
+        ("lat", "DOUBLE"), ("lng", "DOUBLE"),
+    ])
+    return f"""
+        WITH v AS ({vals}),
+        q AS (
+            SELECT area_id, ring_kind, ring_idx, vtx_idx,
+                   CAST(floor(lng * 100000 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(lat * 100000 + 0.5) AS BIGINT) AS y
+            FROM v
+        ),
+        l AS (
+            SELECT *,
+                   COALESCE(lead(x) OVER w, first_value(x) OVER w)
+                       AS xn,
+                   COALESCE(lead(y) OVER w, first_value(y) OVER w)
+                       AS yn
+            FROM q
+            WINDOW w AS (PARTITION BY area_id, ring_kind, ring_idx
+                         ORDER BY vtx_idx)
+        )
+        SELECT area_id, ring_kind, ring_idx,
+               count(*) AS n_vtx,
+               CAST(sum(x * yn - xn * y) AS BIGINT) AS area2_q,
+               CAST(CASE WHEN sum(x * yn - xn * y) > 0 THEN 1
+                         WHEN sum(x * yn - xn * y) < 0 THEN -1
+                         ELSE 0 END AS INTEGER) AS winding
+        FROM l
+        GROUP BY 1, 2, 3
+    """
+
+
+def _frechet_oracle() -> str:
+    """Golden-VALUES twin of _q_frechet: recursive-memo coupling over
+    the same DuckDB-derived trajectories and reference path."""
+    from geospark import goldens as GO
+
+    rows = []
+    for uid, line in _oracle_trajectories():
+        n, fm = GO.frechet_to_ref_py(line, FRECHET_REF)
+        rows.append((uid, n, fm))
+    return _values_sql(rows, [
+        ("user_id", "BIGINT"), ("n_pts", "BIGINT"),
+        ("frechet_m", "BIGINT"),
+    ])
 
 
 def _convex_hull_oracle() -> str:
@@ -4037,6 +4141,8 @@ def oracle_sql() -> dict[str, str]:
         "colocate": _colocate_oracle(),
         "pagerank": _pagerank_oracle(),
         "convex_hull": _convex_hull_oracle(),
+        "polygon_area": _polygon_area_oracle(),
+        "frechet": _frechet_oracle(),
         "hex_rollup": f"""
             WITH pts AS ({pts}),
             child AS (

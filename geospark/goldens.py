@@ -808,3 +808,38 @@ def convex_hull_jarvis(
         if len(hull) > len(q):  # safety: cannot happen on exact ints
             raise RuntimeError("jarvis march failed to close")
     return [(i, p[1], p[0]) for i, p in enumerate(hull)]
+
+
+def frechet_to_ref_py(traj: list[tuple[float, float]],
+                      ref: list[tuple[float, float]]) -> tuple[int, int]:
+    """Independent discrete-Fréchet twin: recursive memoized coupling
+    (vs the engine's iterative DP), math.* haversine, the same
+    floored-integer-meter distance quantization.  Returns
+    (n_pts, frechet_m)."""
+    import sys
+
+    D = [[int(math.floor(_haversine(a[0], a[1], b[0], b[1])))
+          for b in ref] for a in traj]
+    memo: dict[tuple[int, int], int] = {}
+
+    def c(i: int, j: int) -> int:
+        if (i, j) in memo:
+            return memo[(i, j)]
+        if i == 0 and j == 0:
+            v = D[0][0]
+        elif i == 0:
+            v = max(c(0, j - 1), D[0][j])
+        elif j == 0:
+            v = max(c(i - 1, 0), D[i][0])
+        else:
+            v = max(D[i][j],
+                    min(c(i - 1, j), c(i, j - 1), c(i - 1, j - 1)))
+        memo[(i, j)] = v
+        return v
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, len(traj) + len(ref) + 100))
+    try:
+        return len(traj), c(len(traj) - 1, len(ref) - 1)
+    finally:
+        sys.setrecursionlimit(old)

@@ -483,3 +483,109 @@ def staypoints(points: DataFrame, d_max_m: int,
         F.floor(F.col("_slng") / F.col("n_pts")).cast("long")
         .alias("c_lng7"),
     )
+
+
+def ring_shoelace(vertices: DataFrame, keys: list[str],
+                  order: str = "vtx_idx", lat: str = "lat",
+                  lng: str = "lng", q: int = 100_000) -> DataFrame:
+    """Exact signed ring area (shoelace) as pure relational algebra:
+    per ring (one key group), twice the enclosed area in quantized
+    (1/q degree)^2 units — an exact BIGINT, because vertices quantize
+    to integers (floor(v*q + 0.5)) and every cross term
+    x_i*y_{i+1} - x_{i+1}*y_i stays within int64 at q = 1e5
+    (|x| <= 1.8e7 * 2, products <= ~3.3e14, row budget ~2.7e4 rings
+    of 1e3 vertices before the SUM could approach 2^63).  Positive =
+    counter-clockwise winding.
+
+    Plan: ONE shuffle on the ring key — the lead/first wraparound
+    window and the rollup share the partitioning.
+
+    Returns (keys..., n_vtx, area2_q, winding)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(order)
+    d = vertices.select(
+        *keys, order,
+        F.floor(F.col(lng) * q + F.lit(0.5)).cast("long").alias("_x"),
+        F.floor(F.col(lat) * q + F.lit(0.5)).cast("long").alias("_y"),
+    )
+    d = d.withColumns({
+        # wraparound edge: the last vertex pairs with the first
+        "_xn": F.coalesce(F.lead("_x").over(w), F.first("_x").over(w)),
+        "_yn": F.coalesce(F.lead("_y").over(w), F.first("_y").over(w)),
+    })
+    a2 = F.sum(F.col("_x") * F.col("_yn") - F.col("_xn") * F.col("_y"))
+    return d.groupBy(*keys).agg(
+        F.count("*").alias("n_vtx"),
+        a2.alias("area2_q"),
+    ).select(
+        *keys, "n_vtx", "area2_q",
+        F.when(F.col("area2_q") > 0, F.lit(1))
+        .when(F.col("area2_q") < 0, F.lit(-1))
+        .otherwise(F.lit(0)).alias("winding"),
+    )
+
+
+def frechet_to_ref(points: DataFrame, ref: list[tuple[float, float]],
+                   user: str = "user_id", ts: str = "ts",
+                   order_tiebreak: str = "event_id",
+                   lat: str = "lat", lng: str = "lng") -> DataFrame:
+    """Discrete Fréchet distance (Eiter & Mannila 1994) between each
+    user's (ts, id)-ordered trajectory and a fixed reference path —
+    the trajectory-similarity operator (route matching, anomaly
+    detection) the simplify/resample family doesn't cover.
+
+    Determinism spec: the point-pair distance matrix is FLOORED to
+    integer meters before the DP, so the max/min coupling recursion is
+    pure int64 — the oracle twin (goldens.frechet_to_ref_py, a
+    recursive-memo implementation vs this iterative one) reproduces
+    the result exactly; an engine trig ulp can only matter when a
+    distance lands within 1 ulp of an exact integer meter.
+
+    Plan: ONE shuffle on the user key into an Arrow-batched grouped
+    kernel, O(n_pts x len(ref)) ints per group.
+
+    Returns (user, n_pts, frechet_m)."""
+    import numpy as np
+    import pandas as pd
+
+    rla = np.radians(np.array([p[0] for p in ref], np.float64))
+    rln = np.radians(np.array([p[1] for p in ref], np.float64))
+    m = len(ref)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    d = points.select(
+        user, us.alias("_us"),
+        F.col(order_tiebreak).alias("_tb"),
+        F.col(lat).alias("_la"), F.col(lng).alias("_ln"),
+    )
+    ucol = user
+
+    def _k(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_us", "_tb"])
+        la = np.radians(pdf["_la"].to_numpy(np.float64))[:, None]
+        ln = np.radians(pdf["_ln"].to_numpy(np.float64))[:, None]
+        sd_la = np.sin((rla[None, :] - la) / 2.0)
+        sd_ln = np.sin((rln[None, :] - ln) / 2.0)
+        a = sd_la * sd_la + np.cos(la) * np.cos(rla[None, :]) \
+            * sd_ln * sd_ln
+        dist = 2.0 * 6371000.0 * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+        D = np.floor(dist).astype(np.int64)
+        n = D.shape[0]
+        dp = np.empty((n, m), np.int64)
+        dp[0, 0] = D[0, 0]
+        for j in range(1, m):
+            dp[0, j] = max(dp[0, j - 1], D[0, j])
+        for i in range(1, n):
+            dp[i, 0] = max(dp[i - 1, 0], D[i, 0])
+            row, prev = dp[i], dp[i - 1]
+            for j in range(1, m):
+                row[j] = max(D[i, j],
+                             min(prev[j], row[j - 1], prev[j - 1]))
+        return pd.DataFrame({
+            ucol: [pdf[ucol].iloc[0]],
+            "n_pts": np.array([n], np.int64),
+            "frechet_m": np.array([dp[n - 1, m - 1]], np.int64),
+        })
+
+    return d.groupBy(ucol).applyInPandas(
+        _k, f"{ucol} long, n_pts long, frechet_m long")
