@@ -28,12 +28,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _quant(v: np.ndarray) -> list[int]:
-    """x1e7 fixed-point: half-up toward +inf (floor(v*1e7 + 0.5)) —
-    the same formula the Jarvis twin uses."""
-    return [int(x) for x in np.floor(v * 1e7 + 0.5).astype(np.int64)]
-
-
 def _cross(o, a, b) -> int:
     return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
 
@@ -61,20 +55,56 @@ def monotone_chain(xy: list[tuple[int, int]]) -> list[tuple[int, int]]:
 def convex_hull(points: DataFrame, group: str = "user_id",
                 lat: str = "lat", lng: str = "lng") -> DataFrame:
     """(group, hull_idx, h_lat7, h_lng7): exact quantized hull
-    vertices per group in canonical CCW order."""
-    gcol, la, ln = group, lat, lng
+    vertices per group in canonical CCW order.
 
-    def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
-        xs = _quant(pdf[ln].to_numpy(np.float64))
-        ys = _quant(pdf[la].to_numpy(np.float64))
-        hull = monotone_chain(list(zip(xs, ys)))
-        return pd.DataFrame({
-            gcol: pdf[gcol].iloc[0],
-            "hull_idx": np.arange(len(hull), dtype=np.int64),
-            "h_lat7": np.array([p[1] for p in hull], np.int64),
-            "h_lng7": np.array([p[0] for p in hull], np.int64),
-        })
+    A LOSSLESS relational prefilter runs before the kernel: a strict
+    hull vertex is necessarily the min-y or max-y point of its x
+    column (a strictly-interior (x, y) lies on the segment between
+    that column's extremes and is popped as collinear), so
+    groupBy(group, x).min/max(y) shrinks each Python group to
+    <= 2 * distinct-x rows with an IDENTICAL hull — the Arrow kernel
+    sees extreme points only, and the heavy reduction happens in
+    codegen with map-side partial aggregation."""
+    gcol = group
+
+    d = points.select(
+        gcol,
+        F.floor(F.col(lng) * 1e7 + F.lit(0.5)).cast("long").alias("_x"),
+        F.floor(F.col(lat) * 1e7 + F.lit(0.5)).cast("long").alias("_y"),
+    )
+    ext = d.groupBy(gcol, "_x").agg(
+        F.min("_y").alias("_ylo"), F.max("_y").alias("_yhi"))
+    cand = ext.select(
+        gcol, "_x",
+        F.explode(F.array_distinct(F.array("_ylo", "_yhi"))).alias("_y"),
+    )
+
+    # bucket-batch the tiny per-group chains (cluster.py's CL-refine
+    # pattern): repartition colocates every group's rows, ONE Python
+    # call per partition runs all of its hulls — Arrow overhead is
+    # amortized to #partitions, not #groups (measured 3.5 s -> ~0.7 s
+    # at 1500 groups / sf0.1 vs per-group applyInPandas)
+    buckets = points.sparkSession.sparkContext.defaultParallelism
+    cand = cand.repartition(buckets, gcol)
+
+    def _hulls(it):
+        pdfs = [p for p in it]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out = []
+        for gid, gg in pdf.groupby(gcol, sort=False):
+            hull = monotone_chain(list(zip(
+                (int(v) for v in gg["_x"]),
+                (int(v) for v in gg["_y"]),
+            )))
+            out.append(pd.DataFrame({
+                gcol: gid,
+                "hull_idx": np.arange(len(hull), dtype=np.int64),
+                "h_lat7": np.array([p[1] for p in hull], np.int64),
+                "h_lng7": np.array([p[0] for p in hull], np.int64),
+            }))
+        yield pd.concat(out, ignore_index=True)
 
     schema = f"{gcol} long, hull_idx long, h_lat7 long, h_lng7 long"
-    return (points.select(gcol, la, ln)
-            .groupBy(gcol).applyInPandas(_hull, schema))
+    return cand.mapInPandas(_hulls, schema)
