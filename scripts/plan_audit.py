@@ -509,6 +509,27 @@ def main() -> None:
               "plan is visible).",
     )
 
+    audit(
+        "polygon_area (exact ring shoelace)",
+        q["polygon_area"](spark, sf_dir),
+        must=["Window", "* HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="wraparound lead/first window and the ring rollup share "
+              "the ring-key partitioning; integer cross products in "
+              "codegen — no Python, no float summation.",
+    )
+
+    audit(
+        "convex_hull (per-x extreme prefilter + bucket-batched chain)",
+        q["convex_hull"](spark, sf_dir),
+        must=["* HashAggregate"],
+        must_not=["BatchEvalPython", "FlatMapGroupsInPandas"],
+        notes="the LOSSLESS min/max-y-per-x reduction runs as a "
+              "codegen aggregate BEFORE Python; the chain kernel is "
+              "mapInPandas over group-colocated buckets (one Python "
+              "call per partition), not per-group applyInPandas.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
