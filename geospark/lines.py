@@ -571,20 +571,31 @@ def frechet_to_ref(points: DataFrame, ref: list[tuple[float, float]],
         dist = 2.0 * 6371000.0 * np.arcsin(np.minimum(1.0, np.sqrt(a)))
         D = np.floor(dist).astype(np.int64)
         n = D.shape[0]
-        dp = np.empty((n, m), np.int64)
-        dp[0, 0] = D[0, 0]
+        # the coupling DP is sequential in both axes; Python ints over
+        # lists beat numpy scalar indexing ~8x at the typical m<=50
+        Dl = D.tolist()
+        row = list(Dl[0])
         for j in range(1, m):
-            dp[0, j] = max(dp[0, j - 1], D[0, j])
+            if row[j - 1] > row[j]:
+                row[j] = row[j - 1]
         for i in range(1, n):
-            dp[i, 0] = max(dp[i - 1, 0], D[i, 0])
-            row, prev = dp[i], dp[i - 1]
+            di = Dl[i]
+            prev = row
+            v, p = di[0], prev[0]
+            left = p if p > v else v
+            row = [left] * m
             for j in range(1, m):
-                row[j] = max(D[i, j],
-                             min(prev[j], row[j - 1], prev[j - 1]))
+                pj, pj1 = prev[j], prev[j - 1]
+                t = pj if pj < pj1 else pj1
+                if left < t:
+                    t = left
+                v = di[j]
+                left = t if t > v else v
+                row[j] = left
         return pd.DataFrame({
             ucol: [pdf[ucol].iloc[0]],
             "n_pts": np.array([n], np.int64),
-            "frechet_m": np.array([dp[n - 1, m - 1]], np.int64),
+            "frechet_m": np.array([row[m - 1]], np.int64),
         })
 
     return d.groupBy(ucol).applyInPandas(

@@ -393,6 +393,55 @@ def main() -> None:
 
     run("colocate_500m_15min", _colocate)
 
+    def _traj_events():
+        # shared (user, ts) trajectory view: 100k users x ~120 pings,
+        # deterministic 30-day timestamps
+        return points.select(
+            F.col("point_id").alias("event_id"),
+            (F.col("point_id") % 100_000).alias("user_id"),
+            F.expr(
+                "timestamp_micros(pmod(xxhash64(point_id), "
+                "2592000000000))"
+            ).alias("ts"),
+            "lat", "lng",
+        )
+
+    def _staypoints():
+        from geospark.lines import staypoints
+
+        return staypoints(
+            _traj_events(), 2000, 10 * 60 * 1_000_000
+        ).count()
+
+    run("staypoints_2km_10min", _staypoints)
+
+    def _hull_area():
+        # hull -> ring_shoelace composition: 100k per-user hulls,
+        # then exact signed area of every hull ring
+        from geospark.hull import convex_hull
+        from geospark.lines import ring_shoelace
+
+        hull = convex_hull(points.select(
+            (F.col("point_id") % 100_000).alias("user_id"),
+            "lat", "lng"))
+        areas = ring_shoelace(
+            hull.select(
+                "user_id", F.col("hull_idx").alias("vtx_idx"),
+                (F.col("h_lat7") / 1e7).alias("lat"),
+                (F.col("h_lng7") / 1e7).alias("lng")),
+            ["user_id"], order="vtx_idx")
+        return areas.count()
+
+    run("convex_hull_area_100k_groups", _hull_area)
+
+    def _frechet():
+        from geospark.lines import frechet_to_ref
+
+        ref = [(50.0 + 0.02 * i, 8.0 + 0.03 * i) for i in range(40)]
+        return frechet_to_ref(_traj_events(), ref).count()
+
+    run("frechet_100k_users_ref40", _frechet)
+
     out = {"n_pages": n_pages, "n_points": n_points, "ops": results,
            "cpus": 32, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(out))
