@@ -1869,6 +1869,20 @@ def _q_frechet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frechet_to_ref(G.events_points(spark, sf_dir), FRECHET_REF)
 
 
+def _q_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric Hausdorff distance (lines.hausdorff_to_ref) of every
+    user's point set against the 4-city demo reference — the
+    order-insensitive similarity that complements frechet (a user who
+    visits the cities BACKWARD scores the same here but pays the full
+    path under frechet).  Pure relational plan: literal-array explode
+    + two partial-aggregatable min/max trees over floor-int meters, no
+    join and no Python; the oracle is an independent SQL derivation of
+    the same max-min semantics."""
+    from geospark.lines import hausdorff_to_ref
+
+    return hausdorff_to_ref(G.events_points(spark, sf_dir), FRECHET_REF)
+
+
 def _q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user convex hull (geospark/hull.py): exact x1e7 fixed-point
     monotone chain in one Arrow-batched grouped kernel — integer cross
@@ -2188,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": _q_convex_hull,
         "polygon_area": _q_polygon_area,
         "frechet": _q_frechet,
+        "hausdorff": _q_hausdorff,
         "s2_cell_agg": _q_s2_cell_agg,
         "s2_range_join": _q_s2_range_join,
         "s2_radius_query": _q_s2_radius_query,
@@ -2953,6 +2968,44 @@ def _frechet_oracle() -> str:
         ("user_id", "BIGINT"), ("n_pts", "BIGINT"),
         ("frechet_m", "BIGINT"),
     ])
+
+
+def _hausdorff_oracle() -> str:
+    """Independent SQL derivation of _q_hausdorff's max-min semantics:
+    the same floor-int haversine matrix, reduced by plain GROUP BYs in
+    DuckDB — not a golden echo of a Python twin."""
+    ref_vals = ", ".join(
+        f"({i}, {la!r}, {ln!r})" for i, (la, ln) in enumerate(FRECHET_REF))
+    hav = G.haversine_sql("lat", "lng", "rla", "rln")
+    return f"""
+        WITH pts AS ({G.EVENTS_POINTS_SQL}),
+        r(i, rla, rln) AS (VALUES {ref_vals}),
+        d AS (
+            SELECT user_id, event_id, i,
+                   CAST(floor({hav}) AS BIGINT) AS dm
+            FROM pts CROSS JOIN r
+        ),
+        fwd AS (
+            SELECT user_id, event_id, min(dm) AS near
+            FROM d GROUP BY user_id, event_id
+        ),
+        f2 AS (
+            SELECT user_id, count(*) AS n_pts,
+                   max(near) AS h_traj_ref_m
+            FROM fwd GROUP BY user_id
+        ),
+        bwd AS (
+            SELECT user_id, i, min(dm) AS near
+            FROM d GROUP BY user_id, i
+        ),
+        b2 AS (
+            SELECT user_id, max(near) AS h_ref_traj_m
+            FROM bwd GROUP BY user_id
+        )
+        SELECT f2.user_id, n_pts, h_traj_ref_m, h_ref_traj_m,
+               greatest(h_traj_ref_m, h_ref_traj_m) AS hausdorff_m
+        FROM f2 JOIN b2 USING (user_id)
+    """
 
 
 def _convex_hull_oracle() -> str:
@@ -4143,6 +4196,7 @@ def oracle_sql() -> dict[str, str]:
         "convex_hull": _convex_hull_oracle(),
         "polygon_area": _polygon_area_oracle(),
         "frechet": _frechet_oracle(),
+        "hausdorff": _hausdorff_oracle(),
         "hex_rollup": f"""
             WITH pts AS ({pts}),
             child AS (

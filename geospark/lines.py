@@ -600,3 +600,53 @@ def frechet_to_ref(points: DataFrame, ref: list[tuple[float, float]],
 
     return d.groupBy(ucol).applyInPandas(
         _k, f"{ucol} long, n_pts long, frechet_m long")
+
+
+def hausdorff_to_ref(points: DataFrame, ref: list[tuple[float, float]],
+                     user: str = "user_id", id_col: str = "event_id",
+                     lat: str = "lat", lng: str = "lng") -> DataFrame:
+    """Symmetric discrete Hausdorff distance between each user's point
+    set and a fixed reference path — the ORDER-INSENSITIVE
+    trajectory/footprint similarity complementing frechet_to_ref
+    (which pays for visiting order): h(A,B) = max_a min_b d(a, b),
+    hausdorff = max(h(traj, ref), h(ref, traj)).
+
+    Determinism spec: every pairwise distance floors to integer meters
+    (frechet's quantized-compare trick) before the min/max trees, so
+    the whole reduction is BIGINT and the DuckDB twin is
+    bit-identical; an engine trig ulp only matters when a distance
+    lands within 1 ulp of an exact integer meter.
+
+    Plan: NO join and NO Python — the m reference vertices explode
+    from an array literal (n x m narrow codegen rows), then two
+    partial-aggregatable reductions: groupBy(user, id) min combines
+    map-side to n rows before its exchange, groupBy(user, ref_idx)
+    min to <= users x m rows; each per-user max reuses its groupBy's
+    user-key clustering.  Shuffle volume is n + u*m however large m.
+
+    Returns (user, n_pts, h_traj_ref_m, h_ref_traj_m, hausdorff_m)."""
+    from .functions.kernels import distance
+
+    ref_arr = F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 F.lit(float(la)).alias("rla"),
+                 F.lit(float(ln)).alias("rln"))
+        for i, (la, ln) in enumerate(ref)
+    ])
+    d = points.select(
+        user, F.col(id_col).alias("_id"),
+        F.col(lat).alias("_la"), F.col(lng).alias("_ln"),
+    ).withColumn("_r", F.explode(ref_arr)).select(
+        user, "_id", F.col("_r.i").alias("_ri"),
+        F.floor(distance(F.col("_la"), F.col("_ln"),
+                         F.col("_r.rla"), F.col("_r.rln")))
+        .cast("long").alias("_dm"),
+    )
+    fwd = d.groupBy(user, "_id").agg(F.min("_dm").alias("_near")) \
+        .groupBy(user).agg(F.count("*").alias("n_pts"),
+                           F.max("_near").alias("h_traj_ref_m"))
+    bwd = d.groupBy(user, "_ri").agg(F.min("_dm").alias("_near")) \
+        .groupBy(user).agg(F.max("_near").alias("h_ref_traj_m"))
+    return fwd.join(bwd, user).select(
+        user, "n_pts", "h_traj_ref_m", "h_ref_traj_m",
+        F.greatest("h_traj_ref_m", "h_ref_traj_m").alias("hausdorff_m"))

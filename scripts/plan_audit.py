@@ -530,6 +530,19 @@ def main() -> None:
               "call per partition), not per-group applyInPandas.",
     )
 
+    audit(
+        "hausdorff (literal-ref explode + max-min trees)",
+        q["hausdorff"](spark, sf_dir),
+        must=["* HashAggregate", "Generate", "explode(["],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "CartesianProduct"],
+        notes="the m reference vertices explode from an array literal "
+              "— no join builds the n x m distance matrix; both "
+              "directed reductions are partial-aggregatable "
+              "HashAggregates (map-side combine shrinks n x m to n "
+              "and u x m before their exchanges).",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
