@@ -442,6 +442,17 @@ def main() -> None:
 
     run("frechet_100k_users_ref40", _frechet)
 
+    def _hausdorff():
+        # pure-relational sibling of frechet: n x 40 explode + two
+        # partial-aggregatable max-min trees, no Python — the 12M-row
+        # evidence that the map-side combine keeps shuffle at n + u*m
+        from geospark.lines import hausdorff_to_ref
+
+        ref = [(50.0 + 0.02 * i, 8.0 + 0.03 * i) for i in range(40)]
+        return hausdorff_to_ref(_traj_events(), ref).count()
+
+    run("hausdorff_100k_users_ref40", _hausdorff)
+
     out = {"n_pages": n_pages, "n_points": n_points, "ops": results,
            "cpus": 32, "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(out))
