@@ -46,28 +46,40 @@ def asof_join(left: DataFrame, right: DataFrame, by: str | list[str],
         right_cols = [c for c in right.columns
                       if c not in by_list and c != right_ts]
 
+    # working-column names must not shadow user columns (a left column
+    # literally named "_ts" would be silently overwritten and then
+    # re-selected into the output) — grow a prefix until it's free
+    p = "_asof"
+    taken = set(left.columns) | set(right.columns)
+    while any(c.startswith(p) for c in taken):
+        p += "_"
+    c_ts, c_k, c_isl, c_v, c_m = (
+        f"{p}ts", f"{p}k", f"{p}isl", f"{p}v", f"{p}m")
+
     # ties among right rows at one (by, ts): keep the max value struct
     # (deterministic; partial-aggregatable map-side)
-    r = right.groupBy(*by_list, F.col(right_ts).alias("_ts")).agg(
-        F.max(F.struct(*[F.col(c) for c in right_cols])).alias("_v")
+    r = right.groupBy(*by_list, F.col(right_ts).alias(c_ts)).agg(
+        F.max(F.struct(*[F.col(c) for c in right_cols])).alias(c_v)
     )
     # side ordering encodes the inclusive/strict boundary rule: the
     # right row at an equal timestamp must sort inside the left row's
     # window frame iff the match is inclusive
     kind_r = int(strict ^ (direction == "forward"))
-    r = r.withColumn("_k", F.lit(kind_r)).withColumn("_is_l", F.lit(False))
+    r = r.withColumn(c_k, F.lit(kind_r)).withColumn(c_isl, F.lit(False))
     l = (
-        left.withColumn("_ts", F.col(left_ts))
-        .withColumn("_k", F.lit(1 - kind_r))
-        .withColumn("_is_l", F.lit(True))
+        left.withColumn(c_ts, F.col(left_ts))
+        .withColumn(c_k, F.lit(1 - kind_r))
+        .withColumn(c_isl, F.lit(True))
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
-    w = Window.partitionBy(*by_list).orderBy("_ts", "_k")
+    w = Window.partitionBy(*by_list).orderBy(c_ts, c_k)
     # the probe struct is null on LEFT rows (ignorenulls then skips
-    # them), and carries (right ts, value struct) on right rows
-    probe = F.when(~F.col("_is_l"), F.struct(
-        F.col("_ts").alias("_rts"), F.col("_v")
+    # them), and carries (right ts, value struct) on right rows;
+    # struct FIELD names live inside c_m, so they cannot collide with
+    # user columns
+    probe = F.when(~F.col(c_isl), F.struct(
+        F.col(c_ts).alias("_rts"), F.col(c_v).alias("_v")
     ))
     if direction == "backward":
         frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -76,18 +88,18 @@ def asof_join(left: DataFrame, right: DataFrame, by: str | list[str],
         frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         matched = F.first(probe, ignorenulls=True).over(frame)
 
-    out = u.withColumn("_m", matched).filter(F.col("_is_l"))
+    out = u.withColumn(c_m, matched).filter(F.col(c_isl))
     if tolerance_s is not None:
         # unix_micros via a plain-timestamp cast: works for both
         # TIMESTAMP and TIMESTAMP_NTZ inputs (NTZ has no direct long cast)
         gap = F.abs(
-            F.unix_micros(F.col("_ts").cast("timestamp"))
-            - F.unix_micros(F.col("_m._rts").cast("timestamp"))
+            F.unix_micros(F.col(c_ts).cast("timestamp"))
+            - F.unix_micros(F.col(f"{c_m}._rts").cast("timestamp"))
         ) / 1_000_000.0
         out = out.withColumn(
-            "_m", F.when(gap <= F.lit(int(tolerance_s)), F.col("_m"))
+            c_m, F.when(gap <= F.lit(int(tolerance_s)), F.col(c_m))
         )
     sel = [F.col(c) for c in left.columns]
-    sel.append(F.col("_m._rts").alias(f"{right_ts}{suffix}"))
-    sel += [F.col(f"_m._v.{c}").alias(f"{c}{suffix}") for c in right_cols]
+    sel.append(F.col(f"{c_m}._rts").alias(f"{right_ts}{suffix}"))
+    sel += [F.col(f"{c_m}._v.{c}").alias(f"{c}{suffix}") for c in right_cols]
     return out.select(*sel)

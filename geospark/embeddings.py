@@ -286,9 +286,24 @@ def neardup_lsh_params(n_rows: int, threshold: float = 0.95,
         L = tables_for(k)
         if L > max_tables:
             # recall floor unreachable under the table cap — back off
-            # to the largest k the cap allows (caller sees the log)
+            # to the largest k the cap allows, and SAY SO: the
+            # returned config misses the recall floor and (since k-1
+            # already failed the budget test) may blow the candidate
+            # budget too
+            import warnings
+
             k = max(6, k - 1)
-            return k, min(tables_for(k), max_tables)
+            L = min(tables_for(k), max_tables)
+            exp_cand = L * pairs * _p_collide_unrelated(k, dim)
+            warnings.warn(
+                f"neardup_lsh_params: table cap {max_tables} cannot "
+                f"reach recall {target_recall} at threshold "
+                f"{threshold} (needs {tables_for(k + 1)} tables); "
+                f"returning (planes={k}, tables={L}) with expected "
+                f"~{exp_cand:.0f} unrelated candidates vs budget "
+                f"{target_candidates} — raise max_tables or lower "
+                f"target_recall", stacklevel=2)
+            return k, L
         if L * pairs * _p_collide_unrelated(k, dim) <= target_candidates:
             return k, L
     return 62, min(tables_for(62), max_tables)

@@ -609,7 +609,6 @@ def make_complete_linkage_clusters_batch(la: np.ndarray, ln: np.ndarray,
     )
     M = np.where(tri[None, :, :] & valid, D, lowest)
     clusters = np.broadcast_to(ii[None, :], (m, K)).astype(np.uint32).copy()
-    rows = np.arange(m)
     while True:
         qual = (M >= 0) & (M <= T) & tri[None, :, :]
         flat = qual.reshape(m, K * K)
@@ -633,7 +632,6 @@ def make_complete_linkage_clusters_batch(la: np.ndarray, ln: np.ndarray,
         M[a, bi, :] = lowest
         M[a, :, bi] = lowest
         M[a, bj, bj] = lowest
-    del rows
     return clusters
 
 

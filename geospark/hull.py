@@ -106,5 +106,6 @@ def convex_hull(points: DataFrame, group: str = "user_id",
             }))
         yield pd.concat(out, ignore_index=True)
 
-    schema = f"{gcol} long, hull_idx long, h_lat7 long, h_lng7 long"
+    gtype = cand.schema[gcol].dataType.simpleString()  # keep the key's real type
+    schema = f"{gcol} {gtype}, hull_idx long, h_lat7 long, h_lng7 long"
     return cand.mapInPandas(_hulls, schema)

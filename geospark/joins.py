@@ -316,6 +316,8 @@ def pip_join(points: DataFrame, layer: PolygonLayer,
             )
             for aid, area in areas.items()
         ]
+        if not preds:  # empty layer: no area can contain anything
+            return cand.filter(F.lit(False))
         return cand.filter(_balanced_reduce(preds, lambda a, b: a | b))
 
     @pandas_udf("boolean")

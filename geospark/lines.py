@@ -137,7 +137,11 @@ def apply_simplify_mask_udf(level: int):
     def _call(mask, line):
         c = F.col(line) if isinstance(line, str) else line
         idx = _keep_idx(mask if not isinstance(mask, str) else F.col(mask))
-        return F.transform(idx, lambda i: F.element_at(c, i + 1))
+        # a NULL line must stay NULL even when the (separately stored)
+        # mask is non-null — element_at(NULL, i) would otherwise build
+        # an array of null structs
+        return F.when(c.isNotNull(),
+                      F.transform(idx, lambda i: F.element_at(c, i + 1)))
 
     return _call
 
@@ -598,8 +602,9 @@ def frechet_to_ref(points: DataFrame, ref: list[tuple[float, float]],
             "frechet_m": np.array([row[m - 1]], np.int64),
         })
 
+    utype = d.schema[ucol].dataType.simpleString()  # keep the key's real type
     return d.groupBy(ucol).applyInPandas(
-        _k, f"{ucol} long, n_pts long, frechet_m long")
+        _k, f"{ucol} {utype}, n_pts long, frechet_m long")
 
 
 def hausdorff_to_ref(points: DataFrame, ref: list[tuple[float, float]],

@@ -132,6 +132,16 @@ def sessionize_stream(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000,
     after the last emitted session's cutoff — emitted prefixes are
     dropped, so state size tracks OPEN sessions, not history).
     Output: (user, session_start_us, session_end_us, n_events).
+
+    Idle keys flush too: a key whose events all arrived in earlier
+    micro-batches still finalizes once the watermark passes its open
+    session — each invocation arms an EventTimeTimeout at the earliest
+    instant the first buffered session could close (its end + gap),
+    and the timed-out invocation (empty pdf_iter) re-runs the same
+    emit logic against the advanced watermark. Under NoTimeout the
+    function would only ever run for keys present in the current
+    batch, silently stranding closed sessions of idle keys in state.
+    Keys with nothing left buffered drop their state entirely.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -146,11 +156,11 @@ def sessionize_stream(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000,
                   .astype("datetime64[us]").astype("int64"))
             buf.extend(int(t) for t in ts)
         buf.sort()
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
         # split into sessions; emit every session provably final
         out = []
         cur = [buf[0]] if buf else []
-        keep_from = 0
         done = 0  # events consumed by emitted sessions
         for i in range(1, len(buf)):
             if buf[i] - buf[i - 1] > gap_us:
@@ -164,8 +174,22 @@ def sessionize_stream(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000,
         if cur and cur[-1] + gap_us < wm_us:
             out.append((key[0], cur[0], cur[-1], len(cur)))
             done += len(cur)
-        keep_from = done
-        state.update((buf[keep_from:],))
+        rest = buf[done:]
+        if rest:
+            state.update((rest,))
+            # wake this key (even with no new data) when the FIRST
+            # remaining session could finalize: its current end + gap.
+            # Spark requires the timeout to sit above the watermark;
+            # firing early just re-checks and re-arms.
+            first_end = rest[0]
+            for j in range(1, len(rest)):
+                if rest[j] - rest[j - 1] > gap_us:
+                    break
+                first_end = rest[j]
+            state.setTimeoutTimestamp(
+                max((first_end + gap_us) // 1000 + 1, wm_ms + 1))
+        elif state.exists:
+            state.remove()
         if out:
             yield pd.DataFrame(
                 out, columns=["user", "session_start_us",
@@ -180,7 +204,7 @@ def sessionize_stream(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000,
                          "session_end_us long, n_events long"),
         stateStructType="buf array<long>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -106,3 +106,16 @@ def test_asof_single_shuffle_plan(spark):
     # one window over the union; no join operator at all
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_asof_user_columns_named_like_internals(spark):
+    """Working columns must not shadow user columns: a left column
+    literally named ``_ts`` (or ``_v``/``_k``) has to survive the join
+    unchanged — regression for the silent-overwrite bug."""
+    ldf = _mk(spark, [(1, _ts(10), 1, "keepme", 42)],
+              "user_id int, ts timestamp, lid long, _ts string, _v long")
+    rdf = _mk(spark, [(1, _ts(5), 7)], "user_id int, ts timestamp, rid long")
+    row = asof_join(ldf, rdf, by="user_id").collect()[0]
+    assert row["_ts"] == "keepme"
+    assert row["_v"] == 42
+    assert row["rid_r"] == 7 and row["ts_r"] == _ts(5)

@@ -133,3 +133,18 @@ def test_ring_shoelace_unit_square_windings(spark):
     assert out[1]["area2_q"] == 2 * q * q and out[1]["winding"] == 1
     assert out[2]["area2_q"] == -2 * q * q and out[2]["winding"] == -1
     assert out[1]["n_vtx"] == 4
+
+
+def test_frechet_string_user_key(spark):
+    """frechet_to_ref must preserve a non-long user key's type in the
+    grouped-map schema (regression for the hardcoded `long`)."""
+    ref = [(0.0, 0.0), (0.0, 1.0)]
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("dev-x", 1, t0, 0.0, 0.0), ("dev-x", 2, t0, 0.0, 1.0)],
+        "user_id string, event_id long, ts timestamp, "
+        "lat double, lng double")
+    out = frechet_to_ref(df, ref).collect()
+    assert len(out) == 1
+    assert out[0]["user_id"] == "dev-x"
+    assert out[0]["frechet_m"] == 0

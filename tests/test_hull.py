@@ -60,3 +60,19 @@ def test_convex_hull_spark_matches_twin(spark):
     for u in range(20):
         pts = [(la, ln) for uu, la, ln in rows if uu == u]
         assert sorted(got[u]) == convex_hull_jarvis(pts), u
+
+
+def test_convex_hull_string_group_key(spark):
+    """The grouped-kernel schema must carry the group column's REAL
+    type — a string key used to crash on the hardcoded `long`."""
+    rows = [("site-a", 0.0, 0.0), ("site-a", 0.0, 1.0),
+            ("site-a", 1.0, 0.0), ("site-b", 5.0, 5.0)]
+    df = spark.createDataFrame(rows, "site string, lat double, lng double")
+    got = {}
+    for r in convex_hull(df, group="site").collect():
+        got.setdefault(r["site"], []).append(
+            (r["hull_idx"], r["h_lat7"], r["h_lng7"]))
+    assert sorted(got) == ["site-a", "site-b"]
+    assert sorted(got["site-a"]) == convex_hull_jarvis(
+        [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0)])
+    assert sorted(got["site-b"]) == convex_hull_jarvis([(5.0, 5.0)])

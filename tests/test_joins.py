@@ -474,3 +474,12 @@ def test_knn_durable_spool_backend(spark, tmp_path):
         spark.conf.set("spark.geospark.spool", "local")
     assert durable == base
     assert len(base) == 10
+
+
+def test_pip_join_empty_layer(spark):
+    """An empty polygon layer is a valid degenerate input: zero output
+    rows, not an IndexError at plan-build time."""
+    df = spark.createDataFrame([(1, 10.0, 10.0)],
+                               "point_id long, lat double, lng double")
+    out = pip_join(df, PolygonLayer([], cover_zoom=6))
+    assert out.count() == 0

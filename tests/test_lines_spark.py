@@ -266,3 +266,20 @@ def test_resample_matches_python_twin(spark):
     # start tick exists and equals the first point exactly
     assert got[(1, 0)] == (0.0, 0.0)
     assert (2, 0) not in got  # single point -> no segments -> no ticks
+
+
+def test_apply_mask_null_line_stays_null(spark):
+    """A NULL line with a NON-null mask (mask stored separately and
+    re-joined) must yield NULL, not an array of null structs —
+    regression for the JVM transform/element_at reassembly."""
+    base = _line_df(spark)
+    df = base.withColumn(
+        "m", L.make_simplify_mask_udf()(F.col("line"))
+    ).withColumn("line", F.lit(None).cast(base.schema["line"].dataType))
+    out = df.select(
+        L.apply_simplify_mask_udf(0)(F.col("m"), F.col("line")).alias("s"),
+        F.size(L.apply_simplify_mask_udf(0)(F.col("m"), F.col("line")))
+        .alias("n"))
+    row = out.collect()[0]
+    assert row["s"] is None
+    assert row["n"] is None  # size(NULL), not a count of null structs

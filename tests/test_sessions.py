@@ -130,7 +130,12 @@ def test_sessionize_stream_watermark_exact(spark):
     3 parquet drops arrive as 3 micro-batches (maxFilesPerTrigger=1),
     keys span batches, and the union of emitted rows equals the batch
     twin (sessions.sessionize) restricted to sessions the final
-    watermark closed. Open sessions stay in state, not in output."""
+    watermark closed. Open sessions stay in state, not in output.
+
+    Includes the IDLE-KEY regression: user 4's only event arrives in
+    batch 0 and the key never appears again — its session must still
+    flush via the EventTimeTimeout once the watermark passes end+gap
+    (under NoTimeout it would strand in state forever)."""
     import glob
     import os
     import shutil
@@ -145,7 +150,7 @@ def test_sessionize_stream_watermark_exact(spark):
         # session closes once batch 2's watermark passes it
         gap_us = 10 * 60 * 1_000_000
         batches = [
-            [(1, 0), (1, 5), (2, 0)],          # t in minutes
+            [(1, 0), (1, 5), (2, 0), (4, 1)],  # t in minutes; u4 never again
             [(1, 12), (2, 100), (3, 40)],      # u1: 12-5=7 < 10 -> same session
             [(1, 200), (2, 210), (3, 220)],    # wm jumps to 100 then 200+
         ]
@@ -205,18 +210,25 @@ def test_sessionize_stream_watermark_exact(spark):
         base = int(datetime.datetime(
             2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
         m = 60 * 1_000_000
-        # the watermark lags one batch (batch 3 processes under
-        # wm = max event time through batch 2 = t=100min), so exactly
-        # the sessions with end + gap < 100min can finalize; u2's
-        # t=100 singleton (end+gap = 110) stays open in state
+        # the stream ends with a no-data micro-batch that fires armed
+        # EventTimeTimeouts under the FINAL watermark (max event time
+        # = 220min), so exactly the sessions with end + gap < 220min
+        # finalize — including u4's idle-key singleton (end+gap=11min,
+        # flushed by timeout during batch 3 with no u4 rows) and u1's
+        # t=200 / u2's t=100 singletons (closed only by the terminal
+        # no-data batch). u2's t=210 and u3's t=220 stay open
+        # (end+gap = 220/230 are not < 220).
         must_emit = {
             (1, base + 0 * m, base + 12 * m, 3),
+            (1, base + 200 * m, base + 200 * m, 1),
             (2, base + 0 * m, base + 0 * m, 1),
+            (2, base + 100 * m, base + 100 * m, 1),
             (3, base + 40 * m, base + 40 * m, 1),
+            (4, base + 1 * m, base + 1 * m, 1),
         }
         assert got == must_emit, got ^ must_emit
-        # the final-batch sessions (t ~ 200+) cannot be watermark-final
+        # every emission is watermark-final: end + gap < final wm
         for u, s, e, n in got:
-            assert e < base + 200 * m, (u, s, e, n)
+            assert e + gap_us < base + 220 * m, (u, s, e, n)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
