@@ -10,6 +10,7 @@ arithmetic so both engines see bit-identical doubles.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import sys
@@ -369,14 +370,13 @@ def _q_seg_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_polyline_length(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1 via the engine's array-expression length operator: build the
-    per-user trajectory (deterministic (ts, event_id) order), then
-    aggregate-fold haversine segments JVM-side."""
-    from geospark import lines as L
-
-    pts = G.events_points(spark, sf_dir)
-    traj = (
+def _user_lines(pts: DataFrame) -> DataFrame:
+    """(user_id, line) — each user's trajectory as an array<struct
+    lat,lng> ordered by the engine-wide (ts, event_id) sort contract.
+    SINGLE source of truth for the ordering: _oracle_trajectories()
+    and every polyline query derive from this exact key, so a change
+    here must land in goldens too (they assert parity)."""
+    return (
         pts.groupBy("user_id")
         .agg(
             F.array_sort(
@@ -386,7 +386,17 @@ def _q_polyline_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "line", F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))")
         )
+        .drop("seq")
     )
+
+
+def _q_polyline_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 via the engine's array-expression length operator: build the
+    per-user trajectory (deterministic (ts, event_id) order), then
+    aggregate-fold haversine segments JVM-side."""
+    from geospark import lines as L
+
+    traj = _user_lines(G.events_points(spark, sf_dir))
     return traj.select(
         "user_id",
         F.size("line").alias("n_points"),
@@ -426,20 +436,11 @@ def _q_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simplify_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: 21-level DP masks over per-user trajectories."""
+    """Golden-VALUES oracle: 21-level DP masks over per-user trajectories."""
     from geospark import lines as L
 
-    pts = G.events_points(spark, sf_dir)
     traj = (
-        pts.groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "lat", "lng"))
-            ).alias("seq")
-        )
-        .withColumn(
-            "line", F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))")
-        )
+        _user_lines(G.events_points(spark, sf_dir))
         .filter(F.size("line") >= 2)
         .repartition(spark.sparkContext.defaultParallelism)  # fan out the DP UDF
         .withColumn("mask", L.make_simplify_mask_udf()(F.col("line")))
@@ -456,20 +457,11 @@ def _q_simplify_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_polyline_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: Google polyline encode/decode roundtrip stats."""
+    """Golden-VALUES oracle: Google polyline encode/decode roundtrip stats."""
     from geospark import lines as L
 
-    pts = G.events_points(spark, sf_dir)
     traj = (
-        pts.groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "lat", "lng"))
-            ).alias("seq")
-        )
-        .withColumn(
-            "line", F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))")
-        )
+        _user_lines(G.events_points(spark, sf_dir))
         .repartition(spark.sparkContext.defaultParallelism)  # fan out the codec UDF
         .withColumn("enc", L.encode_polyline_udf(5)(F.col("line")))
         .withColumn("dec", L.decode_polyline_udf(5)(F.col("enc")))
@@ -488,7 +480,7 @@ def _q_polyline_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: two-stage geo clustering (C1), 5 km threshold.
+    """Golden-VALUES oracle: two-stage geo clustering (C1), 5 km threshold.
     The event lattice is percolation-supercritical above ~12 km (avg
     degree 4 at 25 km) — a giant component whose complete-linkage
     refinement is quadratic in the reference too; 5 km keeps the SL
@@ -540,7 +532,7 @@ def _q_doc_dedup_exact(spark, sf_dir):
 
 
 def _q_doc_incremental_dedup(spark, sf_dir):
-    """Incremental corpus ingest: docs with doc_id % 3 == 0 play the
+    """Incremental corpus ingest: docs with doc_id < 200 play the
     EXISTING training set (their content hashes are the 'seen'
     relation); the rest are the new crawl, kept only if their text
     bytes are unseen — textops.incremental_dedup's LEFT ANTI on the
@@ -1323,16 +1315,7 @@ def _q_tile_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") % 4 == 0
     )
     traj = (
-        pts.groupBy("user_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("ts", "event_id", "lat", "lng"))
-            ).alias("seq")
-        )
-        .withColumn(
-            "line",
-            F.expr("transform(seq, p -> struct(p.lat AS lat, p.lng AS lng))"),
-        )
+        _user_lines(pts)
         .filter(F.size("line") >= 2)
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("mask", L.make_simplify_mask_udf()(F.col("line")))
@@ -2046,7 +2029,7 @@ def _q_s2_radius_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: Structured Streaming ingest — synthetic pages spool
+    """Golden-VALUES oracle: Structured Streaming ingest — synthetic pages spool
     -> watermarked windowed tile aggregation (availableNow trigger) —
     returned as the materialized batch result. Equality with the batch
     plan is asserted in tests/test_runtime.py."""
@@ -2076,7 +2059,11 @@ def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = run_to_memory(agg, "geospark_stream_tiles", ckpt)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_tiles: stream did not "
+                               "terminate within 300s — refusing to "
+                               "return a partial aggregate")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(
@@ -2159,7 +2146,11 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_dedup: stream did not "
+                               "terminate within 300s — refusing to "
+                               "return a partial result")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(
@@ -2325,6 +2316,7 @@ def _oracle_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+@functools.lru_cache(maxsize=1)
 def _oracle_trajectories() -> list[tuple[int, list[tuple[float, float]]]]:
     """Per-user trajectories at the oracle SF, ordered by (ts,
     event_id) — the same derivation every polyline query uses, computed
@@ -2378,9 +2370,22 @@ def _oracle_event_users() -> dict[int, int]:
     return dict(zip(pdf["event_id"].astype(int), pdf["user_id"].astype(int)))
 
 
+def _sql_lit(v) -> str:
+    """SQL literal: strings escape by doubling single quotes (repr()
+    would emit a double-quoted form DuckDB parses as an identifier
+    whenever the value itself contains a quote)."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if v is None:
+        return "NULL"
+    return repr(v)
+
+
 def _values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
     """Embedded-VALUES relation with explicit column types."""
-    body = ", ".join("(" + ", ".join(repr(v) for v in r) + ")" for r in rows)
+    body = ", ".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
     names = ", ".join(n for n, _ in cols)
     casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
     return f"SELECT {casts} FROM (VALUES {body}) AS t({names})"
@@ -4288,10 +4293,12 @@ def oracle_sql() -> dict[str, str]:
             seg AS (
                 SELECT event_id,
                        lat AS f_lat, lng AS f_lng,
-                       lat + ((event_id * 131) % 800) / 100000.0 - 0.004
+                       -- parens match the engine's association
+                       -- (lat + (d - 0.004)), bit-identical doubles
+                       lat + (((event_id * 131) % 800) / 100000.0 - 0.004)
                            AS t_lat,
-                       greatest(lng + ((event_id * 137) % 800) / 100000.0
-                                    - 0.004, -180.0) AS t_lng
+                       greatest(lng + (((event_id * 137) % 800) / 100000.0
+                                       - 0.004), -180.0) AS t_lng
                 FROM pts
             ),
             sb AS (

@@ -109,12 +109,15 @@ def main() -> None:
     from geospark.graph import neardup_dedup
     from geospark.spool import spool as _spool
 
-    pairs = _spool(
-        T.minhash_neardup_pairs(docs, threshold=0.5)
-        .select("doc_id_a", "doc_id_b"),
-        "stress_pairs",
-    )
-    n_pairs = pairs.count()
+    if not only or "cc_keep_one_dedup" in only:
+        pairs = _spool(
+            T.minhash_neardup_pairs(docs, threshold=0.5)
+            .select("doc_id_a", "doc_id_b"),
+            "stress_pairs",
+        )
+        n_pairs = pairs.count()
+    else:
+        pairs = n_pairs = None  # STRESS_ONLY skipped the expensive spool
 
     def _cc():
         dd = neardup_dedup(docs, pairs)

@@ -1,12 +1,13 @@
 """Scaling-efficiency evidence for the north rule: run the identical
 flagship pipeline on the identical input at two parallelism levels
-(local[8] = N, local[32] = 4N — the sandbox stand-in for N vs 4N
-executors) and report throughput at both plus efficiency
+(default local[4] = N, local[16] = 4N — the sandbox stand-in for N
+vs 4N executors; pass a second arg to change N, e.g. 8 for
+local[8]/local[32]) and report throughput at both plus efficiency
 (T_4N / T_N) / 4. Results are appended to BENCH.md.
 
 Each config runs in its own subprocess (one JVM per master setting).
 
-Usage: python scripts/scaling_bench.py [n_pages]
+Usage: python scripts/scaling_bench.py [n_pages] [n_base_cores]
 """
 
 from __future__ import annotations

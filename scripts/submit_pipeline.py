@@ -5,9 +5,8 @@ scripts/submit_pipeline.py --pages <table> --out <root>`).
 Stages (each committed as a snapshot; rerun resumes after the last
 committed stage):
   extract  pages -> points (Arrow-batched mention extraction)
-  cells    points + quadkey cell + tile keys
   pip      PIP join against the configured polygon layer
-  tiles    per-(area, tile) aggregation
+  tiles    tile-key assignment + per-(area, tile) aggregation
 
 On a cluster: package the lib with
   zip -r geospark.zip geospark/
