@@ -555,6 +555,8 @@ def frechet_to_ref(points: DataFrame, ref: list[tuple[float, float]],
 
     rla = np.radians(np.array([p[0] for p in ref], np.float64))
     rln = np.radians(np.array([p[1] for p in ref], np.float64))
+    if not ref:
+        raise ValueError("frechet_to_ref: ref path must be non-empty")
     m = len(ref)
     us = F.unix_micros(F.col(ts).cast("timestamp"))
     d = points.select(
@@ -631,6 +633,9 @@ def hausdorff_to_ref(points: DataFrame, ref: list[tuple[float, float]],
 
     Returns (user, n_pts, h_traj_ref_m, h_ref_traj_m, hausdorff_m)."""
     from .functions.kernels import distance
+
+    if not ref:
+        raise ValueError("hausdorff_to_ref: ref path must be non-empty")
 
     ref_arr = F.array(*[
         F.struct(F.lit(i).alias("i"),
