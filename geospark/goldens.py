@@ -194,6 +194,9 @@ def encode_polyline_nonzero(latlngs: list[tuple[float, float]],
     prev_lat = prev_lng = 0
     kept = 0
     for la, ln in latlngs:
+        # builtin round() on purpose: G2 quantizes with llrint
+        # (ties-to-even, polyline_format.h:41-58), UNLIKE the G1
+        # encoder above which uses llround (half away from zero)
         ilat, ilng = round(la * k), round(ln * k)
         dlat, dlng = ilat - prev_lat, ilng - prev_lng
         if abs(dlat) > simplification or abs(dlng) > simplification:
