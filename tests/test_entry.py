@@ -108,3 +108,20 @@ def test_encode_polyline_nonzero_g2():
     enc3, kept3 = nk.encode_polyline_nonzero([0.000005], [0.0], 5, 0)
     assert kept3 == 0  # rint(0.5) == 0 -> both diffs zero -> skipped
     assert nk.encode_polyline([0.000005], [0.0], 5) != ""
+
+
+def test_nonzero_codec_golden_engine_tie_parity():
+    """The GOLDEN twin must reproduce the engine's llrint (ties-to-
+    even) quantization on exact .5-unit ties — the one input where
+    llrint and llround (the G1 rule) diverge."""
+    from geospark import goldens as GO
+    from geospark.functions import numpy_kernels as nk
+
+    pts = [(0.000005, 0.0), (0.000015, 0.0), (0.000025, 0.0)]
+    g_enc, g_kept = GO.encode_polyline_nonzero(pts, precision=5,
+                                               simplification=0)
+    e_enc, e_kept = nk.encode_polyline_nonzero(
+        [p[0] for p in pts], [p[1] for p in pts], 5, 0)
+    assert (g_enc, g_kept) == (e_enc, e_kept)
+    # ties-to-even: 0.5->0, 1.5->2, 2.5->2 (llround would give 1,2,3)
+    assert g_kept == 1
