@@ -28,14 +28,22 @@ POINTS_SCHEMA = "url string, point_id long, lat double, lng double"
 _COORD_RE = re.compile(r"coord: (-?\d+\.\d{6}), (-?\d+\.\d{6})")
 
 
-def extract_points(pages: DataFrame) -> DataFrame:
-    """points(url, point_id, lat, lng); point_id is the 0-based mention
-    index within the page (deterministic given the text bytes)."""
+def extract_points(pages: DataFrame,
+                   carry_cols: list[str] | None = None) -> DataFrame:
+    """points(url, *carry_cols, point_id, lat, lng); point_id is the
+    0-based mention index within the page (deterministic given the
+    text bytes). ``carry_cols`` are passed through per mention (Arrow
+    take on the match's row index — e.g. ``["warc_ts"]`` keeps the
+    event-time column for streaming windows); batch and streaming
+    extraction share this ONE kernel."""
+    carry = list(carry_cols or [])
+    schema = "url string, " + "".join(
+        f"{c} {pages.schema[c].dataType.simpleString()}, " for c in carry
+    ) + "point_id long, lat double, lng double"
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             tbl = pa.Table.from_batches([b])
-            urls = tbl.column("url").to_pylist()
             texts = tbl.column("text").to_pylist()
             # batch-vectorized matching: one regex pass over the
             # concatenated batch (rows separated by \x00, which never
@@ -57,7 +65,6 @@ def extract_points(pages: DataFrame) -> DataFrame:
                                       side="right") - 1
             # point_id = 0-based mention index within each row (matches
             # are emitted in document order)
-            out_url = [urls[i] for i in row_idx]
             pid = np.zeros(len(row_idx), dtype=np.int64)
             if len(row_idx):
                 new_row = np.ones(len(row_idx), dtype=bool)
@@ -66,14 +73,16 @@ def extract_points(pages: DataFrame) -> DataFrame:
                 seq = np.arange(len(row_idx), dtype=np.int64)
                 pid = seq - np.repeat(seq[run_starts], np.diff(
                     np.append(run_starts, len(row_idx))))
+            idx = pa.array(row_idx, pa.int64())
+            cols = [tbl.column("url").take(idx).combine_chunks()]
+            cols += [tbl.column(c).take(idx).combine_chunks()
+                     for c in carry]
+            cols += [
+                pa.array(pid, pa.int64()),
+                pa.array(np.asarray(lats, np.float64), pa.float64()),
+                pa.array(np.asarray(lngs, np.float64), pa.float64()),
+            ]
             yield pa.record_batch(
-                [
-                    pa.array(out_url, pa.string()),
-                    pa.array(pid, pa.int64()),
-                    pa.array(np.asarray(lats, np.float64), pa.float64()),
-                    pa.array(np.asarray(lngs, np.float64), pa.float64()),
-                ],
-                names=["url", "point_id", "lat", "lng"],
-            )
+                cols, names=["url", *carry, "point_id", "lat", "lng"])
 
-    return pages.select("url", "text").mapInArrow(run, POINTS_SCHEMA)
+    return pages.select("url", *carry, "text").mapInArrow(run, schema)

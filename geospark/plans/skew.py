@@ -68,7 +68,20 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     """Equi-join on ``key`` with hot keys salted on both sides.
     Plan: one frequency agg (cheap, map-side partial), then the join
     shuffles on (key, salt) — the hot key's rows land in n_salt
-    partitions instead of one."""
+    partitions instead of one.
+
+    Only fact-preserving join types are legal: the dim side is
+    replicated n_salt-fold, so right/full-outer would null-extend the
+    replicas whose salt value no fact row hashed to — phantom rows the
+    unsalted join doesn't produce."""
+    safe = {"inner", "left", "leftouter", "left_outer", "semi",
+            "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+            "cross"}
+    if how.lower().replace("_", "") not in {s.replace("_", "") for s in safe}:
+        raise ValueError(
+            f"salted_join: how={how!r} is not fact-preserving — the "
+            f"exploded dim replicas would emit phantom null-extended "
+            f"rows; salt the other side or use an unsalted join")
     hot = hot_keys(fact, key, threshold_ratio)
     if not hot:
         return fact.join(dim, key, how)

@@ -48,7 +48,12 @@ class SnapshotTable:
         d = f"{self.path}/_snapshots"
         out = []
         for f_ in sorted(os.listdir(d)):
-            if f_.endswith(".json"):
+            # '.tmp-*.json' is an in-flight (possibly truncated) commit
+            # — a crash before os.rename must leave it invisible, or a
+            # half-written file bricks every later read and a complete
+            # one counts as committed without ever entering a parent
+            # chain
+            if f_.endswith(".json") and not f_.startswith("."):
                 with open(f"{d}/{f_}") as fh:
                     out.append(json.load(fh))
         return out
@@ -72,8 +77,14 @@ class SnapshotTable:
         snap_id = uuid.uuid4().hex[:16]
         data_dir = f"{self.path}/data/snap-{snap_id}"
         t0 = time.time()
-        df.write.mode("overwrite").parquet(data_dir)
-        rows = self.spark.read.parquet(data_dir).count()
+        # row count rides the write job itself (Observation) — no
+        # second read-back scan of what was just written
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite").parquet(data_dir)
+        rows = int(obs.get["rows"])
         parent = self.current()
         dirs = [data_dir]
         total_rows = rows
@@ -104,6 +115,29 @@ class SnapshotTable:
         if m is None:
             raise FileNotFoundError(f"no committed snapshot in {self.path}")
         return self.spark.read.parquet(*m["data_dirs"])
+
+    def expire(self, keep_last: int = 1) -> int:
+        """Iceberg-style expire_snapshots: delete data dirs referenced
+        ONLY by manifests older than the last ``keep_last`` snapshots.
+        Manifests stay (commit/replay markers and the seq chain remain
+        intact); time-travel to an expired snapshot raises on read —
+        the documented cost of reclaiming space. Returns the number of
+        data dirs removed."""
+        import shutil
+
+        ms = self._manifests()
+        if len(ms) <= keep_last:
+            return 0
+        live: set[str] = set()
+        for m in ms[-keep_last:]:
+            live.update(m["data_dirs"])
+        removed = 0
+        for m in ms[:-keep_last]:
+            for d in m["data_dirs"]:
+                if d not in live and os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed += 1
+        return removed
 
 
 @dataclass

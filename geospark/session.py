@@ -45,18 +45,31 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox;
     on a cluster pass None and let spark-submit decide.
     """
+    from pyspark import SparkConf
+
     builder = SparkSession.builder.appName(app_name)
-    if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
-    builder = builder.master(master)
+    # spark-submit --master sets spark.master in the JVM system props;
+    # forcing local[N] here would silently run a cluster launch
+    # single-node on the driver, so only default the master when the
+    # launcher didn't choose one
+    submitted = SparkConf().get("spark.master", None)
+    if master is None and submitted:
+        master = submitted
+    else:
+        if master is None:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            master = f"local[{cpus}]"
+        builder = builder.master(master)
     conf = dict(_DEFAULTS)
-    if shuffle_partitions is None:
-        # match parallelism: local[N] -> N shuffle partitions
-        n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+    if shuffle_partitions is None and "[" in master:
+        # match parallelism: local[N] (or local[N,maxFailures]) -> N
+        n = master.split("[")[-1].rstrip("]").split(",")[0]
         shuffle_partitions = 32 if n == "*" else int(n)
-    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
-    conf["spark.default.parallelism"] = str(shuffle_partitions)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+        conf["spark.default.parallelism"] = str(shuffle_partitions)
+    # else: cluster master with no explicit override — leave the
+    # launcher/AQE-configured parallelism alone
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

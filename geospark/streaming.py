@@ -53,42 +53,13 @@ def streaming_tile_counts(pages: DataFrame, zoom: int = 8,
 
 
 def extract_points_stream(pages: DataFrame) -> DataFrame:
-    """Streaming variant of geospark.extract.extract_points that keeps
-    the event-time column (warc_ts) for windowing."""
-    import pyarrow as pa
+    """Streaming variant of geospark.extract.extract_points: the SAME
+    batch-vectorized kernel (one regex pass per Arrow batch, per-MATCH
+    Python only), with the event-time column carried through per
+    mention for downstream watermarked windows."""
+    from geospark.extract import extract_points
 
-    from geospark.extract import _COORD_RE
-
-    schema = "url string, warc_ts timestamp, point_id long, lat double, lng double"
-
-    def run(batches):
-        for b in batches:
-            tbl = pa.Table.from_batches([b])
-            urls = tbl.column("url").to_pylist()
-            tss = tbl.column("warc_ts").to_pylist()
-            texts = tbl.column("text").to_pylist()
-            out = {"url": [], "warc_ts": [], "point_id": [], "lat": [], "lng": []}
-            for url, ts, text in zip(urls, tss, texts):
-                if text is None:
-                    continue
-                for i, m in enumerate(_COORD_RE.finditer(text)):
-                    out["url"].append(url)
-                    out["warc_ts"].append(ts)
-                    out["point_id"].append(i)
-                    out["lat"].append(float(m.group(1)))
-                    out["lng"].append(float(m.group(2)))
-            yield pa.record_batch(
-                [
-                    pa.array(out["url"], pa.string()),
-                    pa.array(out["warc_ts"], pa.timestamp("us")),
-                    pa.array(out["point_id"], pa.int64()),
-                    pa.array(out["lat"], pa.float64()),
-                    pa.array(out["lng"], pa.float64()),
-                ],
-                names=["url", "warc_ts", "point_id", "lat", "lng"],
-            )
-
-    return pages.select("url", "warc_ts", "text").mapInArrow(run, schema)
+    return extract_points(pages, carry_cols=["warc_ts"])
 
 
 def run_to_memory(stream_df: DataFrame, query_name: str,
@@ -198,9 +169,10 @@ def sessionize_stream(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000,
 
     stream = events.withColumn("_wts", F.col(ts_col).cast("timestamp")) \
         .withWatermark("_wts", watermark_delay)
+    utype = events.schema[user_col].dataType.simpleString()  # real key type
     return stream.groupBy(user_col).applyInPandasWithState(
         fn,
-        outputStructType=("user long, session_start_us long, "
+        outputStructType=(f"user {utype}, session_start_us long, "
                          "session_end_us long, n_events long"),
         stateStructType="buf array<long>",
         outputMode="append",
@@ -214,7 +186,8 @@ def sessionize_stream(events: DataFrame, gap_us: int = 30 * 60 * 1_000_000,
 # ---------------------------------------------------------------------------
 def maintain_tile_counts(pages_stream: DataFrame, table_path: str,
                          checkpoint_dir: str, zoom: int = 8,
-                         compact_every: int = 8):
+                         compact_every: int = 8,
+                         expire_on_compact: bool = True):
     """Continuously maintain a per-tile point-count table from a pages
     stream — the streaming half of raster<->vector (tile_rollup is the
     batch half). Per micro-batch, ``foreachBatch``:
@@ -233,26 +206,42 @@ def maintain_tile_counts(pages_stream: DataFrame, table_path: str,
     SKIPPED before any write. Resume comes for free: the stream
     checkpoint replays only unprocessed source files, and the table's
     snapshot chain is the audit trail (per-batch rows + wall time =
-    the north rule's per-partition lineage metrics)."""
+    the north rule's per-partition lineage metrics).
+
+    Bounded state: the committed-stage set is read from disk ONCE and
+    cached in the writer (per-batch work stays O(1) instead of
+    re-parsing every manifest each micro-batch), and with
+    ``expire_on_compact`` each compaction also expires the delta
+    snapshots it folded in (data dirs deleted, manifests kept as
+    replay markers) — disk tracks the live view, not all history."""
     from geospark.runtime import SnapshotTable
 
     pts = extract_points_stream(pages_stream)
     tiled = with_tile(pts, zoom)
+    cache: dict[str, object] = {}  # committed stages, seeded on first batch
 
     def merge(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
         st = SnapshotTable(spark, table_path)
-        stages = [m["stage"] for m in st._manifests()]
+        if "stages" not in cache:
+            cache["stages"] = {m["stage"] for m in st._manifests()}
+            cache["n_batches"] = sum(
+                1 for s in cache["stages"] if s.startswith("batch-"))
+        stages = cache["stages"]
         if f"batch-{batch_id}" in stages:
             return  # crash-replay of an already-committed batch
         delta = bdf.groupBy("tile_x", "tile_y").agg(
             F.count("*").alias("n_points")
         )
         st.write(delta, stage=f"batch-{batch_id}", mode="append")
-        n_batches = sum(1 for s in stages if s.startswith("batch-")) + 1
-        if compact_every and n_batches % compact_every == 0:
+        stages.add(f"batch-{batch_id}")
+        cache["n_batches"] += 1
+        if compact_every and cache["n_batches"] % compact_every == 0:
             st.write(read_tile_counts(st), stage=f"compact-{batch_id}",
                      mode="overwrite")
+            stages.add(f"compact-{batch_id}")
+            if expire_on_compact:
+                st.expire(keep_last=1)
 
     return (
         tiled.writeStream.foreachBatch(merge)

@@ -138,3 +138,50 @@ def test_streaming_tile_counts_match_batch(spark, tmp_path):
     assert sorted((r["tile_x"], r["tile_y"], r["n"]) for r in got) == sorted(
         (r["tile_x"], r["tile_y"], r["n"]) for r in batch
     )
+
+
+def test_snapshot_table_ignores_inflight_tmp_manifest(spark, tmp_path):
+    """A crash can leave '.tmp-*.json' (possibly truncated) in
+    _snapshots — it must be invisible: not parsed (a half-written file
+    would brick every read) and not counted as committed."""
+    from geospark.runtime import SnapshotTable
+
+    st = SnapshotTable(spark, str(tmp_path / "t"))
+    st.write(spark.range(3).toDF("x"), stage="s1")
+    # truncated in-flight commit
+    with open(f"{st.path}/_snapshots/.tmp-deadbeef.json", "w") as fh:
+        fh.write('{"snapshot_id": "dead')
+    ms = st._manifests()
+    assert len(ms) == 1 and ms[0]["stage"] == "s1"
+    assert st.read().count() == 3  # read path unaffected
+
+
+def test_salted_join_rejects_non_fact_preserving_how(spark):
+    import pytest as _pytest
+
+    from geospark.plans.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(1, "d")], "k long, w string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(fact, dim, "k", how=how)
+    # fact-preserving types still work
+    assert salted_join(fact, dim, "k", how="left").count() == 1
+
+
+def test_snapshot_expire_reclaims_old_data_dirs(spark, tmp_path):
+    import os
+
+    from geospark.runtime import SnapshotTable
+
+    st = SnapshotTable(spark, str(tmp_path / "t2"))
+    st.write(spark.range(2).toDF("x"), stage="a", mode="append")
+    st.write(spark.range(3).toDF("x"), stage="b", mode="append")
+    st.write(st.read(), stage="compact", mode="overwrite")
+    n_dirs_before = len(os.listdir(f"{st.path}/data"))
+    removed = st.expire(keep_last=1)
+    assert removed == 2  # the two delta dirs folded by the compaction
+    assert len(os.listdir(f"{st.path}/data")) == n_dirs_before - 2
+    assert st.read().count() == 5           # live view intact
+    assert len(st._manifests()) == 3        # replay markers retained

@@ -232,3 +232,21 @@ def test_sessionize_stream_watermark_exact(spark):
             assert e + gap_us < base + 220 * m, (u, s, e, n)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sessionize_stream_preserves_key_type(spark, tmp_path):
+    """The stateful operator's output schema must carry the caller's
+    key type (regression for the hardcoded `user long`)."""
+    from pyspark.sql.types import StringType
+
+    from geospark.streaming import sessionize_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = (
+        spark.readStream
+        .schema("user_id string, ts timestamp")
+        .parquet(str(src))  # schema-only; never started
+    )
+    out = sessionize_stream(stream)
+    assert isinstance(out.schema["user"].dataType, StringType)
