@@ -219,3 +219,37 @@ def test_dedup_pages_stream_horizon_eviction(spark, tmp_path):
         ).collect()
     }
     assert counts == {"a": 2, "b": 1, "c": 1, "d": 1, "e": 1}
+
+
+def test_streaming_compaction_expires_folded_deltas(spark, tmp_path):
+    """With expire_on_compact (the default), each compaction reclaims
+    the delta data dirs it folded — disk tracks the live view — while
+    the manifests stay as replay markers and the counts stay exact."""
+    import os
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table4")
+    ckpt = str(tmp_path / "ckpt4")
+    drops = []
+    for i in range(3):
+        drops += _write_drop(spark, src, i, 200)
+
+    from geospark.streaming import read_pages_stream
+
+    q = maintain_tile_counts(
+        read_pages_stream(spark, src, max_files_per_trigger=1),
+        table, ckpt, zoom=ZOOM, compact_every=1,  # compact every batch
+    )
+    q.awaitTermination(180)
+    assert _got(spark, table) == _expected(spark, drops)
+    st = SnapshotTable(spark, table)
+    # every batch compacted+expired: only the LAST compaction's data
+    # dir (plus nothing else) should survive on disk
+    live = set(st.current()["data_dirs"])
+    on_disk = {f"{st.path}/data/{d}" for d in os.listdir(f"{st.path}/data")}
+    assert on_disk == live, (on_disk, live)
+    # manifests (6 batches: 3 drops x 2 part files, + 6 compactions)
+    # all retained for replay
+    stages = [m["stage"] for m in st._manifests()]
+    assert sum(s.startswith("batch-") for s in stages) == 6
+    assert sum(s.startswith("compact-") for s in stages) == 6
