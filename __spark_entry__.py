@@ -550,6 +550,24 @@ def _q_doc_incremental_dedup(spark, sf_dir):
     return incremental_dedup(docs, seen)
 
 
+def _q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 50th doc (doc_id % 50 == 7)
+    donates its first 20 tokens as an eval-set 'question'; each
+    training doc reports how many of its distinct 5-grams appear in
+    that eval set (textops.decontaminate — map-side distinct n-grams,
+    broadcast eval join, one partial-aggregatable shuffle). Donor
+    docs self-hit; small-vocabulary collisions give partial hits."""
+    from geospark.textops import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    eval_texts = docs.filter(F.col("doc_id") % 50 == 7).select(
+        F.expr(
+            r"concat_ws(' ', slice(split(text, '\\s+'), 1, 20))"
+        ).alias("text")
+    )
+    return decontaminate(docs, eval_texts, n=5)
+
+
 def _q_doc_cap_per_lang(spark, sf_dir):
     """Language balancing: keep the 50 longest docs per language
     (deterministic doc_id tie-break) — textops.cap_per_group, one
@@ -2208,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": _q_tile_pyramid,
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
+        "doc_decontaminate": _q_doc_decontaminate,
         "doc_cap_per_lang": _q_doc_cap_per_lang,
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
@@ -3413,6 +3432,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT nw.doc_id, nw.lang, nw.content_md5
             FROM nw ANTI JOIN seen USING (content_md5)
+        """,
+        "doc_decontaminate": """
+            WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') toks
+                          FROM documents),
+            dsh AS (
+                SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                       || toks[i+3] || ' ' || toks[i+4] AS shingle
+                FROM base, generate_series(1, 100000) g(i)
+                WHERE i <= len(toks) - 4
+            ),
+            ev_base AS (
+                SELECT string_split_regex(
+                           array_to_string(toks[1:20], ' '), '\\s+') toks
+                FROM base WHERE doc_id % 50 = 7
+            ),
+            ev AS (
+                SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+                FROM ev_base, generate_series(1, 100000) g(i)
+                WHERE i <= len(toks) - 4
+            ),
+            agg AS (
+                SELECT b.doc_id,
+                       count(d.shingle) AS n_grams,
+                       count(e.shingle) AS n_hit
+                FROM base b
+                LEFT JOIN dsh d USING (doc_id)
+                LEFT JOIN ev e ON d.shingle = e.shingle
+                GROUP BY b.doc_id
+            )
+            SELECT doc_id, n_grams, n_hit,
+                   CASE WHEN n_grams > 0 THEN n_hit * 1000000 // n_grams
+                        ELSE 0 END AS contam_ppm,
+                   CAST((CASE WHEN n_grams > 0 THEN n_hit * 1000000 // n_grams
+                              ELSE 0 END) <= 0 AS INT) AS keep
+            FROM agg
         """,
         "doc_cap_per_lang": """
             SELECT doc_id, grp, n_chars_kept, CAST(rank AS INTEGER) AS rank

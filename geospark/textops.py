@@ -107,6 +107,89 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     ).distinct()
 
 
+def shingle_arrays(docs: DataFrame, n: int, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingles: array<string>) — per-doc DISTINCT word
+    n-grams built entirely map-side (``array_distinct`` over the
+    staged transform), so consumers that only need per-doc sets never
+    pay the global ``distinct()`` shuffle that :func:`shingles` does.
+    Docs shorter than ``n`` tokens yield an empty array."""
+    parts = ", ".join(f"_t[i + {j}]" for j in range(n))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"split({text_col}, '\\\\s+')").alias("_t"),
+    )
+    return base.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(CASE WHEN size(_t) >= {n} THEN "
+            f"transform(sequence(0, size(_t) - {n}), "
+            f"i -> concat_ws(' ', {parts})) "
+            f"ELSE CAST(array() AS array<string>) END)"
+        ).alias("shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination — eval-set n-gram overlap
+# ---------------------------------------------------------------------------
+def decontaminate(docs: DataFrame, eval_texts: DataFrame, n: int = 5,
+                  max_contam_ppm: int = 0, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  eval_text_col: str = "text") -> DataFrame:
+    """Pre-training decontamination: flag training documents that
+    contain word n-grams from an evaluation/benchmark set (the
+    standard cross-corpus hygiene step — distinct from dedup, which
+    compares the corpus to itself).
+
+    Per doc: ``n_grams`` distinct n-grams, ``n_hit`` of them that
+    appear anywhere in the eval set, ``contam_ppm`` =
+    floor(n_hit·10^6 / n_grams) (integer, engine-exact), and
+    ``keep`` = 1 iff contam_ppm <= ``max_contam_ppm``. Docs shorter
+    than ``n`` tokens carry no evidence and are kept (n_grams = 0).
+
+    Plan (scales to corpus >> eval): per-doc distinct n-grams are
+    built map-side (:func:`shingle_arrays` — no corpus-wide distinct),
+    exploded, LEFT-joined to the BROADCAST distinct eval-shingle set
+    (benchmarks are tiny next to a crawl), then one
+    partial-aggregatable groupBy on doc_id. One shuffle total; the
+    eval side never shuffles the corpus."""
+    doc_sh = shingle_arrays(docs, n, text_col=text_col, id_col=id_col)
+    exploded = doc_sh.select(
+        "doc_id",
+        F.explode_outer("shingles").alias("shingle"),
+    )
+    eval_sh = (
+        shingle_arrays(
+            eval_texts.select(
+                F.monotonically_increasing_id().alias("doc_id"),
+                F.col(eval_text_col).alias("text"),
+            ),
+            n, text_col="text", id_col="doc_id",
+        )
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = exploded.join(F.broadcast(eval_sh), "shingle", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count("shingle").alias("n_grams"),
+        F.count("_hit").alias("n_hit"),
+    )
+    # BIGINT floor division (DIV) — bit-exact in any engine, no float
+    contam = F.expr(
+        "CASE WHEN n_grams > 0 THEN n_hit * 1000000L DIV n_grams "
+        "ELSE 0L END"
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        contam.alias("contam_ppm"),
+        (contam <= F.lit(max_contam_ppm)).cast("int").alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup — hash groupBy (md5 content key)
 # ---------------------------------------------------------------------------

@@ -482,3 +482,54 @@ def test_weighted_sample_favors_heavy_rows(spark):
     assert len(sel) == 200
     # E[heavy] ~ 183 of 200 for w-ratio 10; require a clear majority
     assert heavy > 150
+
+
+def test_decontaminate_semantics(spark):
+    """Eval 5-grams flag exactly the docs that contain them: a full
+    copy is 100% contaminated, a doc embedding the snippet mid-text
+    partially, an unrelated doc 0; docs shorter than n carry no
+    evidence (n_grams=0, kept)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # superset of eval
+            (1, "prefix words alpha beta gamma delta epsilon then suffix"),
+            (2, "totally unrelated content about something else entirely x"),
+            (3, "too short"),                              # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "text string"
+    )
+    got = {r["doc_id"]: r for r in
+           T.decontaminate(docs, ev, n=5).collect()}
+    # doc 0: 2 distinct 5-grams, 1 hit (the eval snippet itself)
+    assert (got[0]["n_grams"], got[0]["n_hit"]) == (2, 1)
+    assert got[0]["contam_ppm"] == 500_000 and got[0]["keep"] == 0
+    # doc 1: 5 distinct 5-grams, exactly one matches
+    assert (got[1]["n_grams"], got[1]["n_hit"]) == (5, 1)
+    assert got[1]["contam_ppm"] == 200_000 and got[1]["keep"] == 0
+    # doc 2: clean
+    assert got[2]["n_hit"] == 0 and got[2]["keep"] == 1
+    # doc 3: no 5-grams at all — kept, zero evidence
+    assert (got[3]["n_grams"], got[3]["n_hit"]) == (0, 0)
+    assert got[3]["keep"] == 1
+
+
+def test_decontaminate_threshold_and_dup_grams(spark):
+    """max_contam_ppm gates keep; repeated n-grams in a doc count
+    once (distinct semantics), so a doc made of one repeated eval
+    phrase is 100% contaminated."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e a b c d e a b c d e")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([("a b c d e",)], "text string")
+    rows = T.decontaminate(docs, ev, n=5).collect()
+    # 15 tokens -> 11 positions but few DISTINCT 5-grams (cycle of 5)
+    assert rows[0]["n_grams"] == 5
+    assert rows[0]["n_hit"] == 1  # only 'a b c d e' matches
+    assert rows[0]["contam_ppm"] == 200_000
+    # loose threshold keeps it
+    loose = T.decontaminate(docs, ev, n=5, max_contam_ppm=300_000).collect()
+    assert loose[0]["keep"] == 1
