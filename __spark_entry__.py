@@ -1255,6 +1255,45 @@ def _q_tile_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vectorize_tiles(polygon_tile_cover(rings, POLY_RASTER_Z))
 
 
+def _q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon x polygon overlay join (joins.polygon_overlap_join):
+    the demo admin layer (hole included) against 101 deterministic
+    quads anchored at each event-id bucket's min event point (exact
+    integer-derived doubles — both engines reproduce them bit-for-
+    bit). Candidates via tile-cover equi-join, exact refine =
+    orientation edge-cross + even-odd ring-rep containment. The
+    oracle is an independent NL derivation: interval logic for
+    rep-in-quad, unrolled ring parity for rep-in-area."""
+    from geospark.joins import polygon_overlap_join
+
+    rings_a = spark.createDataFrame(
+        _demo_rings_rows(),
+        "area_id long, ring array<struct<lat: double, lng: double>>",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    anch = ev.groupBy((F.col("event_id") % 101).alias("bid")).agg(
+        F.min("event_id").alias("eid")
+    )
+    clat = ((F.col("eid") * 7919) % 16000) / 100.0 - 80.0
+    clng = ((F.col("eid") * 104729) % 36000) / 100.0 - 180.0
+    hl = 2.0 + (F.col("bid") % 7).cast("double")
+    hg = 3.0 + (F.col("bid") % 11).cast("double")
+
+    def v(latc, lngc):
+        return F.struct(latc.alias("lat"), lngc.alias("lng"))
+
+    quads = anch.select(
+        "bid",
+        F.array(
+            v(clat - hl, clng - hg), v(clat - hl, clng + hg),
+            v(clat + hl, clng + hg), v(clat + hl, clng - hg),
+        ).alias("ring"),
+    )
+    return polygon_overlap_join(
+        rings_a, quads, zoom=POLY_RASTER_Z, area_b="bid"
+    )
+
+
 def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics — the raster<->vector aggregation: event
     points binned to z-6 tiles, joined against each demo area's
@@ -2189,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": _q_events_attribution,
         "traj_tile_cover": _q_traj_tile_cover,
         "polygon_raster": _q_polygon_raster,
+        "polygon_overlap": _q_polygon_overlap,
         "tile_vectorize": _q_tile_vectorize,
         "zonal_stats": _q_zonal_stats,
         "tile_payload": _q_tile_payload,
@@ -3122,6 +3162,127 @@ def _kmv_overlap_oracle() -> str:
                      / CAST(exact_ndv_a + exact_ndv_b - inter
                             AS DOUBLE), 6) AS exact_jaccard
         FROM ex
+    """
+
+
+def _polygon_overlap_oracle_sql() -> str:
+    """Independent NL derivation of polygon_overlap: all 3x101 pairs,
+    edge crossings by the unrolled orientation predicate over demo
+    edges x quad edges, rep-in-quad by CLOSED-OPEN interval logic
+    (provably equal to the engine's even-odd parity for an
+    axis-aligned ring, derived independently), rep-in-area by the
+    geodata.ring_pip_sql unrolled parity."""
+    edges, reps = [], []
+    for aid, spec in G.DEMO_RINGS.items():
+        rings = list(spec["outers"]) + [
+            r for hs in spec["inners"] for r in hs
+        ]
+        for ring in rings:
+            n = len(ring)
+            reps.append(
+                f"({aid}, {float(ring[0][0])!r}, {float(ring[0][1])!r})"
+            )
+            for i in range(n):
+                y0, x0 = float(ring[i][0]), float(ring[i][1])
+                y1 = float(ring[(i + 1) % n][0])
+                x1 = float(ring[(i + 1) % n][1])
+                edges.append(f"({aid}, {y0!r}, {x0!r}, {y1!r}, {x1!r})")
+
+    def ocase(px, py, qx, qy, rx, ry):
+        d = (f"(({qx}) - ({px})) * (({ry}) - ({py})) "
+             f"- (({qy}) - ({py})) * (({rx}) - ({px}))")
+        return f"CASE WHEN {d} > 0 THEN 1 WHEN {d} < 0 THEN -1 ELSE 0 END"
+
+    o1 = ocase("ax0", "ay0", "ax1", "ay1", "bx0", "by0")
+    o2 = ocase("ax0", "ay0", "ax1", "ay1", "bx1", "by1")
+    o3 = ocase("bx0", "by0", "bx1", "by1", "ax0", "ay0")
+    o4 = ocase("bx0", "by0", "bx1", "by1", "ax1", "ay1")
+
+    bina_union = "\nUNION ALL\n".join(
+        f"SELECT bid, CAST({aid} AS BIGINT) AS id_a, "
+        f"CASE WHEN {G.area_pip_sql('rep_lat', 'rep_lng', spec['outers'], spec['inners'])} "
+        f"THEN 1 ELSE 0 END AS b_in_a FROM brep"
+        for aid, spec in G.DEMO_RINGS.items()
+    )
+
+    return f"""
+        WITH anch AS (
+            SELECT event_id % 101 AS bid, min(event_id) AS eid
+            FROM events GROUP BY 1
+        ),
+        bq AS (
+            SELECT bid,
+                   ((eid * 7919) % 16000) / 100.0 - 80.0 AS clat,
+                   ((eid * 104729) % 36000) / 100.0 - 180.0 AS clng,
+                   2.0 + (bid % 7) AS hl, 3.0 + (bid % 11) AS hg
+            FROM anch
+        ),
+        bpoly AS (
+            SELECT bid, clat - hl AS lat_min, clat + hl AS lat_max,
+                   clng - hg AS lng_min, clng + hg AS lng_max
+            FROM bq
+        ),
+        brep AS (SELECT bid, lat_min AS rep_lat, lng_min AS rep_lng
+                 FROM bpoly),
+        qedges AS (
+            SELECT bid, lat_min AS by0, lng_min AS bx0,
+                   lat_min AS by1, lng_max AS bx1 FROM bpoly
+            UNION ALL SELECT bid, lat_min, lng_max, lat_max, lng_max
+            FROM bpoly
+            UNION ALL SELECT bid, lat_max, lng_max, lat_max, lng_min
+            FROM bpoly
+            UNION ALL SELECT bid, lat_max, lng_min, lat_min, lng_min
+            FROM bpoly
+        ),
+        aedges(aid, ay0, ax0, ay1, ax1) AS (VALUES {", ".join(edges)}),
+        areps(aid, rep_lat, rep_lng) AS (VALUES {", ".join(reps)}),
+        ocand AS (
+            SELECT e.aid, q.bid,
+                   e.ax0, e.ay0, e.ax1, e.ay1,
+                   q.bx0, q.by0, q.bx1, q.by1,
+                   {o1} AS o1, {o2} AS o2, {o3} AS o3, {o4} AS o4
+            FROM aedges e CROSS JOIN qedges q
+        ),
+        ecx AS (
+            SELECT aid, bid, max(CASE WHEN (o1 <> o2 AND o3 <> o4)
+                OR (o1 = 0 AND bx0 >= least(ax0, ax1)
+                    AND bx0 <= greatest(ax0, ax1)
+                    AND by0 >= least(ay0, ay1)
+                    AND by0 <= greatest(ay0, ay1))
+                OR (o2 = 0 AND bx1 >= least(ax0, ax1)
+                    AND bx1 <= greatest(ax0, ax1)
+                    AND by1 >= least(ay0, ay1)
+                    AND by1 <= greatest(ay0, ay1))
+                OR (o3 = 0 AND ax0 >= least(bx0, bx1)
+                    AND ax0 <= greatest(bx0, bx1)
+                    AND ay0 >= least(by0, by1)
+                    AND ay0 <= greatest(by0, by1))
+                OR (o4 = 0 AND ax1 >= least(bx0, bx1)
+                    AND ax1 <= greatest(bx0, bx1)
+                    AND ay1 >= least(by0, by1)
+                    AND ay1 <= greatest(by0, by1))
+                THEN 1 ELSE 0 END) AS edge_cross
+            FROM ocand GROUP BY 1, 2
+        ),
+        ainb AS (
+            SELECT r.aid, p.bid,
+                   max(CASE WHEN r.rep_lat >= p.lat_min
+                             AND r.rep_lat < p.lat_max
+                             AND r.rep_lng >= p.lng_min
+                             AND r.rep_lng < p.lng_max
+                            THEN 1 ELSE 0 END) AS a_in_b
+            FROM areps r CROSS JOIN bpoly p GROUP BY 1, 2
+        ),
+        bina AS ({bina_union}),
+        allf AS (
+            SELECT e.aid, e.bid, e.edge_cross, a.a_in_b, b.b_in_a
+            FROM ecx e
+            JOIN ainb a ON e.aid = a.aid AND e.bid = a.bid
+            JOIN bina b ON e.aid = b.id_a AND e.bid = b.bid
+        )
+        SELECT CAST(aid AS BIGINT) AS id_a, bid AS id_b,
+               edge_cross, a_in_b, b_in_a
+        FROM allf WHERE edge_cross + a_in_b + b_in_a > 0
     """
 
 
@@ -4084,6 +4245,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tiles GROUP BY 1, 2
         """,
         "polygon_raster": _polygon_raster_oracle_sql(),
+        "polygon_overlap": _polygon_overlap_oracle_sql(),
         "tile_vectorize": f"""
             WITH cover AS ({_polygon_raster_oracle_sql()}),
             runs AS (

@@ -1362,3 +1362,142 @@ def segment_intersection_join(a: DataFrame, b: DataFrame,
         cand.filter(segments_intersect_expr())
         .select("id_a", "id_b")
     )
+
+# ---------------------------------------------------------------------------
+# Polygon x polygon overlap join — the missing pair in the join family
+# (pip_join is point x polygon, box_overlap_join is rect x rect,
+# segment_intersection_join is line x line)
+# ---------------------------------------------------------------------------
+def _ring_reps(rings: DataFrame, side: str,
+               area: str, ring_col: str) -> DataFrame:
+    """One representative vertex per RING (its first vertex). If no
+    boundary crossing exists between two polygons, each ring lies
+    wholly inside or outside the other polygon, so any single vertex
+    decides containment for the whole ring; a representative lying ON
+    the other boundary is already reported by the edge predicate
+    (touch counts), so the strict even-odd test never has to resolve
+    it."""
+    return rings.select(
+        F.col(area).alias(f"id_{side}"),
+        F.monotonically_increasing_id().alias("_ring_uid"),
+        F.element_at(F.col(ring_col), 1)["lat"].alias("_rep_lat"),
+        F.element_at(F.col(ring_col), 1)["lng"].alias("_rep_lng"),
+    )
+
+
+def _even_odd_flag(pairs: DataFrame, reps: DataFrame, edges: DataFrame,
+                   rep_side: str, edge_side: str, flag: str) -> DataFrame:
+    """(id_a, id_b, flag): 1 iff ANY ring-representative of
+    ``rep_side`` falls strictly inside the ``edge_side`` polygon by
+    even-odd parity over ALL its rings (outer + holes together — the
+    same half-open west-ray arithmetic as joins._ring_contains /
+    geodata.ring_pip_sql, so oracles reproduce it term for term).
+    Restricted to candidate ``pairs`` so cost is candidates x edges of
+    the partner polygon, never all-pairs."""
+    j = pairs.join(reps, f"id_{rep_side}").join(edges, f"id_{edge_side}")
+    plat, plng = F.col("_rep_lat"), F.col("_rep_lng")
+    y0, y1 = F.col("lat0"), F.col("lat1")
+    x0, x1 = F.col("lng0"), F.col("lng1")
+    crosses = (y0 > plat) != (y1 > plat)
+    xint = (x1 - x0) * (plat - y0) / (y1 - y0) + x0
+    hit = (crosses & (plng < xint)).cast("int")
+    par = j.groupBy("id_a", "id_b", "_ring_uid").agg(
+        (F.sum(hit) % 2).alias("_par")
+    )
+    return par.groupBy("id_a", "id_b").agg(F.max("_par").alias(flag))
+
+
+def polygon_overlap_join(a: DataFrame, b: DataFrame, zoom: int = 6,
+                         area_a: str = "area_id", ring_a: str = "ring",
+                         area_b: str = "area_id",
+                         ring_b: str = "ring") -> DataFrame:
+    """All overlapping polygon pairs between two polygon layers —
+    the overlay join (admin region x admin region, footprint x zone).
+    Inputs carry one row per RING: (area_id, ring:
+    array<struct<lat,lng>>) — outer rings and holes alike, hole
+    membership by even-odd parity (Q15-equivalent for properly nested
+    layers). Planar lat/lng space, closed semantics: touching counts.
+
+    Exact decomposition: A and B overlap iff
+      (1) an edge of A intersects an edge of B         [edge_cross], or
+      (2) some ring of A lies strictly inside B        [a_in_b], or
+      (3) some ring of B lies strictly inside A        [b_in_a].
+    With no boundary crossing, every ring is wholly in or out of the
+    other polygon, so (2)/(3) reduce to one even-odd test per ring
+    representative; a hole ring inside the other polygon still
+    witnesses overlap because the hole boundary belongs to the closed
+    point set.
+
+    Scale shape, three filter-refine relations (never all-pairs):
+      - candidates: polygon_tile_cover at ``zoom`` (perimeter+area
+        cost, exact "tile touches area") equi-joined on the tile —
+        recall-complete because any shared point's tile is in both
+        covers;
+      - edge_cross: ring edges scanline-supercovered to tiles,
+        equi-join, exact orientation refine (the
+        segment_intersection_join plan inlined, keyed by polygon id);
+      - containment: candidate pairs x partner edges, grouped parity.
+
+    Output: (id_a, id_b, edge_cross, a_in_b, b_in_a) ints, one row
+    per overlapping pair."""
+    from geospark.cells import segment_tile_cover
+    from geospark.raster import polygon_tile_cover, ring_edges
+
+    a_rings = a.select(F.col(area_a).alias("area_id"),
+                       F.col(ring_a).alias("ring"))
+    b_rings = b.select(F.col(area_b).alias("area_id"),
+                       F.col(ring_b).alias("ring"))
+
+    cov_a = polygon_tile_cover(a_rings, zoom).select(
+        F.col("area_id").alias("id_a"), "tile_x", "tile_y")
+    cov_b = polygon_tile_cover(b_rings, zoom).select(
+        F.col("area_id").alias("id_b"), "tile_x", "tile_y")
+    cand = (
+        cov_a.join(cov_b, ["tile_x", "tile_y"])
+        .select("id_a", "id_b").distinct()
+    )
+
+    ea = ring_edges(a_rings).select(
+        F.col("area_id").alias("id_a"),
+        F.col("lat0").alias("a_f_lat"), F.col("lng0").alias("a_f_lng"),
+        F.col("lat1").alias("a_t_lat"), F.col("lng1").alias("a_t_lng"),
+    )
+    eb = ring_edges(b_rings).select(
+        F.col("area_id").alias("id_b"),
+        F.col("lat0").alias("b_f_lat"), F.col("lng0").alias("b_f_lng"),
+        F.col("lat1").alias("b_t_lat"), F.col("lng1").alias("b_t_lng"),
+    )
+    cov_ea = segment_tile_cover(ea, zoom, lat0="a_f_lat", lng0="a_f_lng",
+                                lat1="a_t_lat", lng1="a_t_lng")
+    cov_eb = segment_tile_cover(eb, zoom, lat0="b_f_lat", lng0="b_f_lng",
+                                lat1="b_t_lat", lng1="b_t_lng")
+    cross = (
+        cov_ea.join(cov_eb, ["tile_x", "tile_y"])
+        .filter(segments_intersect_expr())
+        .select("id_a", "id_b").distinct()
+        .withColumn("edge_cross", F.lit(1))
+    )
+
+    reps_a = _ring_reps(a_rings, "a", "area_id", "ring")
+    reps_b = _ring_reps(b_rings, "b", "area_id", "ring")
+    edges_a = ring_edges(a_rings).select(
+        F.col("area_id").alias("id_a"), "lat0", "lng0", "lat1", "lng1")
+    edges_b = ring_edges(b_rings).select(
+        F.col("area_id").alias("id_b"), "lat0", "lng0", "lat1", "lng1")
+    a_in_b = _even_odd_flag(cand, reps_a, edges_b, "a", "b", "a_in_b")
+    b_in_a = _even_odd_flag(cand, reps_b, edges_a, "b", "a", "b_in_a")
+
+    flags = (
+        cand.join(cross, ["id_a", "id_b"], "left")
+        .join(a_in_b, ["id_a", "id_b"], "left")
+        .join(b_in_a, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b",
+            F.coalesce("edge_cross", F.lit(0)).alias("edge_cross"),
+            F.coalesce("a_in_b", F.lit(0)).cast("int").alias("a_in_b"),
+            F.coalesce("b_in_a", F.lit(0)).cast("int").alias("b_in_a"),
+        )
+    )
+    return flags.filter(
+        (F.col("edge_cross") + F.col("a_in_b") + F.col("b_in_a")) > 0
+    )
