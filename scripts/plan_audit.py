@@ -543,6 +543,36 @@ def main() -> None:
               "and u x m before their exchanges).",
     )
 
+    # polygon x polygon overlap: every join keyed (tile cover /
+    # candidate ids), no Python, no cross product; the candidate
+    # relation feeds three consumers through one reused exchange
+    audit(
+        "polygon_overlap (polygon x polygon overlay join)",
+        q["polygon_overlap"](spark, sf_dir),
+        must=["ReusedExchange"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "CartesianProduct"],
+        notes="candidates from the tile-cover equi-join are consumed "
+              "by the edge-cross left join and both containment "
+              "parity aggregates — Spark reuses the exchange instead "
+              "of recomputing the cover three times; the orientation "
+              "and parity refines are pure codegen arithmetic.",
+    )
+
+    # decontamination: map-side distinct n-grams, broadcast eval set,
+    # one partial-aggregatable shuffle
+    audit(
+        "doc_decontaminate (eval-set n-gram decontamination)",
+        q["doc_decontaminate"](spark, sf_dir),
+        must=["* BroadcastHashJoin", "partial_count"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "SortMergeJoin"],
+        notes="the corpus never shuffles on shingles: per-doc "
+              "distinct 5-grams come from a map-side array_distinct, "
+              "the eval set broadcasts, and the only corpus exchange "
+              "is the partial-aggregated rollup on doc_id.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
