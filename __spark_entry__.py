@@ -568,6 +568,17 @@ def _q_doc_decontaminate(spark, sf_dir):
     return decontaminate(docs, eval_texts, n=5)
 
 
+def _q_doc_dup_spans(spark, sf_dir):
+    """Cross-document duplicated spans (textops.dup_span_stats): per
+    doc, the fraction of 10-token windows whose n-gram also appears
+    in ANOTHER document — the exact-substring-dedup signal. md5-60
+    gram hashing keeps the oracle engine-neutral; min!=max doc_id per
+    gram is the cross-doc test (no count_distinct expansion)."""
+    from geospark.textops import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf_dir), n=10)
+
+
 def _q_doc_cap_per_lang(spark, sf_dir):
     """Language balancing: keep the 50 longest docs per language
     (deterministic doc_id tie-break) — textops.cap_per_group, one
@@ -2267,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_dup_spans": _q_doc_dup_spans,
         "doc_cap_per_lang": _q_doc_cap_per_lang,
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
@@ -3630,6 +3642,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST((CASE WHEN n_grams > 0 THEN n_hit * 1000000 // n_grams
                               ELSE 0 END) <= 0 AS INT) AS keep
             FROM agg
+        """,
+        "doc_dup_spans": """
+            WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') toks
+                          FROM documents),
+            g AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(
+                           toks[i] || chr(31) || toks[i+1] || chr(31)
+                           || toks[i+2] || chr(31) || toks[i+3] || chr(31)
+                           || toks[i+4] || chr(31) || toks[i+5] || chr(31)
+                           || toks[i+6] || chr(31) || toks[i+7] || chr(31)
+                           || toks[i+8] || chr(31) || toks[i+9]),
+                           1, 15))::BIGINT AS gh
+                FROM base, generate_series(1, 100000) s(i)
+                WHERE i <= len(toks) - 9
+            ),
+            multi AS (
+                SELECT gh, CAST(min(doc_id) <> max(doc_id) AS INT) AS m
+                FROM g GROUP BY gh
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_positions,
+                       CAST(sum(m) AS BIGINT) AS n_dup_positions
+                FROM g JOIN multi USING (gh) GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   coalesce(n_positions, 0) AS n_positions,
+                   coalesce(n_dup_positions, 0) AS n_dup_positions,
+                   coalesce(n_dup_positions * 1000000 // n_positions, 0)
+                       AS dup_ppm
+            FROM (SELECT doc_id FROM base) b LEFT JOIN agg USING (doc_id)
         """,
         "doc_cap_per_lang": """
             SELECT doc_id, grp, n_chars_kept, CAST(rank AS INTEGER) AS rank

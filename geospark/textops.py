@@ -191,6 +191,71 @@ def decontaminate(docs: DataFrame, eval_texts: DataFrame, n: int = 5,
 
 
 # ---------------------------------------------------------------------------
+# cross-document duplicated spans — exact-substring-dedup signal
+# ---------------------------------------------------------------------------
+def dup_span_stats(docs: DataFrame, n: int = 10,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   hash_fn: str = "md5") -> DataFrame:
+    """Per-document duplicated-span statistics at n-gram granularity —
+    the signal behind exact-substring training-data dedup (a span is
+    'duplicated' when the same n token window appears in ANOTHER
+    document). Output per doc: ``n_positions`` (token windows),
+    ``n_dup_positions`` (windows whose n-gram occurs cross-document),
+    ``dup_ppm`` = floor(dup·10^6/positions) — integer, engine-exact.
+    Repeats WITHIN one doc do not count (self-repetition is
+    repetition_stats' job); docs shorter than ``n`` report 0/0/0.
+
+    Plan: positional n-grams (no distinct — every window counts) are
+    hashed to 60-bit ints (:func:`hash60_sql` — md5 for the
+    engine-neutral oracle path, xxhash64 as the production fast
+    path), the gram relation aggregates min!=max doc_id per hash (the
+    cheapest possible cross-doc test — no count_distinct expansion),
+    and rejoins itself on the hash. Two shuffles of the gram relation
+    (agg + rejoin) + the final doc rollup; all JVM."""
+    parts = ", ".join(f"_t[i + {j}]" for j in range(n))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"split({text_col}, '\\\\s+')").alias("_t"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_t) >= {n} THEN "
+                f"transform(sequence(0, size(_t) - {n}), "
+                f"i -> {hash60_sql(f'concat_ws(chr(31), {parts})')}) "
+                f"ELSE CAST(array() AS array<bigint>) END"
+            )
+        ).alias("gh"),
+    )
+    multi = grams.groupBy("gh").agg(
+        (F.min("doc_id") != F.max("doc_id")).cast("int").alias("_multi")
+    )
+    per_pos = grams.join(multi, "gh")
+    agg = per_pos.groupBy("doc_id").agg(
+        F.count("*").alias("n_positions"),
+        F.sum("_multi").alias("n_dup_positions"),
+    )
+    out = agg.select(
+        "doc_id", "n_positions", "n_dup_positions",
+        F.expr("n_dup_positions * 1000000L DIV n_positions")
+        .alias("dup_ppm"),
+    )
+    # docs shorter than n produce no gram rows — restore them as 0/0/0
+    all_ids = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_ids.join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_positions", F.lit(0)).alias("n_positions"),
+            F.coalesce("n_dup_positions", F.lit(0))
+            .alias("n_dup_positions"),
+            F.coalesce("dup_ppm", F.lit(0)).alias("dup_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact dedup — hash groupBy (md5 content key)
 # ---------------------------------------------------------------------------
 def exact_dedup(docs: DataFrame, text_col: str = "text",

@@ -533,3 +533,42 @@ def test_decontaminate_threshold_and_dup_grams(spark):
     # loose threshold keeps it
     loose = T.decontaminate(docs, ev, n=5, max_contam_ppm=300_000).collect()
     assert loose[0]["keep"] == 1
+
+
+def test_dup_span_stats_cross_doc_only(spark):
+    """Shared 12-token run between two docs marks exactly its 10-gram
+    windows; within-doc repetition alone marks nothing; short docs
+    report 0/0/0."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"   # 12 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " u1 u2 u3 u4 u5 u6 u7 u8"),    # 20 tokens
+            (1, "v1 v2 v3 v4 v5 v6 v7 v8 " + shared),    # 20 tokens
+            (2, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5 r1 r2 r3 r4 r5 r1 r2 r3 r4 r5"),
+            (3, "x1 x2 x3"),                              # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           T.dup_span_stats(docs, n=10).collect()}
+    # 20 tokens -> 11 windows each; the shared run contributes 3
+    # all-shared windows at its start/end of each doc
+    assert got[0]["n_positions"] == 11 and got[0]["n_dup_positions"] == 3
+    assert got[1]["n_positions"] == 11 and got[1]["n_dup_positions"] == 3
+    assert got[0]["dup_ppm"] == 3 * 1_000_000 // 11
+    # doc 2: heavy SELF repetition, no cross-doc grams
+    assert got[2]["n_dup_positions"] == 0
+    assert (got[3]["n_positions"], got[3]["dup_ppm"]) == (0, 0)
+
+
+def test_dup_span_stats_exact_copy(spark):
+    """A full duplicate pair is 100% duplicated spans."""
+    t = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, t), (1, t)], "doc_id long, text string"
+    )
+    rows = T.dup_span_stats(docs, n=10).collect()
+    for r in rows:
+        assert r["n_positions"] == 21
+        assert r["n_dup_positions"] == 21
+        assert r["dup_ppm"] == 1_000_000
