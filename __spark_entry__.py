@@ -1266,6 +1266,31 @@ def _q_tile_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vectorize_tiles(polygon_tile_cover(rings, POLY_RASTER_Z))
 
 
+def _event_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bid, ring): 101 deterministic quads anchored at each event-id
+    bucket's min event point — exact integer-derived doubles, so the
+    DuckDB oracle reproduces every vertex bit-for-bit."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    anch = ev.groupBy((F.col("event_id") % 101).alias("bid")).agg(
+        F.min("event_id").alias("eid")
+    )
+    clat = ((F.col("eid") * 7919) % 16000) / 100.0 - 80.0
+    clng = ((F.col("eid") * 104729) % 36000) / 100.0 - 180.0
+    hl = 2.0 + (F.col("bid") % 7).cast("double")
+    hg = 3.0 + (F.col("bid") % 11).cast("double")
+
+    def v(latc, lngc):
+        return F.struct(latc.alias("lat"), lngc.alias("lng"))
+
+    return anch.select(
+        "bid",
+        F.array(
+            v(clat - hl, clng - hg), v(clat - hl, clng + hg),
+            v(clat + hl, clng + hg), v(clat + hl, clng - hg),
+        ).alias("ring"),
+    )
+
+
 def _q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon x polygon overlay join (joins.polygon_overlap_join):
     the demo admin layer (hole included) against 101 deterministic
@@ -1281,27 +1306,22 @@ def _q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _demo_rings_rows(),
         "area_id long, ring array<struct<lat: double, lng: double>>",
     )
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    anch = ev.groupBy((F.col("event_id") % 101).alias("bid")).agg(
-        F.min("event_id").alias("eid")
-    )
-    clat = ((F.col("eid") * 7919) % 16000) / 100.0 - 80.0
-    clng = ((F.col("eid") * 104729) % 36000) / 100.0 - 180.0
-    hl = 2.0 + (F.col("bid") % 7).cast("double")
-    hg = 3.0 + (F.col("bid") % 11).cast("double")
-
-    def v(latc, lngc):
-        return F.struct(latc.alias("lat"), lngc.alias("lng"))
-
-    quads = anch.select(
-        "bid",
-        F.array(
-            v(clat - hl, clng - hg), v(clat - hl, clng + hg),
-            v(clat + hl, clng + hg), v(clat + hl, clng - hg),
-        ).alias("ring"),
-    )
     return polygon_overlap_join(
-        rings_a, quads, zoom=POLY_RASTER_Z, area_b="bid"
+        rings_a, _event_quads(spark, sf_dir),
+        zoom=POLY_RASTER_Z, area_b="bid",
+    )
+
+
+def _q_polygon_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIS dissolve (joins.polygon_dissolve): the 101 event quads
+    labeled by transitive-overlap component — overlap self-join for
+    the edge relation, large/small-star connected components for the
+    contraction. Oracle: independent closed-interval rect overlap +
+    recursive-CTE label flooding (a different closure algorithm)."""
+    from geospark.joins import polygon_dissolve
+
+    return polygon_dissolve(
+        _event_quads(spark, sf_dir), zoom=POLY_RASTER_Z, area="bid"
     )
 
 
@@ -2240,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traj_tile_cover": _q_traj_tile_cover,
         "polygon_raster": _q_polygon_raster,
         "polygon_overlap": _q_polygon_overlap,
+        "polygon_dissolve": _q_polygon_dissolve,
         "tile_vectorize": _q_tile_vectorize,
         "zonal_stats": _q_zonal_stats,
         "tile_payload": _q_tile_payload,
@@ -4289,6 +4310,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "polygon_raster": _polygon_raster_oracle_sql(),
         "polygon_overlap": _polygon_overlap_oracle_sql(),
+        "polygon_dissolve": """
+            WITH RECURSIVE anch AS (
+                SELECT event_id % 101 AS bid, min(event_id) AS eid
+                FROM events GROUP BY 1
+            ),
+            bq AS (
+                SELECT bid,
+                       ((eid * 7919) % 16000) / 100.0 - 80.0 AS clat,
+                       ((eid * 104729) % 36000) / 100.0 - 180.0 AS clng,
+                       2.0 + (bid % 7) AS hl, 3.0 + (bid % 11) AS hg
+                FROM anch
+            ),
+            bpoly AS (
+                SELECT bid, clat - hl AS lat_min, clat + hl AS lat_max,
+                       clng - hg AS lng_min, clng + hg AS lng_max
+                FROM bq
+            ),
+            -- closed-interval rect overlap: independent of the
+            -- engine's tile-cover/orientation/parity machinery
+            pairs AS (
+                SELECT x.bid AS a, y.bid AS b
+                FROM bpoly x JOIN bpoly y
+                  ON x.bid < y.bid
+                 AND x.lat_min <= y.lat_max AND y.lat_min <= x.lat_max
+                 AND x.lng_min <= y.lng_max AND y.lng_min <= x.lng_max
+            ),
+            und AS (SELECT a, b FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+            reach(node, lbl) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.a, r.lbl FROM und u JOIN reach r ON r.node = u.b
+            ),
+            comp AS (SELECT node, min(lbl) AS canonical FROM reach
+                     GROUP BY node)
+            SELECT p.bid AS area_id,
+                   coalesce(c.canonical, p.bid) AS component,
+                   CAST(c.canonical IS NOT NULL AS INT) AS is_merged
+            FROM bpoly p LEFT JOIN comp c ON p.bid = c.node
+        """,
         "tile_vectorize": f"""
             WITH cover AS ({_polygon_raster_oracle_sql()}),
             runs AS (

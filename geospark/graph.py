@@ -96,8 +96,17 @@ def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
     Isolated nodes never enter ``edges`` and are absent from the
     output — callers left-join and ``coalesce(component, node)``.
     """
+    # orient high->low up front: _small_star output always points at a
+    # strictly smaller id, so the star-forest terminal test may assume
+    # pointer graphs are min-rooted — but the INPUT arrives in
+    # arbitrary orientation, and a graph that is already a star forest
+    # as given (e.g. the single edge (1, 100)) would otherwise be
+    # accepted with a max-rooted star and mislabel the component
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )

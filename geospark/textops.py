@@ -228,10 +228,17 @@ def dup_span_stats(docs: DataFrame, n: int = 10,
             )
         ).alias("gh"),
     )
-    multi = grams.groupBy("gh").agg(
-        (F.min("doc_id") != F.max("doc_id")).cast("int").alias("_multi")
+    # ONE exchange of the gram relation: a gh-partitioned window
+    # computes min/max doc_id in place. The groupBy+self-join
+    # alternative ships the ~|positions| relation through TWO
+    # exchanges and builds a ~|distinct grams| hash side (grams are
+    # mostly unique, so that build is nearly input-sized) — measured
+    # 415s -> see BENCH.md at 5M docs.
+    w = Window.partitionBy("gh")
+    per_pos = grams.withColumn(
+        "_multi",
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).cast("int"),
     )
-    per_pos = grams.join(multi, "gh")
     agg = per_pos.groupBy("doc_id").agg(
         F.count("*").alias("n_positions"),
         F.sum("_multi").alias("n_dup_positions"),

@@ -138,6 +138,20 @@ def main() -> None:
         "rows_out": T.token_stats(docs).count(),
     })
 
+    def _dup_spans():
+        # the known dup structure (~15% mutated copies) makes the
+        # duplicated-window population interpretable at scale
+        ds = T.dup_span_stats(docs, n=10)
+        agg = ds.agg(
+            F.sum((F.col("n_dup_positions") > 0).cast("int"))
+            .alias("docs_with_dups"),
+            F.sum("n_dup_positions").alias("dup_windows"),
+        ).collect()[0]
+        return {"docs_with_dups": int(agg["docs_with_dups"]),
+                "dup_windows": int(agg["dup_windows"])}
+
+    run("dup_spans_n10", _dup_spans)
+
     # --- mergeable sketches at corpus scale -------------------------
     import __spark_entry__ as E
     from geospark import sketch as SK

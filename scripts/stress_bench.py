@@ -289,6 +289,39 @@ def main() -> None:
 
     run("polygon_raster_100k_plus_continent", _poly_raster)
 
+    # polygon x polygon overlay at scale: 100k city-skewed diamonds
+    # against 20k coarser diamonds — hot-city tiles stress the
+    # candidate cover join; refine volume = candidates x 4 edges
+    def _poly_overlap():
+        from geospark.cells import with_cell_at_zoom
+        from geospark.joins import polygon_overlap_join
+
+        def diamonds(zoom, d, limit):
+            cells = (
+                with_cell_at_zoom(points, zoom).groupBy("cell")
+                .agg(F.avg("lat").alias("clat"),
+                     F.avg("lng").alias("clng"))
+                .limit(limit)
+            )
+            ring = F.array(
+                F.struct((F.col("clat") + d).alias("lat"),
+                         F.col("clng").alias("lng")),
+                F.struct(F.col("clat").alias("lat"),
+                         (F.col("clng") + d).alias("lng")),
+                F.struct((F.col("clat") - d).alias("lat"),
+                         F.col("clng").alias("lng")),
+                F.struct(F.col("clat").alias("lat"),
+                         (F.col("clng") - d).alias("lng")),
+            )
+            return cells.select(F.col("cell").alias("area_id"),
+                                ring.alias("ring"))
+
+        a = diamonds(8, 0.2, 100_000)
+        b = diamonds(6, 1.0, 20_000)
+        return polygon_overlap_join(a, b, zoom=10).count()
+
+    run("polygon_overlap_100k_x_20k", _poly_overlap)
+
     # DBSCAN labeling at operator scale: same cover-join shape as
     # cluster_10m plus the count/semi-join label stages; integrity
     # assert = every point labeled exactly once

@@ -96,3 +96,21 @@ def test_cc_round_budget_error(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_rounds=1).collect()
+
+
+def test_cc_single_edge_both_orientations(spark):
+    """Regression: a graph that is ALREADY a star forest as given must
+    still be min-rooted. The single edge (1, 100) used to be accepted
+    as a pointer 1 -> 100 and labeled the component 100 (max) — caught
+    by polygon_dissolve's oracle; the high->low input orientation
+    fixes it for both input orders."""
+    _check(spark, [(1, 100)])
+    _check(spark, [(100, 1)])
+
+
+def test_cc_disjoint_pair_edges(spark):
+    """Many 2-node components given as (small, large) pairs — the
+    LSH-pair shape (doc_id_a < doc_id_b) with isolated dup pairs."""
+    _check(spark, [(2 * i, 2 * i + 1) for i in range(20)])
+    # mixed: pre-converged pairs + one multi-edge component
+    _check(spark, [(0, 9), (9, 13), (20, 21), (30, 31)])

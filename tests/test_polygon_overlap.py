@@ -152,3 +152,30 @@ def test_overlap_multipolygon_parts(spark):
     got = _run(spark, a, b)
     assert got[(1, 40)]["b_in_a"] == 1
     assert (1, 41) not in got
+
+
+def test_polygon_dissolve_chain_touch_isolated(spark):
+    """Dissolve: an overlap CHAIN merges transitively (A-B-C where A
+    and C never touch), an edge-touching pair merges (closed
+    semantics), an isolated polygon keeps its own id."""
+    from geospark.joins import polygon_dissolve
+
+    rows = [
+        (1, _rect(0.0, 0.0, 2.0, 2.0)),
+        (2, _rect(1.0, 1.0, 3.0, 3.0)),      # overlaps 1
+        (3, _rect(2.5, 2.5, 4.0, 4.0)),      # overlaps 2, not 1
+        (4, _rect(10.0, 10.0, 11.0, 11.0)),  # isolated from 1-3
+        (5, _rect(11.0, 10.0, 12.0, 11.0)),  # shares edge lat=11 with 4
+    ]
+    got = {r["area_id"]: r for r in
+           polygon_dissolve(_rings_df(spark, rows), zoom=6).collect()}
+    assert {k: v["component"] for k, v in got.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 4, 5: 4,
+    }
+    assert got[1]["is_merged"] == 1 and got[3]["is_merged"] == 1
+    assert got[4]["is_merged"] == 1   # touching counts as merged
+    # a truly isolated polygon
+    rows.append((6, _rect(-50.0, -50.0, -49.0, -49.0)))
+    got2 = {r["area_id"]: r for r in
+            polygon_dissolve(_rings_df(spark, rows), zoom=6).collect()}
+    assert got2[6]["component"] == 6 and got2[6]["is_merged"] == 0
