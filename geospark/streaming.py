@@ -277,3 +277,121 @@ def dedup_pages_stream(pages_stream: DataFrame,
         pages_stream.withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark([key])
     )
+
+
+def geofence_stream(points: DataFrame, areas: list,
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    lat_col: str = "lat", lng_col: str = "lng",
+                    watermark_delay: str = "0 seconds") -> DataFrame:
+    """Geofence ENTER/EXIT transitions per user against a small
+    polygon layer (list of joins.Area, <= 63 fences — membership
+    packs into one BIGINT state mask), emitted EXACTLY ONCE and only
+    when FINAL: an event is processed once the event-time watermark
+    passes its timestamp, so no late row can land between two
+    already-compared positions and invalidate an emitted transition.
+    Same append-mode exactness contract as sessionize_stream.
+
+    Semantics: users start outside every fence; for each finalized
+    event (per user, ordered by ts — ties broken by lat, lng) the
+    point-in-multipolygon mask (joins.area_contains — the batch
+    engine's exact kernel, holes honored) is XOR-diffed against the
+    previous mask; each flipped bit emits (user, ts_us, fence_id,
+    'enter'|'exit'). A point in several fences transitions each
+    independently.
+
+    State per user: last finalized mask + timestamp, plus the buffer
+    of not-yet-final events — buffered rows drain as the watermark
+    advances; the (mask, ts) pair persists for the user's lifetime
+    (one row per active user, the geofencing floor). Idle keys flush
+    buffered finals via EventTimeTimeout exactly like
+    sessionize_stream (without it a key absent from the current batch
+    would strand its final transitions in state).
+
+    Output: (user, ts_us, fence_id, transition)."""
+    import numpy as np
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from geospark.joins import area_contains
+
+    if len(areas) > 63:
+        raise ValueError(
+            "geofence_stream packs membership into one int64 mask — "
+            "at most 63 fences (shard the layer for more)"
+        )
+    fence_ids = [int(a.area_id) for a in areas]
+    areas = list(areas)
+
+    def mask_of(lats, lngs):
+        m = np.zeros(len(lats), dtype=np.int64)
+        for bit, area in enumerate(areas):
+            m |= area_contains(area, lats, lngs).astype(np.int64) << bit
+        return m
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            last_mask, _last_ts, b_ts, b_lat, b_lng = state.get
+            buf = list(zip(b_ts, b_lat, b_lng))
+        else:
+            last_mask, _last_ts, buf = 0, -1, []
+        for pdf in pdf_iter:
+            ts = (pd.to_datetime(pdf[ts_col]).values
+                  .astype("datetime64[us]").astype("int64"))
+            la = pdf[lat_col].to_numpy(dtype=float)
+            ln = pdf[lng_col].to_numpy(dtype=float)
+            buf.extend((int(t), float(a), float(o))
+                       for t, a, o in zip(ts, la, ln))
+        buf.sort()
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        n_final = 0
+        while n_final < len(buf) and buf[n_final][0] < wm_us:
+            n_final += 1
+        out = []
+        if n_final:
+            fin = buf[:n_final]
+            masks = mask_of(np.array([r[1] for r in fin]),
+                            np.array([r[2] for r in fin]))
+            prev = int(last_mask)
+            for (t, _, _), m in zip(fin, masks):
+                changed, m = prev ^ int(m), int(m)
+                bit = 0
+                while changed:
+                    if changed & 1:
+                        out.append((
+                            key[0], int(t), fence_ids[bit],
+                            "enter" if (m >> bit) & 1 else "exit",
+                        ))
+                    changed >>= 1
+                    bit += 1
+                prev = m
+            last_mask, _last_ts = prev, fin[-1][0]
+        rest = buf[n_final:]
+        state.update((
+            int(last_mask), int(_last_ts),
+            [r[0] for r in rest], [r[1] for r in rest],
+            [r[2] for r in rest],
+        ))
+        if rest:
+            # wake this key when its oldest buffered event can finalize
+            state.setTimeoutTimestamp(max(rest[0][0] // 1000 + 1,
+                                          wm_ms + 1))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user", "ts_us", "fence_id", "transition"],
+            )
+
+    stream = points.withColumn("_wts", F.col(ts_col).cast("timestamp")) \
+        .withWatermark("_wts", watermark_delay)
+    utype = points.schema[user_col].dataType.simpleString()
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=(f"user {utype}, ts_us long, fence_id long, "
+                          "transition string"),
+        stateStructType=("last_mask long, last_ts long, b_ts array<long>, "
+                         "b_lat array<double>, b_lng array<double>"),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
