@@ -2249,10 +2249,123 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEOFENCE_FILES = 3
+
+
+def _geofence_spool(spark: SparkSession, sf_dir: str) -> str:
+    """Cached ts-sliced parquet drops of the events GPS stream
+    (user_id, ts, lat, lng) for the geofence contract query. Each file
+    is a TIME SLICE (slice = pure function of ts, so equal timestamps
+    never straddle a boundary) with mtimes pinned in slice order — the
+    file source replays them as in-order micro-batches and the
+    0-second watermark never drops a row as late. The only rows the
+    stream withholds are the final-millisecond ones its own watermark
+    can never pass; the oracle replicates exactly that predicate.
+    Same generator-hash cache key and atomic-rename discipline as
+    _pages_spool."""
+    import hashlib
+    import inspect
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geospark import geodata as _geo_mod
+
+    gen_ver = hashlib.md5(
+        (inspect.getsource(_geo_mod) + inspect.getsource(_geofence_spool)
+         + sf_dir).encode()
+    ).hexdigest()[:10]
+    spool = f"/tmp/geospark_geofence_spool_{_GEOFENCE_FILES}_{gen_ver}"
+    if not os.path.exists(f"{spool}/_DONE"):
+        stage = f"{spool}.stage-{uuid.uuid4().hex[:8]}"
+        os.makedirs(stage)
+        pdf = (
+            G.events_points(spark, sf_dir)
+            .select("user_id", "ts", "lat", "lng")
+            .toPandas()
+        )
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        span = max(hi - lo + 1, 1)
+        bucket = ((ts_us - lo) * _GEOFENCE_FILES // span).clip(
+            upper=_GEOFENCE_FILES - 1
+        )
+        for i in range(_GEOFENCE_FILES):
+            f = f"{stage}/slice{i}.parquet"
+            tbl = pa.Table.from_pandas(pdf[bucket == i],
+                                       preserve_index=False)
+            # Spark's vectorized reader rejects TIMESTAMP(NANOS)
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("ts"), "ts",
+                tbl["ts"].cast(pa.timestamp("us")),
+            )
+            pq.write_table(tbl, f)
+            os.utime(f, (1_700_000_000 + i * 60,) * 2)
+        open(f"{stage}/_DONE", "w").close()
+        try:
+            os.rename(stage, spool)
+        except OSError:
+            if not os.path.exists(f"{spool}/_DONE"):
+                raise
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+    return spool
+
+
+def _q_geofence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofence enter/exit transitions
+    (geospark/streaming.py geofence_stream): the events GPS stream
+    replayed as time-sliced micro-batches through the watermark-exact
+    applyInPandasWithState operator against the demo polygon layer
+    (holes honored). The DuckDB oracle is a genuinely INDEPENDENT
+    derivation — batch lag-window diffs of the per-fence containment
+    predicate over the same finalized prefix (ts strictly below the
+    ms-floored global max, Spark's watermark arithmetic) — so green
+    certifies the stateful stream emits exactly the batch-semantics
+    transition set, not a plan echo."""
+    import tempfile
+
+    from geospark.streaming import geofence_stream
+
+    ckpt = tempfile.mkdtemp(prefix="geospark_geofence_ckpt_")
+    stream = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, lat double, lng double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_geofence_spool(spark, sf_dir))
+    )
+    out = geofence_stream(stream, G.demo_layer().areas)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("geospark_geofence_stream")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("geofence_stream: stream did not "
+                               "terminate within 300s — refusing to "
+                               "return a partial result")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(
+        "SELECT user AS user_id, ts_us, fence_id, transition "
+        "FROM geospark_geofence_stream"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "streaming_tiles": _q_streaming_tiles,
         "streaming_dedup": _q_streaming_dedup,
+        "geofence_stream": _q_geofence_stream,
         "pages_host_stats": _q_pages_host_stats,
         "pages_crawl_dedup": _q_pages_crawl_dedup,
         "event_sessions": _q_event_sessions,
@@ -4233,6 +4346,35 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": _values_sql(
             sd_rows,
             [("lang", "VARCHAR"), ("n_pages", "BIGINT"), ("n_hosts", "BIGINT")],
+        ),
+        # independent batch derivation of the streaming geofence
+        # transitions: per-fence containment lag-diff over the
+        # finalized prefix (ts strictly below the ms-floored global
+        # max — Spark tracks watermarks in milliseconds, so the final
+        # millisecond can never finalize under a 0s delay)
+        "geofence_stream": f"""
+            WITH pts AS ({pts}),
+            ev AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, lat, lng FROM pts
+            ),
+            fin AS (
+                SELECT * FROM ev
+                WHERE ts_us < (SELECT (max(ts_us) // 1000) * 1000 FROM ev)
+            )
+            """ + "\nUNION ALL\n".join(
+            f"""
+            SELECT user_id, ts_us, CAST({aid} AS BIGINT) AS fence_id,
+                   CASE WHEN m = 1 THEN 'enter' ELSE 'exit' END AS transition
+            FROM (
+                SELECT user_id, ts_us,
+                       CASE WHEN {sql} THEN 1 ELSE 0 END AS m,
+                       lag(CASE WHEN {sql} THEN 1 ELSE 0 END, 1, 0) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, lat, lng
+                       ) AS pm
+                FROM fin
+            ) WHERE m <> pm
+            """
+            for aid, sql in G.demo_layer_pip_sql("lat", "lng")
         ),
         "pages_host_stats": _values_sql(
             ph_rows,
