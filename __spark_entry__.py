@@ -758,6 +758,80 @@ def _q_doc_tfidf(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
 
 
+BM25_QUERIES = [
+    (1, ["spark", "join", "fast"]),
+    (2, ["window", "agg", "sort"]),
+    (3, ["customer", "stream", "vector"]),
+]
+BM25_K = 10
+
+
+def _q_doc_bm25(spark, sf_dir):
+    """BM25 top-k retrieval (textops.bm25_topk): three fixed term
+    probes against the documents corpus. Per-term contributions are
+    floor-quantized to integer micro-units BEFORE the per-(query,doc)
+    sum, so scores are BIGINTs and the ranking is float-summation-
+    order-proof; the corpus explode is filtered to the query
+    vocabulary before the tf shuffle (matched hits only, never the
+    corpus)."""
+    from geospark.textops import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=BM25_K)
+
+
+def _bm25_oracle() -> str:
+    """DuckDB twin of textops.bm25_topk over BM25_QUERIES — identical
+    expression tree (left-assoc float ops, ln isolated inside the
+    1e-6 floor quantization) so BIGINT scores match bit-exactly."""
+    from geospark.textops import BM25_B, BM25_K1
+
+    terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
+    )
+    k1, b = BM25_K1, BM25_B
+    idf = "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    norm = (f"(tf * {k1 + 1.0!r}) / "
+            f"(tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+        ),
+        tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf FROM base
+            WHERE term IN ({in_list})
+            GROUP BY 1, 2, 3
+        ),
+        dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        stats AS (
+            SELECT count(*) AS n_docs,
+                   CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+            FROM toks
+        ),
+        q(query_id, term) AS (VALUES {qvals}),
+        scored AS (
+            SELECT q.query_id, tf.doc_id,
+                   sum(CAST(floor(1000000.0 * {idf} * {norm})
+                       AS BIGINT)) AS score_q
+            FROM tf JOIN q USING (term) JOIN dfr USING (term)
+            CROSS JOIN stats
+            GROUP BY 1, 2
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(rn AS BIGINT) AS rn, doc_id, score_q
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score_q DESC, doc_id
+            ) AS rn FROM scored
+        ) WHERE rn <= {BM25_K}
+    """
+
+
 def _q_doc_repetition(spark, sf_dir):
     """Gopher-style repetition signals, zero-shuffle (sorted-array
     run-length folds instead of per-doc groupBy)."""
@@ -2430,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_chunk": _q_doc_chunk,
         "doc_tfidf": _q_doc_tfidf,
+        "doc_bm25": _q_doc_bm25,
         "doc_repetition": _q_doc_repetition,
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -3881,6 +3956,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(rnk AS INT) AS rnk, token, tf, df, score_r
             FROM ranked WHERE rnk <= {TFIDF_K}
         """,
+        "doc_bm25": _bm25_oracle(),
         "doc_repetition": """
             WITH base AS (
                 SELECT doc_id,

@@ -1028,3 +1028,91 @@ def mixture_epochs(docs: DataFrame, weight_expr: str | None = None,
             (F.col("_epoch0") + 1).cast("int").alias("epoch"),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
+              k: int = 10, k1: float = BM25_K1, b: float = BM25_B,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 relevance top-k per query over a token corpus — the
+    retrieval primitive a training-data pipeline uses for targeted
+    corpus slicing (find the k most on-topic documents per probe).
+
+    Formula (Lucene variant): for each query term t in doc d,
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        norm(t,d) = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    and the per-term contribution is FLOOR-QUANTIZED to integer
+    micro-units BEFORE the per-(query, doc) sum, so document scores
+    are BIGINTs: the ranking is immune to float-summation order and
+    bit-identical across engines (ln is the only libm call, isolated
+    inside the quantization, where a 1-ulp disagreement would have to
+    straddle a 1e-6 boundary to matter).
+
+    100-TB plan shape: the corpus explode is filtered to the query
+    vocabulary BEFORE the tf groupBy, so the one real shuffle carries
+    only matched (doc, term) hits, not the corpus; df and the query
+    relation broadcast; the final top-k window runs on the
+    candidates-only relation (docs sharing >= 1 query term).
+
+    Returns (query_id, rn, doc_id, score_q) with rn = 1..k ranked by
+    (score_q DESC, doc_id)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    spark = docs.sparkSession
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    qrel = spark.createDataFrame(
+        [(int(qid), t) for qid, ts in queries for t in ts],
+        "query_id long, term string",
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+    ).select(
+        "doc_id", F.size("_t").cast("long").alias("dl"),
+        F.explode("_t").alias("term"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.select(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long").alias("dl")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(broadcast(qrel), "term")
+        .join(broadcast(df_rel), "term")
+        .crossJoin(broadcast(stats))
+        .select(
+            "query_id", "doc_id",
+            F.floor(F.lit(1000000.0) * idf * norm).cast("long").alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("rn").cast("long").alias("rn"),
+                "doc_id", "score_q")
+    )

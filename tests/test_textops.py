@@ -572,3 +572,55 @@ def test_dup_span_stats_exact_copy(spark):
         assert r["n_positions"] == 21
         assert r["n_dup_positions"] == 21
         assert r["dup_ppm"] == 1_000_000
+
+
+def test_bm25_topk_matches_python_twin(spark):
+    """bm25_topk vs an independent scalar twin: exact BIGINT scores
+    and ranking on a corpus with repeated terms, varied doc lengths,
+    and one doc matching nothing."""
+    import math
+
+    corpus = [
+        (0, "spark join fast spark spark table"),
+        (1, "join fast"),
+        (2, "window agg sort window table row scan value key agg"),
+        (3, "the a of and or but"),          # matches nothing
+        (4, "fast fast fast fast join spark window"),
+    ]
+    queries = [(1, ["spark", "join", "fast"]), (2, ["window", "agg"])]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r["query_id"], r["rn"]): (r["doc_id"], r["score_q"])
+        for r in T.bm25_topk(docs, queries, k=3).collect()
+    }
+
+    toks = {d: t.split() for d, t in corpus}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    want = {}
+    for qid, terms in queries:
+        scores = {}
+        for d, t in toks.items():
+            s = 0
+            for term in terms:
+                tf = t.count(term)
+                if not tf:
+                    continue
+                idf = math.log(
+                    1.0 + (n - df[term] + 0.5) / (df[term] + 0.5)
+                )
+                norm = (tf * (T.BM25_K1 + 1.0)) / (
+                    tf + T.BM25_K1
+                    * (1.0 - T.BM25_B + T.BM25_B * len(t) / avgdl)
+                )
+                s += math.floor(1000000.0 * idf * norm)
+            if s or any(term in t for term in terms):
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rn, (d, s) in enumerate(ranked[:3], 1):
+            want[(qid, rn)] = (d, s)
+    assert got == want
