@@ -573,6 +573,24 @@ def main() -> None:
               "is the partial-aggregated rollup on doc_id.",
     )
 
+    # BM25: query vocabulary filtered BEFORE the tf shuffle, df +
+    # query relations broadcast, scores integer from the quantization
+    audit(
+        "doc_bm25 (BM25 top-k retrieval)",
+        q["doc_bm25"](spark, sf_dir),
+        must=["* BroadcastHashJoin", "partial_count",
+              "BroadcastNestedLoopJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "SortMergeJoin", "CartesianProduct"],
+        notes="the corpus explode is filtered to the query vocabulary "
+              "before the tf groupBy (the one real exchange carries "
+              "matched hits only); the query and df relations "
+              "broadcast-hash-join; the 1-row corpus stats join is a "
+              "broadcast nested loop; per-term scores floor-quantize "
+              "to BIGINT micro-units so the final rank is integer "
+              "order, no float-summation hazard.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
