@@ -1052,10 +1052,16 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
     straddle a 1e-6 boundary to matter).
 
     100-TB plan shape: the corpus explode is filtered to the query
-    vocabulary BEFORE the tf groupBy, so the one real shuffle carries
-    only matched (doc, term) hits, not the corpus; df and the query
-    relation broadcast; the final top-k window runs on the
-    candidates-only relation (docs sharing >= 1 query term).
+    vocabulary INSIDE the generate stage (narrow — the isin filter
+    runs before any exchange), so the one real shuffle carries only
+    matched (doc, term) hits, ~sum(df) rows, never the corpus. The
+    tiny candidate relation is spooled once and feeds both the df
+    aggregate and the scoring join (one corpus scan for candidates,
+    one text-only-pruned scan for the global stats); df and the query
+    relation broadcast; the final top-k window runs on candidates
+    only. (A stacked size(filter(tokens, = term)) variant avoids the
+    explode but loses: higher-order-function lambdas are interpreted
+    per element, not codegen'd — measured slower at 5M docs.)
 
     Returns (query_id, rn, doc_id, score_q) with rn = 1..k ranked by
     (score_q DESC, doc_id)."""
@@ -1068,18 +1074,25 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
         [(int(qid), t) for qid, ts in queries for t in ts],
         "query_id long, term string",
     )
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
-    ).select(
-        "doc_id", F.size("_t").cast("long").alias("dl"),
-        F.explode("_t").alias("term"),
-    )
     tf = (
-        toks.filter(F.col("term").isin(all_terms))
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+        )
+        .select(
+            "doc_id", F.size("_t").cast("long").alias("dl"),
+            F.explode("_t").alias("term"),
+        )
+        .filter(F.col("term").isin(all_terms))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
+    # tf (the tiny candidate relation) feeds both df and the scoring
+    # join — spool it so the corpus scan runs once for the candidates
+    # (stats below is a second, text-only-pruned scan)
+    from geospark.spool import spool
+
+    tf = spool(tf, "bm25_tf")
     df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = docs.select(
         F.size(F.split(F.trim(F.col(text_col)), r"\s+"))

@@ -138,6 +138,21 @@ def main() -> None:
         "rows_out": T.token_stats(docs).count(),
     })
 
+    def _bm25():
+        # 3 probes x 3 terms over the 50k-token vocabulary: expected
+        # df per term ~ n*40/50000, so the candidate relation (docs
+        # sharing >= 1 probe term) is ~9*df rows — the vocabulary
+        # filter before the tf shuffle is what this row evidences
+        probes = [
+            (1, ["t00042", "t01337", "t02718"]),
+            (2, ["t10007", "t20011", "t30013"]),
+            (3, ["t40009", "t45007", "t49999"]),
+        ]
+        top = T.bm25_topk(docs, probes, k=10)
+        return {"rows_out": top.count()}
+
+    run("bm25_topk_3probes", _bm25)
+
     def _dup_spans():
         # the known dup structure (~15% mutated copies) makes the
         # duplicated-window population interpretable at scale
