@@ -779,6 +779,77 @@ def _q_doc_bm25(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=BM25_K)
 
 
+LM_REF_LANG = "en"
+
+
+def _q_doc_lm_ppl(spark, sf_dir):
+    """Bigram-LM perplexity quality scoring (textops.lm_score): the
+    CCNet-style filter — train an add-alpha bigram LM on the 'en'
+    slice, score EVERY document's negative log likelihood as integer
+    micro-nats (BIGINT; float-summation-order-proof like BM25). The
+    model relations are vocab-sized, so scoring is two hash joins +
+    one rollup regardless of corpus size."""
+    from geospark.textops import lm_score
+
+    return lm_score(_docs(spark, sf_dir), LM_REF_LANG)
+
+
+def _lm_ppl_oracle() -> str:
+    """DuckDB twin of textops.lm_score: same token split, same
+    add-0.5 smoothing, term-identical floor((0-ln(p))*1e6)
+    quantization; <2-token docs recovered by the outer join from
+    documents with 0/0."""
+    from geospark.textops import LM_ALPHA
+
+    a = repr(LM_ALPHA)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        uni AS (
+            SELECT w, count(*) AS c1 FROM (
+                SELECT unnest(t) AS w FROM toks
+                WHERE lang = '{LM_REF_LANG}'
+            ) GROUP BY 1
+        ),
+        vocab AS (SELECT count(*) AS v FROM uni),
+        bi AS (
+            SELECT w1, w2, count(*) AS c12 FROM (
+                SELECT unnest(t[1:len(t)-1]) AS w1,
+                       unnest(t[2:]) AS w2
+                FROM toks WHERE lang = '{LM_REF_LANG}'
+            ) GROUP BY 1, 2
+        ),
+        stream AS (
+            SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+                   unnest(t[2:]) AS w2
+            FROM toks
+        ),
+        terms AS (
+            SELECT s.doc_id,
+                   CAST(floor((0.0 - ln(
+                       (COALESCE(b.c12, 0) + {a})
+                       / (COALESCE(u.c1, 0) + {a} * v.v)
+                   )) * 1000000.0) AS BIGINT) AS nll
+            FROM stream s
+            LEFT JOIN bi b ON s.w1 = b.w1 AND s.w2 = b.w2
+            LEFT JOIN uni u ON s.w1 = u.w
+            CROSS JOIN vocab v
+        ),
+        rolled AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(nll) AS BIGINT) AS nll_micro
+            FROM terms GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(r.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(r.nll_micro, 0) AS BIGINT) AS nll_micro
+        FROM documents d LEFT JOIN rolled r USING (doc_id)
+    """
+
+
 def _bm25_oracle() -> str:
     """DuckDB twin of textops.bm25_topk over BM25_QUERIES — identical
     expression tree (left-assoc float ops, ln isolated inside the
@@ -2505,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": _q_doc_chunk,
         "doc_tfidf": _q_doc_tfidf,
         "doc_bm25": _q_doc_bm25,
+        "doc_lm_ppl": _q_doc_lm_ppl,
         "doc_repetition": _q_doc_repetition,
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -3957,6 +4029,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rnk <= {TFIDF_K}
         """,
         "doc_bm25": _bm25_oracle(),
+        "doc_lm_ppl": _lm_ppl_oracle(),
         "doc_repetition": """
             WITH base AS (
                 SELECT doc_id,

@@ -1129,3 +1129,99 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
         .select("query_id", F.col("rn").cast("long").alias("rn"),
                 "doc_id", "score_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+LM_ALPHA = 0.5  # add-alpha (Lidstone) smoothing mass per bigram type
+
+
+def lm_score(docs: DataFrame, ref_lang: str, alpha: float = LM_ALPHA,
+             id_col: str = "doc_id", text_col: str = "text",
+             lang_col: str = "lang") -> DataFrame:
+    """Bigram language-model negative log likelihood per document —
+    the CCNet-style quality filter (Wenzek et al. 2020): train a small
+    LM on a trusted reference slice, score every document, and keep
+    the low-perplexity head of the corpus.  Here the reference slice
+    is ``lang = ref_lang`` and the model is an add-alpha bigram LM:
+
+        p(w2 | w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * V)
+
+    with V = reference unigram-type count.  Each bigram contributes
+    ``floor(-ln(p) * 1e6)`` integer micro-nats, summed per document
+    into a BIGINT ``nll_micro`` — like :func:`bm25_topk`, the score is
+    immune to float-summation order (ln is the only libm call,
+    isolated inside the quantization), so ranking thresholds are
+    bit-reproducible across engines.  Perplexity is the monotone
+    transform exp(nll_micro / (1e6 * n_bigrams)); downstream filters
+    can threshold ``nll_micro * 1 per n_bigrams`` without ever
+    materializing the float.
+
+    100-TB plan shape: the model relations are VOCAB-sized, not
+    corpus-sized — unigram and bigram counts are one partial-agg
+    shuffle each over the reference slice (which predicate-pushes
+    ``lang`` to the scan); scoring is two hash joins of the corpus
+    bigram stream against those counts (AQE broadcasts them when they
+    fit, which a per-language web vocabulary typically does) plus one
+    partial-agg rollup on doc_id.  Documents with < 2 tokens survive
+    with n_bigrams = 0 via explode_outer.
+
+    Returns (doc_id, n_bigrams, nll_micro).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("_lang"),
+        F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_t"),
+    )
+    ref = toks.filter(F.col("_lang") == ref_lang)
+    uni = (
+        ref.select(F.explode("_t").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c1"))
+    )
+    uni = spool(uni, "lm_uni")
+    vocab = uni.agg(F.count("*").alias("v"))
+    pairs_expr = (
+        "CASE WHEN size(_t) >= 2 THEN "
+        "transform(sequence(1, size(_t) - 1), "
+        "i -> struct(_t[i - 1] AS w1, _t[i] AS w2)) "
+        "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
+    )
+    bi = (
+        ref.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    )
+    # corpus bigram stream: explode_outer keeps <2-token docs (their
+    # pair struct is NULL -> count(w1) = 0, sum coalesces to 0)
+    stream = toks.select(
+        "doc_id", F.explode_outer(F.expr(pairs_expr)).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+    # unseen bigram/unigram -> counts 0 (the smoothing handles them);
+    # the expression tree (left-assoc +, one ln, floor-quantize) is
+    # replicated term-identically in the DuckDB oracle
+    term = F.floor(
+        (F.lit(0.0) - F.log(
+            (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+        )) * F.lit(1000000.0)
+    ).cast("long")
+    scored = (
+        stream.join(bi, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.col("w1").alias("_hit"),
+            F.when(F.col("w1").isNull(), F.lit(None).cast("long"))
+            .otherwise(term).alias("_nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("_hit").alias("n_bigrams"),
+            F.coalesce(F.sum("_nll"), F.lit(0)).cast("long")
+            .alias("nll_micro"),
+        )
+    )

@@ -624,3 +624,37 @@ def test_bm25_topk_matches_python_twin(spark):
         for rn, (d, s) in enumerate(ranked[:3], 1):
             want[(qid, rn)] = (d, s)
     assert got == want
+
+
+def test_lm_score_hand_computed(spark):
+    """Add-0.5 bigram LM on a tiny 'en' reference; every nll term
+    hand-derivable: uni = {a:3, b:2}, V=2, bi = {(a,b):1, (b,a):2}."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a", "en"),   # ref: bigrams (a,b), (b,a)
+            (1, "b a", "en"),     # ref: bigram (b,a)
+            (2, "a b", "xx"),     # scored: seen bigram
+            (3, "z z", "xx"),     # scored: fully OOV
+            (4, "a", "xx"),       # scored: <2 tokens -> 0/0
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r for r in T.lm_score(docs, "en").collect()}
+
+    def nll(c12, c1, v=2):
+        return math.floor(-math.log((c12 + 0.5) / (c1 + 0.5 * v)) * 1e6)
+
+    # doc 2: (a,b) -> (1+.5)/(3+1)
+    assert (got[2]["n_bigrams"], got[2]["nll_micro"]) == (1, nll(1, 3))
+    # doc 3: (z,z) OOV -> (0+.5)/(0+1) = 0.5
+    assert (got[3]["n_bigrams"], got[3]["nll_micro"]) == (1, nll(0, 0))
+    # doc 4: single token survives with zeros
+    assert (got[4]["n_bigrams"], got[4]["nll_micro"]) == (0, 0)
+    # reference docs are scored too; doc 1 = one (b,a) hit: (2+.5)/(2+1)
+    assert (got[1]["n_bigrams"], got[1]["nll_micro"]) == (1, nll(2, 2))
+    # doc 0: (a,b) + (b,a)
+    assert got[0]["nll_micro"] == nll(1, 3) + nll(2, 2)
+    # low-perplexity ordering: in-distribution doc 1 beats OOV doc 3
+    assert got[1]["nll_micro"] < got[3]["nll_micro"]
