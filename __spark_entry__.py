@@ -780,6 +780,35 @@ def _q_doc_bm25(spark, sf_dir):
 
 
 LM_REF_LANG = "en"
+BPE_MERGES = 12
+
+
+def _q_doc_bpe(spark, sf_dir):
+    """BPE tokenizer-merge training (textops.bpe_train): 12 merge
+    rounds over the documents corpus. The corpus is touched by ONE
+    word-count shuffle; every round then pair-counts the vocab-sized
+    symbol relation (partial-agg), moves exactly one argmax row to
+    the driver, and merges via a codegen'd aggregate() fold. Oracle
+    is the classic dict-based BPE (goldens.bpe_merges) — a different
+    algorithm, so green certifies the merge-table semantics."""
+    from geospark.textops import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+
+
+def _oracle_word_freqs() -> list[tuple[str, int]]:
+    """(word, freq) over the oracle-SF documents — input of the BPE
+    golden twin."""
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = con.sql(
+        f"SELECT w, count(*) AS f FROM ("
+        f"SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w "
+        f"FROM read_parquet('{_oracle_sf_dir()}/documents.parquet')"
+        f") WHERE w <> '' GROUP BY 1 ORDER BY 1"
+    ).df()
+    return [(str(w), int(f)) for w, f in zip(pdf["w"], pdf["f"])]
 
 
 def _q_doc_lm_ppl(spark, sf_dir):
@@ -2577,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": _q_doc_tfidf,
         "doc_bm25": _q_doc_bm25,
         "doc_lm_ppl": _q_doc_lm_ppl,
+        "doc_bpe": _q_doc_bpe,
         "doc_repetition": _q_doc_repetition,
         "doc_line_dedup": _q_doc_line_dedup,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -3762,6 +3792,10 @@ def oracle_sql() -> dict[str, str]:
     cl_rows = [
         (int(m), int(c)) for m, c in GO.cluster_hist(ev_lats, ev_lngs, ev_ids, 5000.0)
     ]
+    bpe_rows = [
+        (int(r), l, rr, int(c))
+        for r, l, rr, c in GO.bpe_merges(_oracle_word_freqs(), BPE_MERGES)
+    ]
     st_rows = [
         (int(tx), int(ty), int(c)) for tx, ty, c in GO.stream_tile_counts(2000, 6)
     ]
@@ -4487,6 +4521,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cluster": _values_sql(
             cl_rows, [("n_members", "BIGINT"), ("n_clusters", "BIGINT")]
+        ),
+        # independent-ALGORITHM oracle: classic dict-based BPE
+        # (goldens.bpe_merges) over the same (word, freq) relation vs
+        # the engine's relational aggregate() fold
+        "doc_bpe": _values_sql(
+            bpe_rows,
+            [("rank", "BIGINT"), ("lhs", "VARCHAR"), ("rhs", "VARCHAR"),
+             ("pair_count", "BIGINT")],
         ),
         "streaming_tiles": _values_sql(
             st_rows,

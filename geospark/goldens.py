@@ -846,3 +846,42 @@ def frechet_to_ref_py(traj: list[tuple[float, float]],
         return len(traj), c(len(traj) - 1, len(ref) - 1)
     finally:
         sys.setrecursionlimit(old)
+
+
+def bpe_merges(word_freqs: list[tuple[str, int]],
+               n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Classic dict-based BPE merge learning (Sennrich et al. 2016) —
+    the independent twin of textops.bpe_train's relational fold.
+    Symbols = chars + trailing '</w>' marker; per round: count
+    adjacent pairs weighted by word freq (overlapping positions all
+    count), take (count DESC, lhs ASC, rhs ASC), merge left-to-right
+    non-overlapping. Returns [(rank, lhs, rhs, pair_count)]."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in word_freqs:
+        k = tuple(list(w) + ["</w>"])
+        vocab[k] = vocab.get(k, 0) + int(f)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + f
+        if not pc:
+            break
+        (lhs, rhs), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lhs, rhs, cnt))
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == lhs and s == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(s)
+            k = tuple(out)
+            nxt[k] = nxt.get(k, 0) + f
+        vocab = nxt
+    return merges

@@ -1225,3 +1225,90 @@ def lm_score(docs: DataFrame, ref_lang: str, alpha: float = LM_ALPHA,
             .alias("nll_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (distributed, word-frequency based)
+# ---------------------------------------------------------------------------
+def bpe_train(docs: DataFrame, n_merges: int = 10,
+              text_col: str = "text") -> DataFrame:
+    """Learn byte-pair-encoding merges over the corpus — the tokenizer-
+    training step of an LLM data pipeline.  Classic word-frequency BPE
+    (Sennrich et al. 2016): aggregate the corpus to (word, freq) once,
+    represent each word as its character symbols plus a trailing
+    '</w>' marker, then repeatedly (a) count adjacent symbol pairs
+    weighted by word freq, (b) take the most frequent pair — ties
+    break on (pair_count DESC, left ASC, right ASC), binary string
+    order in both engines — and (c) merge that pair left-to-right
+    non-overlapping inside every word.
+
+    100-TB plan shape: the ONLY corpus-sized stage is the initial
+    word-count shuffle (partial-agg; empty tokens dropped).  Every
+    merge round then operates on the VOCAB-sized (word, freq, syms)
+    relation — pair counting is one partial-agg shuffle of ~|vocab|
+    rows, the argmax moves exactly ONE row to the driver (the same
+    aggregate-only driver contract as the kNN escalation loop), and
+    the merge itself is a codegen'd aggregate() fold over each symbol
+    array (no Python).  The per-round relation is spooled so lineage
+    stays flat across rounds.
+
+    Returns (rank, lhs, rhs, pair_count), rank = 1..n_merges
+    (fewer if the vocabulary exhausts)."""
+    from geospark.spool import spool as _spool
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(f"split(trim({text_col}), '\\\\s+')")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("freq"))
+    )
+    syms = words.select(
+        "freq",
+        F.expr(
+            "concat(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1)), array('</w>'))"
+        ).alias("s"),
+    )
+    syms = _spool(syms, "bpe_syms_0")
+    merges: list[tuple[int, str, str, int]] = []
+    pair_expr = (
+        "transform(sequence(1, size(s) - 1), "
+        "i -> struct(s[i - 1] AS l, s[i] AS r))"
+    )
+    for rank in range(1, n_merges + 1):
+        pc = (
+            syms.select("freq", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy("p.l", "p.r").agg(F.sum("freq").alias("pair_count"))
+        )
+        top = (
+            pc.orderBy(F.col("pair_count").desc(), "l", "r")
+            .limit(1).collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
+        merges.append((rank, left, right, cnt))
+        merged = F.concat(F.lit(left), F.lit(right))
+        syms = syms.select(
+            "freq",
+            F.aggregate(
+                "s",
+                F.array().cast("array<string>"),
+                lambda acc, c: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (c == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(c))),
+            ).alias("s"),
+        )
+        syms = _spool(syms, f"bpe_syms_{rank}")
+    return spark.createDataFrame(
+        merges, "rank long, lhs string, rhs string, pair_count long"
+    )

@@ -658,3 +658,33 @@ def test_lm_score_hand_computed(spark):
     assert got[0]["nll_micro"] == nll(1, 3) + nll(2, 2)
     # low-perplexity ordering: in-distribution doc 1 beats OOV doc 3
     assert got[1]["nll_micro"] < got[3]["nll_micro"]
+
+
+def test_bpe_train_matches_classic(spark):
+    """Relational BPE fold == classic dict BPE (the Sennrich 2016
+    worked example: est</w> assembles in 3 merges at count 9) — and
+    the overlapping-run merge is left-to-right non-overlapping."""
+    from geospark.goldens import bpe_merges
+
+    corpus = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+              + ["widest"] * 3)
+    docs = spark.createDataFrame(
+        [(0, " ".join(corpus))], "doc_id long, text string")
+    got = [(r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+           for r in T.bpe_train(docs, n_merges=5).collect()]
+    want = bpe_merges([("low", 5), ("lower", 2), ("newest", 6),
+                       ("widest", 3)], 5)
+    assert got == want
+    assert got[:3] == [(1, "e", "s", 9), (2, "es", "t", 9),
+                       (3, "est", "</w>", 9)]
+
+    # overlapping pair run: 'aaaa' counts 3 adjacent (a,a) positions
+    # but merges to exactly two 'aa' symbols (left-to-right)
+    docs2 = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa")], "doc_id long, text string")
+    got2 = [(r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+            for r in T.bpe_train(docs2, n_merges=2).collect()]
+    assert got2 == bpe_merges([("aaaa", 3)], 2)
+    assert got2[0] == (1, "a", "a", 9)   # 3 positions x freq 3
+    # round 2 ties (aa,aa) with (aa,</w>) at 3; '<' sorts before 'a'
+    assert got2[1] == (2, "aa", "</w>", 3)
