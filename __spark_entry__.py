@@ -2165,6 +2165,56 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(ev, edges, iters=PR_ITERS)
 
 
+TRI_EDGE_SALTS = PR_EDGE_SALTS + [(4, 31337), (5, 6700417), (6, 179424673)]
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (graph.triangle_count) over a denser
+    6-salt deterministic link graph on the event ids. The engine uses
+    DEGREE-ordered orientation (out-degree O(sqrt m) — no celebrity
+    hot vertex); the oracle closes wedges with plain NODE-order
+    orientation — a different intermediate relation, so green
+    certifies the triangle semantics, not the plan."""
+    from geospark.graph import triangle_count
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("node"))
+    nn = ev.agg(F.count("*").alias("_n"))
+    edges = ev.crossJoin(F.broadcast(nn)).select(
+        F.col("node").alias("src"),
+        F.explode(F.array(*[
+            (F.col("node") * F.lit(p) + F.lit(j)) % F.col("_n")
+            for j, p in TRI_EDGE_SALTS
+        ])).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+def _triangles_oracle() -> str:
+    """DuckDB twin of _q_triangles using node-id orientation (e1.a <
+    e1.b < e2.b) instead of the engine's degree orientation."""
+    jp = ", ".join(f"({j}, {p})" for j, p in TRI_EDGE_SALTS)
+    return f"""
+        WITH nodes AS (SELECT event_id AS node FROM events),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        jp(j, p) AS (VALUES {jp}),
+        edges AS (SELECT node AS src,
+                         (node * p + j) % (SELECT n FROM nn) AS dst
+                  FROM nodes CROSS JOIN jp),
+        e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges WHERE src <> dst),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT node, count(*) AS n_tri FROM (
+            SELECT unnest([x, y, z]) AS node FROM tri
+        ) GROUP BY 1
+    """
+
+
 KMV_K = 128
 
 
@@ -2567,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staypoints": _q_staypoints,
         "colocate": _q_colocate,
         "pagerank": _q_pagerank,
+        "triangles": _q_triangles,
         "convex_hull": _q_convex_hull,
         "polygon_area": _q_polygon_area,
         "frechet": _q_frechet,
@@ -4853,6 +4904,7 @@ def oracle_sql() -> dict[str, str]:
         "staypoints": _staypoints_oracle(),
         "colocate": _colocate_oracle(),
         "pagerank": _pagerank_oracle(),
+        "triangles": _triangles_oracle(),
         "convex_hull": _convex_hull_oracle(),
         "polygon_area": _polygon_area_oracle(),
         "frechet": _frechet_oracle(),

@@ -114,3 +114,48 @@ def test_cc_disjoint_pair_edges(spark):
     _check(spark, [(2 * i, 2 * i + 1) for i in range(20)])
     # mixed: pre-converged pairs + one multi-edge component
     _check(spark, [(0, 9), (9, 13), (20, 21), (30, 31)])
+
+
+def _tri_brute(edges):
+    """Brute-force per-node triangle counts via all-triples."""
+    from itertools import combinations
+
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in es for n in e})
+    cnt: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if ((x, y) in es and (x, z) in es and (y, z) in es):
+            for n in (x, y, z):
+                cnt[n] = cnt.get(n, 0) + 1
+    return cnt
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Degree-oriented wedge counting == all-triples brute force on
+    K4 + pendant path + self-loops + duplicate/reversed edges."""
+    from geospark.graph import triangle_count
+
+    edges = (
+        # K4 on 0..3 -> 4 triangles, every vertex in 3
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        # pendant path (no triangles) + a 5-cycle chord triangle
+        + [(3, 10), (10, 11), (20, 21), (21, 22), (20, 22)]
+        # noise: self-loop, duplicate, reversed duplicate
+        + [(5, 5), (0, 1), (1, 0)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_tri"]
+           for r in triangle_count(df).collect()}
+    assert got == _tri_brute(edges)
+    assert got[0] == 3 and got[20] == 1 and 10 not in got
+
+    # random graphs: p=0.25 G(n=18) x 3 seeds
+    import random
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        es = [(a, b) for a in range(18) for b in range(a + 1, 18)
+              if rng.random() < 0.25]
+        df = spark.createDataFrame(es, "src long, dst long")
+        got = {r["node"]: r["n_tri"]
+               for r in triangle_count(df).collect()}
+        assert got == _tri_brute(es), f"seed {seed}"
