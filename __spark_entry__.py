@@ -2165,6 +2165,36 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(ev, edges, iters=PR_ITERS)
 
 
+PQ_M = 4
+PQ_CODES = 16
+
+
+def _q_emb_pq(spark, sf_dir):
+    """Integer-exact product quantization + ADC top-k
+    (embeddings.pq_topk): components quantized to floor(x*1e6)
+    BIGINTs so every code assignment and ADC distance is a pure
+    integer sum — deterministic in any engine. Corpus compresses to
+    m codes/vector; queries look distances up in a broadcast m x 16
+    LUT. Oracle = an independent plain-Python PQ (goldens.pq_topk_py)."""
+    from geospark.embeddings import pq_topk
+
+    return pq_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=10,
+                   m=PQ_M, n_codes=PQ_CODES)
+
+
+def _oracle_vecs() -> list[tuple[int, list[float]]]:
+    """(vec_id, embedding) at the oracle SF ordered by vec_id."""
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = con.sql(
+        f"SELECT vec_id, embedding FROM read_parquet("
+        f"'{_oracle_sf_dir()}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    return [(int(i), [float(x) for x in v])
+            for i, v in zip(pdf["vec_id"], pdf["embedding"])]
+
+
 TRI_EDGE_SALTS = PR_EDGE_SALTS + [(4, 31337), (5, 6700417), (6, 179424673)]
 
 
@@ -2663,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf": _q_emb_ivf,
+        "emb_pq": _q_emb_pq,
         "emb_neardup": _q_emb_neardup,
         "emb_quantize": _q_emb_quantize,
         "multimodal_features": _q_multimodal_features,
@@ -3847,6 +3878,7 @@ def oracle_sql() -> dict[str, str]:
         (int(r), l, rr, int(c))
         for r, l, rr, c in GO.bpe_merges(_oracle_word_freqs(), BPE_MERGES)
     ]
+    pq_rows = GO.pq_topk_py(_oracle_vecs(), EMB_QUERY_IDS, 10, PQ_M, PQ_CODES)
     st_rows = [
         (int(tx), int(ty), int(c)) for tx, ty, c in GO.stream_tile_counts(2000, 6)
     ]
@@ -4576,6 +4608,12 @@ def oracle_sql() -> dict[str, str]:
         # independent-ALGORITHM oracle: classic dict-based BPE
         # (goldens.bpe_merges) over the same (word, freq) relation vs
         # the engine's relational aggregate() fold
+        # independent-ALGORITHM oracle: plain-Python integer PQ
+        "emb_pq": _values_sql(
+            pq_rows,
+            [("query_id", "BIGINT"), ("rn", "BIGINT"), ("vec_id", "BIGINT"),
+             ("d2_q", "BIGINT")],
+        ),
         "doc_bpe": _values_sql(
             bpe_rows,
             [("rank", "BIGINT"), ("lhs", "VARCHAR"), ("rhs", "VARCHAR"),

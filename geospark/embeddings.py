@@ -507,3 +507,141 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
         (F.expr(mx) / F.lit(127.0)).alias("scale"),
         F.expr(f"transform({q}, x -> coalesce(x, 0))").alias("q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (integer-exact PQ-ADC)
+# ---------------------------------------------------------------------------
+PQ_QSCALE = "1000000.0"  # component quantizer: floor(x * 1e6) -> BIGINT
+
+
+def _pq_qsub_sql(vec_col: str, s: int, dsub: int) -> str:
+    """SQL text of subspace ``s``'s INTEGER-quantized subvector:
+    every float32 component is exactly widened to double, scaled by
+    1e6 and floored to BIGINT — all PQ distances downstream are pure
+    integer sums, immune to float-summation order in any engine."""
+    return (
+        f"transform(slice({vec_col}, {s * dsub + 1}, {dsub}), "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_QSCALE}) AS BIGINT))"
+    )
+
+
+_PQ_D2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, v) -> acc + v)"
+)
+
+
+def pq_codebook(emb: DataFrame, m: int = 4, n_codes: int = 16,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                dim: int | None = None) -> DataFrame:
+    """(s, c_id, c_q) — per-subspace codebooks from the first
+    ``n_codes`` vectors by id (the same deterministic-sample
+    convention as :func:`ivf_assign`; a k-means trainer feeds the
+    identical relation at real scale). m * n_codes rows — always
+    broadcastable."""
+    d = dim if dim is not None else (
+        emb.select(F.size(vec_col).alias("_d")).first()["_d"])
+    dsub = d // m
+    subs = ", ".join(
+        f"struct({s} AS s, {_pq_qsub_sql(vec_col, s, dsub)} AS c_q)"
+        for s in range(m)
+    )
+    return emb.filter(F.col(id_col) < n_codes).select(
+        F.col(id_col).alias("c_id"),
+        F.explode(F.expr(f"array({subs})")).alias("_e"),
+    ).select("_e.s", "c_id", "_e.c_q")
+
+
+def pq_encode(emb: DataFrame, m: int = 4, n_codes: int = 16,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              dim: int | None = None) -> DataFrame:
+    """PQ encoding: each vector becomes m uint8-sized codes — the
+    64-dim float corpus compresses to m bytes/vector (plus the tiny
+    codebook), the memory step that makes billion-vector ANN fit.
+
+    Plan: one narrow pass — each vector explodes to its m quantized
+    subvectors, joins the BROADCAST codebook on the subspace id, and
+    argmins the exact integer L2 via the (d2, c_id) min-struct
+    (deterministic ties). One vec_id regroup assembles the code
+    array. Returns (vec_id, codes: array<int>), codes[s] = nearest
+    centroid of subspace s."""
+    d = dim if dim is not None else (
+        emb.select(F.size(vec_col).alias("_d")).first()["_d"])
+    dsub = d // m
+    cb = pq_codebook(emb, m, n_codes, id_col, vec_col, dim=d)
+    subs = ", ".join(
+        f"struct({s} AS s, {_pq_qsub_sql(vec_col, s, dsub)} AS v_q)"
+        for s in range(m)
+    )
+    exploded = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(F.expr(f"array({subs})")).alias("_e"),
+    ).select("vec_id", "_e.s", "_e.v_q")
+    d2 = F.expr(_PQ_D2.format(a="v_q", b="c_q"))
+    best = F.min(F.struct(d2.alias("d2"), F.col("c_id"))).alias("_b")
+    codes = (
+        exploded.join(F.broadcast(cb), "s")
+        .groupBy("vec_id", "s").agg(best)
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "_b"))).alias("_a"))
+        .select(
+            "vec_id",
+            F.expr("transform(_a, e -> CAST(e._b.c_id AS INT))")
+            .alias("codes"),
+        )
+    )
+    return codes
+
+
+def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+            m: int = 4, n_codes: int = 16, id_col: str = "vec_id",
+            vec_col: str = "embedding",
+            dim: int | None = None) -> DataFrame:
+    """PQ-ADC approximate top-k: asymmetric distance computation —
+    each query precomputes its exact integer L2 to every codebook
+    centroid (an m x n_codes lookup table, broadcast), and a
+    vector's approximate distance is the BIGINT sum of its m code
+    lookups. The corpus-sized work is one broadcast-join + one
+    partial-aggregatable (query, vec) rollup over m-row groups — no
+    full vectors move after encoding, which is the point of PQ at
+    10^9+ vectors.
+
+    Returns (query_id, rn, vec_id, d2_q) with rn = 1..k ranked by
+    (adc d2 ASC, vec_id) — integer-deterministic in any engine."""
+    d = dim if dim is not None else (
+        emb.select(F.size(vec_col).alias("_d")).first()["_d"])
+    dsub = d // m
+    cb = pq_codebook(emb, m, n_codes, id_col, vec_col, dim=d)
+    codes = pq_encode(emb, m, n_codes, id_col, vec_col, dim=d)
+    subs = ", ".join(
+        f"struct({s} AS s, {_pq_qsub_sql(vec_col, s, dsub)} AS q_q)"
+        for s in range(m)
+    )
+    queries = emb.filter(
+        F.col(id_col).isin([int(q) for q in query_ids])
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.expr(f"array({subs})")).alias("_e"),
+    ).select("query_id", "_e.s", "_e.q_q")
+    lut = queries.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "c_id",
+        F.expr(_PQ_D2.format(a="q_q", b="c_q")).alias("pd"),
+    )
+    flat = codes.select(
+        "vec_id", F.posexplode("codes").alias("s", "c_id")
+    )
+    scored = (
+        flat.join(F.broadcast(lut), ["s", "c_id"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").alias("d2_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2_q", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("rn").cast("long").alias("rn"),
+                "vec_id", "d2_q")
+    )

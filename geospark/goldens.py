@@ -885,3 +885,50 @@ def bpe_merges(word_freqs: list[tuple[str, int]],
             nxt[k] = nxt.get(k, 0) + f
         vocab = nxt
     return merges
+
+
+def pq_topk_py(vecs: list[tuple[int, list[float]]],
+               query_ids: list[int], k: int, m: int,
+               n_codes: int) -> list[tuple[int, int, int, int]]:
+    """Independent plain-Python twin of embeddings.pq_topk: integer-
+    quantized product quantization + ADC. Components floor(x*1e6) as
+    ints (float32 widened exactly to double first), codebooks = the
+    first n_codes vectors' subvectors, code ties break on c_id, ADC
+    rank ties on vec_id. Returns [(query_id, rn, vec_id, d2_q)]."""
+    d = len(vecs[0][1])
+    dsub = d // m
+
+    def q(x: float) -> int:
+        return math.floor(float(x) * 1000000.0)
+
+    qv = {vid: [q(x) for x in v] for vid, v in vecs}
+    cents = {vid: qv[vid] for vid, _ in vecs if vid < n_codes}
+
+    def sub(a: list[int], s: int) -> list[int]:
+        return a[s * dsub:(s + 1) * dsub]
+
+    def d2(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    codes = {}
+    for vid, _ in vecs:
+        codes[vid] = [
+            min(
+                ((d2(sub(qv[vid], s), sub(cents[c], s)), c)
+                 for c in sorted(cents)),
+            )[1]
+            for s in range(m)
+        ]
+    out: list[tuple[int, int, int, int]] = []
+    for qid in query_ids:
+        lut = {
+            (s, c): d2(sub(qv[qid], s), sub(cents[c], s))
+            for s in range(m) for c in sorted(cents)
+        }
+        scored = sorted(
+            (sum(lut[(s, codes[vid][s])] for s in range(m)), vid)
+            for vid, _ in vecs
+        )
+        for rn, (dd, vid) in enumerate(scored[:k], start=1):
+            out.append((qid, rn, vid, dd))
+    return out

@@ -345,3 +345,36 @@ def test_synth_embeddings_planted_structure(spark):
         assert 0.9 - 1e-5 <= cos <= 1.0 + 1e-9, (r["vec_id"], cos)
     for k, v in V.items():
         assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+
+
+def test_pq_topk_matches_python_twin(spark):
+    """Integer-quantized PQ-ADC == the independent plain-Python PQ on
+    a deterministic 40x8 corpus; codes stay in [0, n_codes)."""
+    from geospark.embeddings import pq_encode, pq_topk
+    from geospark.goldens import pq_topk_py
+
+    vecs = [
+        (i, [((i * 7 + j * 13) % 29) / 29.0 - 0.5 for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    # float32 storage: the twin must quantize the float32-rounded
+    # values, exactly like the parquet-backed engine path
+    import numpy as np
+    vecs32 = [(i, [float(np.float32(x)) for x in v]) for i, v in vecs]
+
+    codes = {r["vec_id"]: r["codes"]
+             for r in pq_encode(df, m=2, n_codes=8).collect()}
+    assert all(len(c) == 2 and all(0 <= x < 8 for x in c)
+               for c in codes.values())
+
+    got = [(r["query_id"], r["rn"], r["vec_id"], r["d2_q"])
+           for r in pq_topk(df, [3, 17], k=5, m=2, n_codes=8)
+           .orderBy("query_id", "rn").collect()]
+    want = pq_topk_py(vecs32, [3, 17], k=5, m=2, n_codes=8)
+    assert got == want
+    # self-match: a query's own code distance is minimal for itself
+    assert got[0][0] == 3 and got[0][3] <= got[1][3]
