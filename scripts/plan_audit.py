@@ -591,6 +591,47 @@ def main() -> None:
               "order, no float-summation hazard.",
     )
 
+    # bigram LM: lang predicate reaches the reference scan; the
+    # vocab-sized model relations broadcast; the corpus bigram stream
+    # stays in one codegen stage through both joins + the partial agg
+    audit(
+        "doc_lm_ppl (bigram-LM perplexity scoring)",
+        q["doc_lm_ppl"](spark, sf_dir),
+        must=["* BroadcastHashJoin", "EqualTo(lang,en)",
+              "partial_count"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "SortMergeJoin"],
+        notes="the reference slice predicate is pushed to the parquet "
+              "scan; unigram/bigram count relations (vocab-sized) "
+              "broadcast; the only corpus-sized exchange is the "
+              "partial-aggregated doc rollup.",
+    )
+
+    # PQ-ADC: codes relation joins the broadcast query LUT; integer
+    # distances end in a partial-aggregatable rollup + per-query top-k
+    audit(
+        "emb_pq (product-quantization ADC top-k)",
+        q["emb_pq"](spark, sf_dir),
+        must=["* BroadcastHashJoin", "partial_sum"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="the m x n_codes codebook and per-query LUT broadcast; "
+              "ADC distances are BIGINT sums (partial-aggregatable); "
+              "no full vectors move after encoding.",
+    )
+
+    # triangles: degree-oriented wedge join — no Python, all
+    # partial-aggregatable counts
+    audit(
+        "triangles (degree-oriented triangle counting)",
+        q["triangles"](spark, sf_dir),
+        must=["* HashAggregate", "partial_count"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="orientation bounds wedge fan-out by O(sqrt m) "
+              "out-degree; the apex self-join and the closing "
+              "semi-join are plain hash joins AQE can re-plan; "
+              "corner counts partial-aggregate.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
