@@ -2174,8 +2174,10 @@ def _q_emb_pq(spark, sf_dir):
     (embeddings.pq_topk): components quantized to floor(x*1e6)
     BIGINTs so every code assignment and ADC distance is a pure
     integer sum — deterministic in any engine. Corpus compresses to
-    m codes/vector; queries look distances up in a broadcast m x 16
-    LUT. Oracle = an independent plain-Python PQ (goldens.pq_topk_py)."""
+    m codes/vector MAP-SIDE (codebook inlined as literal arrays, no
+    join/shuffle); per query the ADC distance is m integer array
+    lookups ending in a TakeOrdered top-k heap. Oracle = an
+    independent plain-Python PQ (goldens.pq_topk_py)."""
     from geospark.embeddings import pq_topk
 
     return pq_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=10,
@@ -2218,6 +2220,87 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])).alias("dst"),
     )
     return triangle_count(edges)
+
+
+GCC_CHAIN = 5       # chain edges i -> i+1 except every 5th (chains of 5)
+GCC_MERGE_MOD = 37  # every 37th node gets one long-range merge edge
+GCC_MERGE_MUL = 13
+GCC_MERGE_ADD = 5
+
+
+def _q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (graph.connected_components — the
+    alternating large-star/small-star contraction, the primitive
+    behind polygon_dissolve, near-dup doc clustering, and
+    cluster_nearby) exposed as a first-class query: a deterministic
+    chains-of-5 + sparse long-range-merge graph on the event ids,
+    each node labeled with its min-id component and the component
+    size. Isolated nodes (possible when n % 5 == 1 strands the last
+    node) keep their own label via the left-join contract the
+    function documents. The oracle floods labels through a recursive
+    CTE — a different closure algorithm entirely, so green certifies
+    component semantics, not the star-contraction plan."""
+    from geospark.graph import connected_components
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("node"))
+    nn = ev.agg(F.count("*").alias("_n"))
+    base = ev.crossJoin(F.broadcast(nn))
+    chain = base.filter(
+        (F.col("node") % GCC_CHAIN != GCC_CHAIN - 1)
+        & (F.col("node") + 1 < F.col("_n"))
+    ).select(F.col("node").alias("src"), (F.col("node") + 1).alias("dst"))
+    mrg = base.filter(F.col("node") % GCC_MERGE_MOD == 0).select(
+        F.col("node").alias("src"),
+        ((F.col("node") * GCC_MERGE_MUL + GCC_MERGE_ADD) % F.col("_n"))
+        .alias("dst"),
+    )
+    cc = connected_components(chain.unionByName(mrg), "src", "dst")
+    lab = ev.join(cc, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+    sizes = lab.groupBy("component").agg(F.count("*").alias("comp_size"))
+    return lab.join(sizes, "component").select("node", "component",
+                                               "comp_size")
+
+
+def _graph_cc_oracle() -> str:
+    """DuckDB twin of _q_graph_cc: recursive-CTE label flooding (the
+    same independent-closure strategy as the polygon_dissolve
+    oracle) over the identical deterministic edge list."""
+    c, m, mu, ad = GCC_CHAIN, GCC_MERGE_MOD, GCC_MERGE_MUL, GCC_MERGE_ADD
+    return f"""
+        WITH RECURSIVE nodes AS (SELECT event_id AS node FROM events),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        chain AS (
+            SELECT node AS a, node + 1 AS b FROM nodes, nn
+            WHERE node % {c} <> {c - 1} AND node + 1 < n
+        ),
+        mrg AS (
+            SELECT node AS a, (node * {mu} + {ad}) % n AS b FROM nodes, nn
+            WHERE node % {m} = 0 AND (node * {mu} + {ad}) % n <> node
+        ),
+        und AS (
+            SELECT a, b FROM chain UNION ALL SELECT b, a FROM chain
+            UNION ALL
+            SELECT a, b FROM mrg UNION ALL SELECT b, a FROM mrg
+        ),
+        reach(node, lbl) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT u.a, r.lbl FROM und u JOIN reach r ON r.node = u.b
+        ),
+        comp AS (SELECT node, min(lbl) AS component FROM reach
+                 GROUP BY node),
+        lab AS (
+            SELECT n.node, coalesce(c.component, n.node) AS component
+            FROM nodes n LEFT JOIN comp c ON n.node = c.node
+        ),
+        sz AS (SELECT component, count(*) AS comp_size FROM lab
+               GROUP BY component)
+        SELECT l.node, l.component, s.comp_size
+        FROM lab l JOIN sz s ON l.component = s.component
+    """
 
 
 def _triangles_oracle() -> str:
@@ -2647,6 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staypoints": _q_staypoints,
         "colocate": _q_colocate,
         "pagerank": _q_pagerank,
+        "graph_cc": _q_graph_cc,
         "triangles": _q_triangles,
         "convex_hull": _q_convex_hull,
         "polygon_area": _q_polygon_area,
@@ -4942,6 +5026,7 @@ def oracle_sql() -> dict[str, str]:
         "staypoints": _staypoints_oracle(),
         "colocate": _colocate_oracle(),
         "pagerank": _pagerank_oracle(),
+        "graph_cc": _graph_cc_oracle(),
         "triangles": _triangles_oracle(),
         "convex_hull": _convex_hull_oracle(),
         "polygon_area": _polygon_area_oracle(),

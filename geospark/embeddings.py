@@ -554,6 +554,50 @@ def pq_codebook(emb: DataFrame, m: int = 4, n_codes: int = 16,
     ).select("_e.s", "c_id", "_e.c_q")
 
 
+def _collect_codebook(emb: DataFrame, m: int, n_codes: int,
+                      id_col: str, vec_col: str,
+                      dim: int) -> list[list[list[int]]]:
+    """Driver-side codebook: quantized subvectors of the first
+    ``n_codes`` vectors by id — n_codes rows, the same O(1) driver
+    contract as the BPE argmax / kNN escalation aggregates.
+    cb[s][c] = BIGINT-quantized subvector of centroid c in subspace
+    s (missing ids are skipped; callers need n_codes present)."""
+    import math as _math
+
+    dsub = dim // m
+    rows = (
+        emb.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("v"))
+        .orderBy("c_id")
+        .collect()
+    )
+    cb: list[list[list[int]]] = []
+    for s in range(m):
+        cb.append([
+            [_math.floor(float(x) * 1000000.0)
+             for x in r["v"][s * dsub:(s + 1) * dsub]]
+            for r in rows
+        ])
+    return cb
+
+
+def _pq_code_expr(cb_s: list[list[int]], s: int, dsub: int,
+                  vec_col: str) -> str:
+    """SQL text of subspace ``s``'s code: argmin of exact integer L2
+    against the LITERAL centroid array (ties -> lowest c_id via the
+    (d2, c_id) struct sort). Pure map-side expression — encoding a
+    vector never shuffles."""
+    arr = ", ".join(
+        "array(" + ", ".join(f"{x}L" for x in c) + ")" for c in cb_s
+    )
+    v_q = _pq_qsub_sql(vec_col, s, dsub)
+    return (
+        f"sort_array(transform(array({arr}), (c, i) -> "
+        f"struct(aggregate(zip_with({v_q}, c, (x, y) -> (x - y) * (x - y)), "
+        f"0L, (acc, v) -> acc + v) AS d2, i AS c_id)))[0].c_id"
+    )
+
+
 def pq_encode(emb: DataFrame, m: int = 4, n_codes: int = 16,
               id_col: str = "vec_id",
               vec_col: str = "embedding",
@@ -562,38 +606,24 @@ def pq_encode(emb: DataFrame, m: int = 4, n_codes: int = 16,
     64-dim float corpus compresses to m bytes/vector (plus the tiny
     codebook), the memory step that makes billion-vector ANN fit.
 
-    Plan: one narrow pass — each vector explodes to its m quantized
-    subvectors, joins the BROADCAST codebook on the subspace id, and
-    argmins the exact integer L2 via the (d2, c_id) min-struct
-    (deterministic ties). One vec_id regroup assembles the code
-    array. Returns (vec_id, codes: array<int>), codes[s] = nearest
-    centroid of subspace s."""
+    The codebook (n_codes rows — the deterministic-sample convention
+    of :func:`ivf_assign`) is collected ONCE to the driver and
+    inlined as literal integer arrays, so encoding is a single
+    map-side projection: argmin of exact integer L2 per subspace,
+    ZERO shuffles and zero joins over the corpus. Returns (vec_id,
+    codes: array<int>), codes[s] = nearest centroid of subspace s."""
     d = dim if dim is not None else (
         emb.select(F.size(vec_col).alias("_d")).first()["_d"])
     dsub = d // m
-    cb = pq_codebook(emb, m, n_codes, id_col, vec_col, dim=d)
-    subs = ", ".join(
-        f"struct({s} AS s, {_pq_qsub_sql(vec_col, s, dsub)} AS v_q)"
+    cb = _collect_codebook(emb, m, n_codes, id_col, vec_col, d)
+    code_cols = ", ".join(
+        f"CAST({_pq_code_expr(cb[s], s, dsub, vec_col)} AS INT)"
         for s in range(m)
     )
-    exploded = emb.select(
+    return emb.select(
         F.col(id_col).alias("vec_id"),
-        F.explode(F.expr(f"array({subs})")).alias("_e"),
-    ).select("vec_id", "_e.s", "_e.v_q")
-    d2 = F.expr(_PQ_D2.format(a="v_q", b="c_q"))
-    best = F.min(F.struct(d2.alias("d2"), F.col("c_id"))).alias("_b")
-    codes = (
-        exploded.join(F.broadcast(cb), "s")
-        .groupBy("vec_id", "s").agg(best)
-        .groupBy("vec_id")
-        .agg(F.array_sort(F.collect_list(F.struct("s", "_b"))).alias("_a"))
-        .select(
-            "vec_id",
-            F.expr("transform(_a, e -> CAST(e._b.c_id AS INT))")
-            .alias("codes"),
-        )
+        F.expr(f"array({code_cols})").alias("codes"),
     )
-    return codes
 
 
 def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
@@ -601,47 +631,68 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
             vec_col: str = "embedding",
             dim: int | None = None) -> DataFrame:
     """PQ-ADC approximate top-k: asymmetric distance computation —
-    each query precomputes its exact integer L2 to every codebook
-    centroid (an m x n_codes lookup table, broadcast), and a
-    vector's approximate distance is the BIGINT sum of its m code
-    lookups. The corpus-sized work is one broadcast-join + one
-    partial-aggregatable (query, vec) rollup over m-row groups — no
-    full vectors move after encoding, which is the point of PQ at
-    10^9+ vectors.
+    each query precomputes its exact integer L2 to every centroid (an
+    m x n_codes lookup table, inlined as literal BIGINT arrays), and
+    a vector's approximate distance is the sum of m array lookups on
+    its codes. Per query the plan is a narrow projection over the
+    codes relation followed by orderBy(k).limit — per-partition top-k
+    heaps (TakeOrderedAndProject), so there is NO per-query window
+    partition to hot-spot and NO corpus shuffle at all; at 10^9+
+    vectors each query costs one scan of the m-byte code column.
 
     Returns (query_id, rn, vec_id, d2_q) with rn = 1..k ranked by
     (adc d2 ASC, vec_id) — integer-deterministic in any engine."""
+    import math as _math
+
     d = dim if dim is not None else (
         emb.select(F.size(vec_col).alias("_d")).first()["_d"])
     dsub = d // m
-    cb = pq_codebook(emb, m, n_codes, id_col, vec_col, dim=d)
-    codes = pq_encode(emb, m, n_codes, id_col, vec_col, dim=d)
-    subs = ", ".join(
-        f"struct({s} AS s, {_pq_qsub_sql(vec_col, s, dsub)} AS q_q)"
-        for s in range(m)
+    cb = _collect_codebook(emb, m, n_codes, id_col, vec_col, d)
+    qrows = {
+        r["q"]: r["v"]
+        for r in emb.filter(
+            F.col(id_col).isin([int(q) for q in query_ids])
+        ).select(F.col(id_col).alias("q"), F.col(vec_col).alias("v"))
+        .collect()
+    }
+    from geospark.spool import spool as _spool
+
+    # materialize the m-byte code relation once — every query scans
+    # codes, never the float corpus (and the 4096-literal encode
+    # expression compiles exactly once)
+    codes = _spool(
+        pq_encode(emb, m, n_codes, id_col, vec_col, dim=d), "pq_codes"
     )
-    queries = emb.filter(
-        F.col(id_col).isin([int(q) for q in query_ids])
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.expr(f"array({subs})")).alias("_e"),
-    ).select("query_id", "_e.s", "_e.q_q")
-    lut = queries.join(F.broadcast(cb), "s").select(
-        "query_id", "s", "c_id",
-        F.expr(_PQ_D2.format(a="q_q", b="c_q")).alias("pd"),
-    )
-    flat = codes.select(
-        "vec_id", F.posexplode("codes").alias("s", "c_id")
-    )
-    scored = (
-        flat.join(F.broadcast(lut), ["s", "c_id"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("pd").alias("d2_q"))
-    )
+    per_query = []
+    for qid in query_ids:
+        qv = [_math.floor(float(x) * 1000000.0) for x in qrows[int(qid)]]
+        luts = []
+        for s in range(m):
+            q_sub = qv[s * dsub:(s + 1) * dsub]
+            luts.append([
+                sum((x - y) * (x - y) for x, y in zip(q_sub, c))
+                for c in cb[s]
+            ])
+        adc = " + ".join(
+            "element_at(array("
+            + ", ".join(f"{x}L" for x in luts[s])
+            + f"), codes[{s}] + 1)"
+            for s in range(m)
+        )
+        topk = (
+            codes.select(
+                F.lit(int(qid)).cast("long").alias("query_id"),
+                "vec_id",
+                F.expr(adc).alias("d2_q"),
+            )
+            .orderBy("d2_q", "vec_id")
+            .limit(k)
+        )
+        per_query.append(topk)
+    out = per_query[0]
+    for t in per_query[1:]:
+        out = out.unionAll(t)
     w = Window.partitionBy("query_id").orderBy("d2_q", "vec_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", F.col("rn").cast("long").alias("rn"),
-                "vec_id", "d2_q")
-    )
+    return out.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).select("query_id", "rn", "vec_id", "d2_q")

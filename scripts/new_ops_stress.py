@@ -1,0 +1,171 @@
+"""Operator-scale evidence for the round-3 additions: bigram-LM
+perplexity scoring and BPE merge training at 5M docs, PQ encode +
+ADC top-k at 5M vectors, and degree-oriented triangle counting on a
+12M-node / 72M-edge graph. Reuses the cached synthetic corpora from
+dedup_stress.py / emb_stress.py when present. Appends a BENCH.md
+section.
+
+Usage: python scripts/new_ops_stress.py [n_docs] [n_vecs] [n_nodes]
+Env: STRESS_ONLY=lm_ppl,bpe,pq,triangles to run a subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+DIM = 64
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+    n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+    n_nodes = int(sys.argv[3]) if len(sys.argv) > 3 else 12_000_000
+
+    from pyspark.sql import functions as F
+
+    from geospark.session import get_spark
+
+    spark = get_spark(
+        "new-ops-stress", master="local[32]", shuffle_partitions=64,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "48g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    only = {s for s in os.environ.get("STRESS_ONLY", "").split(",") if s}
+    results: dict[str, dict] = {}
+
+    def run(name: str, base_n: int, fn) -> None:
+        if only and name not in only:
+            return
+        t0 = time.time()
+        extra = fn()
+        secs = time.time() - t0
+        results[name] = {
+            "sec": round(secs, 1), "rows_per_sec": round(base_n / secs),
+            "input_rows": base_n, **extra,
+        }
+        print(f"  {name}: {secs:.1f}s {extra}", flush=True)
+
+    # --- documents corpus (shared with dedup_stress cache) ----------
+    docs_path = f"/tmp/geospark_stress_docs_{n_docs}"
+    if not os.path.exists(f"{docs_path}/_SUCCESS"):
+        from geospark.pages import synth_documents
+
+        synth_documents(spark, n_docs, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(docs_path)
+    docs = spark.read.parquet(docs_path)
+
+    def _lm():
+        # 5% 'en' reference slice: the model is ~|ref docs| x 39
+        # mostly-distinct bigram types over the 50k vocab -- large
+        # enough here that AQE picks a shuffle join for the bigram
+        # model (the honest web-scale shape; a per-language model
+        # that fits broadcasts instead)
+        from geospark.textops import lm_score
+
+        d = docs.withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 20 == 0, "en").otherwise("xx"),
+        )
+        out = lm_score(d, "en")
+        agg = out.agg(
+            F.count("*").alias("n"),
+            F.sum("n_bigrams").alias("bigrams"),
+        ).collect()[0]
+        return {"docs_scored": int(agg["n"]),
+                "bigrams_scored": int(agg["bigrams"])}
+
+    run("lm_ppl_en5pct", n_docs, _lm)
+
+    def _bpe():
+        # ONE corpus-sized word-count shuffle, then 10 vocab-sized
+        # merge rounds (50k words here) with a 1-row argmax each
+        from geospark.textops import bpe_train
+
+        m = bpe_train(docs, n_merges=10).collect()
+        return {"merges": len(m),
+                "top_merge": f"{m[0]['lhs']}+{m[0]['rhs']}@{m[0]['pair_count']}"}
+
+    run("bpe_10merges", n_docs, _bpe)
+
+    # --- embeddings corpus (shared with emb_stress cache) -----------
+    emb_path = f"/tmp/geospark_stress_emb_{n_vecs}_{DIM}"
+    if not os.path.exists(f"{emb_path}/_SUCCESS"):
+        from geospark.pages import synth_embeddings
+
+        synth_embeddings(
+            spark, n_vecs, dim=DIM, dup_frac=0.15, min_cos=0.90,
+            partitions=64,
+        ).write.mode("overwrite").parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
+
+    def _pq():
+        from geospark.embeddings import pq_topk
+
+        top = pq_topk(emb, [3, 57, 111, 222, 404], k=10, m=4,
+                      n_codes=16, dim=DIM)
+        rows = top.collect()
+        return {"rows_out": len(rows)}
+
+    run("pq_adc_topk_5q", n_vecs, _pq)
+
+    def _tri():
+        from geospark.graph import triangle_count
+
+        salts = [(1, 7919), (2, 104729), (3, 999983),
+                 (4, 31337), (5, 6700417), (6, 179424673)]
+        nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+        nn = nodes.agg(F.count("*").alias("_n"))
+        edges = nodes.crossJoin(F.broadcast(nn)).select(
+            F.col("node").alias("src"),
+            F.explode(F.array(*[
+                (F.col("node") * F.lit(p) + F.lit(j)) % F.col("_n")
+                for j, p in salts
+            ])).alias("dst"),
+        )
+        out = triangle_count(edges)
+        agg = out.agg(
+            F.count("*").alias("nodes_in_tri"),
+            (F.sum("n_tri") / 3).cast("long").alias("n_triangles"),
+        ).collect()[0]
+        return {"nodes_in_tri": int(agg["nodes_in_tri"]),
+                "n_triangles": int(agg["n_triangles"])}
+
+    run("triangles_6salt", n_nodes, _tri)
+
+    out = {"ops": results, "cpus": 32,
+           "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+    print(json.dumps(out))
+
+    lines = [
+        "",
+        f"## Round-3 new-ops scale run {out['ts']} — "
+        f"{n_docs:,} docs / {n_vecs:,} vecs / {n_nodes:,} nodes, local[32]",
+        "",
+        "| operator | wall s | input rows/sec | outputs |",
+        "| --- | --- | --- | --- |",
+    ]
+    for name, r in results.items():
+        extra = {k: v for k, v in r.items()
+                 if k not in ("sec", "rows_per_sec", "input_rows")}
+        lines.append(
+            f"| {name} | {r['sec']} | {r['rows_per_sec']} | {extra} |")
+    lines.append("")
+    with open(REPO / "BENCH.md", "a") as f:
+        f.write("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

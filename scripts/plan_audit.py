@@ -607,16 +607,22 @@ def main() -> None:
               "partial-aggregated doc rollup.",
     )
 
-    # PQ-ADC: codes relation joins the broadcast query LUT; integer
-    # distances end in a partial-aggregatable rollup + per-query top-k
+    # PQ-ADC: codebook + per-query LUTs are LITERAL integer arrays
+    # (collected once, n_codes rows), so encode is map-side and each
+    # query is a narrow projection over the m-byte codes relation
+    # ending in a per-partition top-k heap — zero joins, zero
+    # corpus shuffles
     audit(
         "emb_pq (product-quantization ADC top-k)",
         q["emb_pq"](spark, sf_dir),
-        must=["* BroadcastHashJoin", "partial_sum"],
-        must_not=["BatchEvalPython", "ArrowEvalPython"],
-        notes="the m x n_codes codebook and per-query LUT broadcast; "
-              "ADC distances are BIGINT sums (partial-aggregatable); "
-              "no full vectors move after encoding.",
+        must=["TakeOrderedAndProject"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "SortMergeJoin", "BroadcastHashJoin"],
+        notes="codebook and ADC lookup tables inlined as literals; "
+              "per-query ADC distance = m integer array lookups in a "
+              "projection; top-k via TakeOrderedAndProject heaps (no "
+              "per-query window over the corpus, no join, no corpus "
+              "exchange); the final rn window ranks only 5*k rows.",
     )
 
     # triangles: degree-oriented wedge join — no Python, all
