@@ -72,18 +72,33 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 def _is_star_forest(edges: DataFrame) -> bool:
     """Exact terminal test: every source has exactly one target and no
-    target is also a source (then edges are (leaf -> component root))."""
-    multi = (
-        edges.groupBy("a").agg(F.countDistinct("b").alias("k"))
-        .filter(F.col("k") > 1).limit(1).count()
+    target is also a source (then edges are (leaf -> component root)).
+
+    ONE partial-aggregatable job: each edge contributes (a, b) as a
+    source occurrence and (b, NULL) as a target occurrence; per node,
+    >=2 distinct targets shows up as min(b) != max(b) and
+    source-AND-target as count(b) < count(*). The convergence test
+    runs every round, so halving its job count (the old version ran a
+    groupBy job THEN a self-join job) is a per-round win for every CC
+    caller (dedup closure, polygon dissolve, graph_cc)."""
+    b_t = edges.schema["b"].dataType.simpleString()
+    st = edges.select(F.col("a").alias("n"), F.col("b")).unionByName(
+        edges.select(
+            F.col("b").alias("n"),
+            F.expr(f"CAST(NULL AS {b_t})").alias("b"),
+        )
     )
-    if multi:
-        return False
-    overlap = (
-        edges.select("b").join(edges.select(F.col("a").alias("b")), "b")
+    bad = (
+        st.groupBy("n")
+        .agg(F.count("b").alias("ns"), F.count("*").alias("ct"),
+             F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .filter(
+            (F.col("lo") != F.col("hi"))
+            | ((F.col("ns") > 0) & (F.col("ct") > F.col("ns")))
+        )
         .limit(1).count()
     )
-    return overlap == 0
+    return bad == 0
 
 
 def connected_components(edges: DataFrame, src: str = "a", dst: str = "b",
