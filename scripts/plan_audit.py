@@ -638,6 +638,23 @@ def main() -> None:
               "corner counts partial-aggregate.",
     )
 
+    # graph_cc: the plan a caller sees is the FINAL label/size rollup
+    # over the converged (spooled) star forest — the contraction
+    # rounds themselves materialize behind the spool, so the audit
+    # asserts the visible plan is join/agg-only with no Python and
+    # the component-size rollup partial-aggregates
+    audit(
+        "graph_cc (large/small-star connected components)",
+        q["graph_cc"](spark, sf_dir),
+        must=["* HashAggregate", "partial_count"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="every contraction round is two Catalyst shuffles "
+              "(groupBy-min + distinct) plus ONE fused convergence "
+              "aggregate; rounds spool so lineage stays flat; the "
+              "final label join and comp_size rollup are ordinary "
+              "hash join + partial-aggregated count.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
