@@ -144,6 +144,36 @@ def main() -> None:
 
     run("triangles_6salt", n_nodes, _tri)
 
+    def _cc():
+        # graph_cc's deterministic chains-of-5 + every-37th-node
+        # long-range merge graph at full node scale: the edge relation
+        # is ~1.04x nodes, and every star-contraction round is a
+        # full-relation shuffle — the honest iterative-cost shape
+        from geospark.graph import connected_components
+
+        nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+        nn = nodes.agg(F.count("*").alias("_n"))
+        base = nodes.crossJoin(F.broadcast(nn))
+        chain = base.filter(
+            (F.col("node") % 5 != 4) & (F.col("node") + 1 < F.col("_n"))
+        ).select(F.col("node").alias("src"),
+                 (F.col("node") + 1).alias("dst"))
+        mrg = base.filter(F.col("node") % 37 == 0).select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 13 + 5) % F.col("_n")).alias("dst"),
+        )
+        cc = connected_components(chain.unionByName(mrg), "src", "dst")
+        agg = cc.groupBy("component").count().agg(
+            F.count("*").alias("n_components"),
+            F.max("count").alias("max_comp"),
+            F.sum("count").alias("n_labeled"),
+        ).collect()[0]
+        return {"n_components": int(agg["n_components"]),
+                "max_comp": int(agg["max_comp"]),
+                "n_labeled": int(agg["n_labeled"])}
+
+    run("graph_cc_chains", n_nodes, _cc)
+
     out = {"ops": results, "cpus": 32,
            "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(out))
