@@ -2373,6 +2373,41 @@ def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HDR_B = 5                          # top-5-bit buckets: rel. err < 6.25%
+HDR_QS = [500000, 900000, 990000]  # p50/p90/p99 as ppm integer ranks
+
+
+def _q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile sketch (geospark/sketch.py): the
+    MERGEABILITY contract as a driver query — per-(lang, shard) child
+    sketches of n_chars (shard = doc_id % 3, standing in for
+    day/partition shards) are merged to per-lang with groupBy-sum,
+    then p50/p90/p99 bucket lower bounds are read off cumulative
+    counts with exact integer ppm ranks.  The oracle sketches each
+    lang DIRECTLY from raw rows, so green == merge(children) ==
+    sketch(union) (n_buckets certifies the bucket SET, n/cnt the
+    counts) AND bit-identical quantile extraction.  Unlike the exact
+    `doc_len_quantiles` (O(distinct values) agg buffer), sketch state
+    is <= 16 buckets/octave per key — broadcastable, persistable,
+    rolls up across days without rescanning raw text.  Plan: one
+    partial-aggregatable shuffle on (lang, shard, b); everything else
+    windows over the tiny sketch relation."""
+    from geospark import sketch as SK
+
+    docs = _docs(spark, sf_dir)
+    child = SK.hdr_sketch(
+        docs.withColumn("shard", (F.col("doc_id") % 3).cast("int")),
+        ["lang", "shard"], "n_chars", sig_bits=HDR_B)
+    merged = SK.hdr_merge(child.drop("shard"), ["lang"])
+    q = SK.hdr_quantiles(merged, ["lang"], HDR_QS)
+    return q.select(
+        "lang", "n", "n_buckets",
+        F.col(f"q_{HDR_QS[0]}").alias("p50_lb"),
+        F.col(f"q_{HDR_QS[1]}").alias("p90_lb"),
+        F.col(f"q_{HDR_QS[2]}").alias("p99_lb"),
+    )
+
+
 def _q_s2_cell_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell index (functions/s2cell.py): leaf encode once in ONE
     Arrow-batched pandas UDF pass, then every re-level is a pure
@@ -2727,6 +2762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bloom_crawl_filter": _q_bloom_crawl_filter,
         "kmv_overlap": _q_kmv_overlap,
+        "hdr_quantiles": _q_hdr_quantiles,
         "staypoints": _q_staypoints,
         "colocate": _q_colocate,
         "pagerank": _q_pagerank,
@@ -3604,6 +3640,38 @@ def _pagerank_oracle() -> str:
                  FROM nodes LEFT JOIN c{i} USING (node))"""
     sql += f"\n        SELECT node, r AS rank_i FROM r{PR_ITERS}"
     return sql
+
+
+def _hdr_quantiles_oracle() -> str:
+    """DuckDB twin of _q_hdr_quantiles — sketches each lang DIRECTLY
+    from raw rows (no shard-merge path), same top-B-bits bucket math
+    (bin() has no leading zeros in either engine) and exact integer
+    ppm ranks, so green certifies merge(children) == sketch(union)
+    and bit-identical quantile extraction."""
+    from geospark import sketch as SK
+
+    b = SK.hdr_bucket_sql("n_chars", HDR_B)
+    qcols = []
+    for q, name in zip(HDR_QS, ("p50_lb", "p90_lb", "p99_lb")):
+        qcols.append(
+            f"min(CASE WHEN cum >= (n * {q} + 999999) // 1000000 "
+            f"THEN b END) AS {name}"
+        )
+    return f"""
+        WITH s AS (SELECT lang, {b} AS b FROM documents),
+        sk AS (SELECT lang, b, count(*) AS cnt FROM s GROUP BY 1, 2),
+        c AS (
+            SELECT lang, b,
+                   CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY b)
+                        AS BIGINT) AS cum,
+                   CAST(sum(cnt) OVER (PARTITION BY lang)
+                        AS BIGINT) AS n
+            FROM sk
+        )
+        SELECT lang, max(n) AS n, count(*) AS n_buckets,
+               {", ".join(qcols)}
+        FROM c GROUP BY lang
+    """
 
 
 def _kmv_overlap_oracle() -> str:
@@ -5023,6 +5091,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _cms_heavy_hitters_oracle(),
         "bloom_crawl_filter": _bloom_crawl_filter_oracle(),
         "kmv_overlap": _kmv_overlap_oracle(),
+        "hdr_quantiles": _hdr_quantiles_oracle(),
         "staypoints": _staypoints_oracle(),
         "colocate": _colocate_oracle(),
         "pagerank": _pagerank_oracle(),

@@ -447,3 +447,118 @@ def kmv_estimate_sql(k: int) -> str:
 def kmv_std_error(k: int) -> float:
     """Relative standard error of the NDV estimate, ~1/sqrt(k-2)."""
     return 1.0 / math.sqrt(k - 2)
+
+
+# ---------------------------------------------------------------------------
+# HDR-HISTOGRAM QUANTILE SKETCH — mergeable bounded-error quantiles.
+#
+# The quantile question the exact form can't answer at 100 TB:
+# `doc_len_quantiles` uses Spark's exact percentile, whose aggregation
+# buffer is O(distinct values) per group — fine for bounded domains
+# (document character lengths), unusable for unbounded ones (token
+# counts across a trillion docs, per-partition byte sizes, latencies).
+# The sketch here is the HdrHistogram / DDSketch idea (Masson,
+# Rim & Lee, VLDB'19 for the relative-error analysis) reduced to pure
+# integer relational algebra:
+#
+#   s(x)   = max(bit_length(x) - B, 0)          B = sig_bits
+#   b(x)   = (x >> s) << s                      bucket = its own lower bound
+#
+# keeps the top B significant bits of every non-negative integer, so a
+# value collapses onto a bucket whose width is < 2^(1-B) of its
+# magnitude: any quantile read off the bucket lower bounds
+# UNDER-estimates the true order statistic by a relative error
+# < 2^(1-B) (6.25% at the default B=5), deterministically — there is
+# no probabilistic failure mode, unlike rank sketches.
+#
+# State is a (keys..., bucket, cnt) relation with at most
+# 2^(B-1) * 64 rows per key (16 buckets per octave x <= 59 octaves at
+# B=5 — in practice ~a few hundred), so it is BROADCASTABLE, and merge
+# is groupBy-sum — associative and commutative, so day/shard/partition
+# sketches roll up without rescanning raw data (the same persistence
+# contract as the HLL/CMS/KMV family above).
+#
+# Everything is bit_length (via length(bin(x)), identical in Spark and
+# DuckDB — no leading zeros either side) + integer shifts + integer
+# ceil-division for ranks: both engines agree bit-for-bit, so the
+# driver oracle certifies the SEMANTICS (merge(children) ==
+# sketch(union), quantiles included), not a float echo.
+#
+# Plan shape: sketch = ONE partial-aggregatable shuffle on
+# (keys, bucket) — the map-side combine collapses each task's rows to
+# its distinct buckets, so shuffle volume is buckets-per-task, not
+# rows.  Quantile extraction windows over the tiny sketch relation
+# only.
+# ---------------------------------------------------------------------------
+
+
+def hdr_bucket_expr(value: str, sig_bits: int = 5) -> str:
+    """Spark-SQL text of the bucket lower bound (column shift amounts
+    need the SQL form — the pyspark shiftleft helper only takes
+    literal shifts)."""
+    s = f"greatest(length(bin(CAST({value} AS BIGINT))) - {sig_bits}, 0)"
+    return (f"shiftleft(shiftright(CAST({value} AS BIGINT), {s}), {s})")
+
+
+def hdr_sketch(df: DataFrame, keys: list[str], value: str,
+               sig_bits: int = 5) -> DataFrame:
+    """The sketch relation (keys..., b, cnt): per key, how many values
+    fell in each top-``sig_bits``-bits bucket.  One
+    partial-aggregatable shuffle."""
+    return (
+        df.select(*keys, F.expr(hdr_bucket_expr(value, sig_bits))
+                  .alias("b"))
+        .groupBy(*keys, "b").agg(F.count("*").alias("cnt"))
+    )
+
+
+def hdr_merge(sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """Union of sketch relations (concatenate first): counts sum —
+    hdr(A ∪ B).  Associative/commutative, so shard/day/partition
+    sketches roll up in any order."""
+    return sketches.groupBy(*keys, "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(sketch: DataFrame, keys: list[str],
+                  qs_ppm: list[int]) -> DataFrame:
+    """Per-key quantile estimates from a sketch relation: for each
+    q (in parts-per-million, so ranks are exact integer ceil-division
+    — no float rank), the smallest bucket whose cumulative count
+    reaches rank ceil(q*n / 1e6).  The estimate is the bucket LOWER
+    bound: est <= true < est * (1 + 2^(1-sig_bits)) for values >=
+    2^sig_bits.  Output: (keys..., n, n_buckets, q_<ppm>...) —
+    n_buckets rides along so merge-vs-direct oracles can certify the
+    bucket SET without a second pass over the sketch."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("b") if keys else (
+        Window.orderBy("b"))
+    wt = Window.partitionBy(*keys) if keys else (
+        Window.partitionBy(F.lit(1)))
+    cum = sketch.select(
+        *keys, "b",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(wt).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n"), F.count("*").alias("n_buckets")]
+    for q in qs_ppm:
+        rank = F.expr(f"(_n * {int(q)}L + 999999L) DIV 1000000L")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("b")))
+            .alias(f"q_{int(q)}")
+        )
+    g = cum.groupBy(*keys) if keys else cum.groupBy()
+    return g.agg(*aggs)
+
+
+def hdr_bucket_sql(value: str, sig_bits: int = 5) -> str:
+    """DuckDB twin of the bucket lower bound (bin() has no leading
+    zeros in either engine; >>/<< are BIGINT shifts in both)."""
+    s = f"greatest(length(bin(CAST({value} AS BIGINT))) - {sig_bits}, 0)"
+    return f"((CAST({value} AS BIGINT) >> ({s})) << ({s}))"
+
+
+def hdr_error_bound(sig_bits: int) -> float:
+    """Relative under-estimate bound of any quantile read, for values
+    >= 2^sig_bits (smaller values are bucketed exactly)."""
+    return 2.0 ** (1 - sig_bits)

@@ -178,3 +178,76 @@ def test_cms_keyed_sketch(spark):
     diff = est.join(exact, ["grp", "item"]) \
         .filter(F.col("est_cnt") != F.col("c"))
     assert diff.count() == 0
+
+
+# --------------------------------------------------------------------
+# HDR-histogram quantile sketch: bounded-error quantiles the exact
+# percentile can't give for unbounded domains.  Contracts:
+#   bucket(x) <= x, deterministic relative error < 2^(1-B);
+#   merge(shard sketches) == sketch(union), bit-identical;
+#   values < 2^B bucket to themselves -> quantiles exact.
+# --------------------------------------------------------------------
+
+def _hdr_bucket_py(x: int, sig_bits: int = 5) -> int:
+    s = max(x.bit_length() - sig_bits, 0)
+    return (x >> s) << s
+
+
+def _hdr_vals(spark):
+    """Deterministic values spanning ~7 orders of magnitude (incl. 0
+    and sub-2^B values), keyed into two groups."""
+    vals = [0, 1, 3, 17, 31] + [
+        ((i * i * 2654435761) % 9_999_991) + 1 for i in range(2000)
+    ]
+    return spark.createDataFrame(
+        [(i % 2, v) for i, v in enumerate(vals)], "grp int, v long"
+    ), vals
+
+
+def test_hdr_merge_equals_sketch_of_union(spark):
+    df, _ = _hdr_vals(spark)
+    whole = SK.hdr_sketch(df, ["grp"], "v")
+    sharded = df.withColumn("shard", (F.col("v") % 4).cast("int"))
+    child = SK.hdr_sketch(sharded, ["grp", "shard"], "v")
+    merged = SK.hdr_merge(child.drop("shard"), ["grp"])
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_hdr_quantile_is_bucket_of_true_order_stat(spark):
+    """The sketch quantile is EXACTLY bucket(true order statistic):
+    <= the true value, within relative error 2^(1-B) for x >= 2^B."""
+    df, vals = _hdr_vals(spark)
+    sk = SK.hdr_sketch(df, ["grp"], "v")
+    qs = [500000, 900000, 990000]
+    out = {r["grp"]: r for r in
+           SK.hdr_quantiles(sk, ["grp"], qs).collect()}
+    by_grp = {0: [], 1: []}
+    for i, v in enumerate(vals):
+        by_grp[i % 2].append(v)
+    for g, gv in by_grp.items():
+        gv.sort()
+        n = len(gv)
+        assert out[g]["n"] == n
+        for q in qs:
+            rank = (n * q + 999999) // 1000000
+            true = gv[rank - 1]
+            est = out[g][f"q_{q}"]
+            assert est == _hdr_bucket_py(true)
+            assert est <= true
+            if true >= 32:
+                assert true - est <= true * SK.hdr_error_bound(5)
+
+
+def test_hdr_small_values_exact_and_state_bounded(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [1, 2, 2, 3, 5, 8, 13, 21, 31]], "v long")
+    sk = SK.hdr_sketch(df, [], "v")
+    # every value < 2^5 is its own bucket -> p50 is the exact median
+    out = SK.hdr_quantiles(sk, [], [500000]).collect()[0]
+    assert out["q_500000"] == 5
+    # state growth is logarithmic: <= 16 buckets per octave
+    big, _ = _hdr_vals(spark)
+    n_buckets = SK.hdr_sketch(big, [], "v").count()
+    assert n_buckets <= 16 * 24
