@@ -2228,6 +2228,43 @@ GCC_MERGE_MUL = 13
 GCC_MERGE_ADD = 5
 
 
+SSSP_SOURCES = [0, 1, 2]          # hub nodes; hub_mod = 3
+SSSP_HOPS = 6                     # exact over paths of <= 6 edges
+SSSP_WA, SSSP_WB, SSSP_WMOD = 2654435761, 40503, 1000
+
+
+def _q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source shortest paths (graph.sssp): the routing
+    primitive — Bellman-Ford over the deterministic 3-out-regular
+    event graph with hash-derived BIGINT edge weights, every reached
+    node labeled (dist, nearest hub, ties to the smaller hub).
+    Bounded at 6 relaxation rounds so the result is a pure function
+    of the graph: the oracle re-runs all 6 rounds as unrolled CTEs on
+    the single min-merged BIGINT key (dist * 3 + hub) and must match
+    every distance and hub EXACTLY.  Spark side is frontier-pruned
+    (only improved nodes join the edge relation each round) with the
+    pluggable spool between rounds — same answer, a fraction of the
+    shuffle volume once the frontier collapses."""
+    from geospark.graph import sssp
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("node"))
+    nn = ev.agg(F.count("*").alias("_n"))
+    edges = ev.crossJoin(F.broadcast(nn)).select(
+        F.col("node").alias("src"),
+        F.explode(F.array(*[
+            (F.col("node") * F.lit(p) + F.lit(j)) % F.col("_n")
+            for j, p in PR_EDGE_SALTS
+        ])).alias("dst"),
+    ).select(
+        "src", "dst",
+        (F.lit(1) + (F.col("src") * F.lit(SSSP_WA)
+                     + F.col("dst") * F.lit(SSSP_WB)) % F.lit(SSSP_WMOD)
+         ).alias("w"),
+    )
+    return sssp(edges, SSSP_SOURCES, hops=SSSP_HOPS)
+
+
 def _q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (graph.connected_components — the
     alternating large-star/small-star contraction, the primitive
@@ -2767,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocate": _q_colocate,
         "pagerank": _q_pagerank,
         "graph_cc": _q_graph_cc,
+        "graph_sssp": _q_graph_sssp,
         "triangles": _q_triangles,
         "convex_hull": _q_convex_hull,
         "polygon_area": _q_polygon_area,
@@ -3672,6 +3710,48 @@ def _hdr_quantiles_oracle() -> str:
                {", ".join(qcols)}
         FROM c GROUP BY lang
     """
+
+
+def _graph_sssp_oracle() -> str:
+    """DuckDB twin of _q_graph_sssp: plain (un-pruned) Bellman-Ford,
+    all 6 rounds unrolled as CTEs over the identical weighted edge
+    list, min-merging the same BIGINT (dist * hub_mod + hub) key —
+    a different evaluation strategy (no frontier), so green certifies
+    the <=6-hop shortest-path semantics, not the plan."""
+    m = max(SSSP_SOURCES) + 1
+    n = "(SELECT n FROM nn)"
+    jp = ", ".join(f"({j}, {p})" for j, p in PR_EDGE_SALTS)
+    d0 = ", ".join(
+        f"(CAST({s} AS BIGINT), CAST({s} AS BIGINT))"
+        for s in sorted(SSSP_SOURCES)
+    )
+    sql = f"""
+        WITH nodes AS (SELECT event_id AS node FROM events),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        jp(j, p) AS (VALUES {jp}),
+        ew AS (
+            SELECT src, dst,
+                   1 + (src * {SSSP_WA} + dst * {SSSP_WB})
+                       % {SSSP_WMOD} AS w
+            FROM (SELECT node AS src, (node * p + j) % {n} AS dst
+                  FROM nodes CROSS JOIN jp)
+        ),
+        d0(node, key) AS (VALUES {d0})"""
+    for i in range(1, SSSP_HOPS + 1):
+        sql += f""",
+        d{i} AS (
+            SELECT node, min(key) AS key FROM (
+                SELECT node, key FROM d{i - 1}
+                UNION ALL
+                SELECT ew.dst AS node,
+                       (d.key // {m} + ew.w) * {m} + d.key % {m} AS key
+                FROM d{i - 1} d JOIN ew ON d.node = ew.src
+            ) GROUP BY node
+        )"""
+    sql += f"""
+        SELECT node, key // {m} AS dist, key % {m} AS hub
+        FROM d{SSSP_HOPS}"""
+    return sql
 
 
 def _kmv_overlap_oracle() -> str:
@@ -5096,6 +5176,7 @@ def oracle_sql() -> dict[str, str]:
         "colocate": _colocate_oracle(),
         "pagerank": _pagerank_oracle(),
         "graph_cc": _graph_cc_oracle(),
+        "graph_sssp": _graph_sssp_oracle(),
         "triangles": _triangles_oracle(),
         "convex_hull": _convex_hull_oracle(),
         "polygon_area": _polygon_area_oracle(),

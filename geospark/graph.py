@@ -296,3 +296,74 @@ def triangle_count(edges: DataFrame, src: str = "src",
         tris.select(F.explode(F.array("w0", "w1", "w2")).alias("node"))
         .groupBy("node").agg(F.count("*").alias("n_tri"))
     )
+
+
+def sssp(edges: DataFrame, sources: list[int], hops: int = 6,
+         src: str = "src", dst: str = "dst", w: str = "w",
+         use_spool: bool = True) -> DataFrame:
+    """Multi-source shortest paths — the routing primitive under
+    nearest-hub assignment, isochrones, and network distance joins
+    (the reference library feeds the MOTIS router; this is the
+    distributed form of its distance queries over a weighted graph).
+
+    Semantics: Bellman-Ford limited to ``hops`` relaxation rounds —
+    exact shortest distances over paths of <= ``hops`` edges, with
+    each reached node labeled by its nearest source (``hub``; ties
+    broken toward the smaller hub id).  Bounded rounds make the
+    result a pure function of (edges, sources, hops), so an engine
+    with no recursion (or a SQL oracle with unrolled CTEs) reproduces
+    it bit-for-bit: distances and the tie-break ride in ONE BIGINT
+    key = dist * hub_mod + hub, merged with plain ``min``.
+
+    Scale shape: the classic frontier-pruned relaxation. Per round,
+    only nodes whose key IMPROVED last round join the edge relation
+    (frontier x edges shuffle, pre-combined with a map-side min on
+    dst), then a full-outer merge against the running state keyed on
+    node.  On converging graphs the frontier collapses after
+    ~diameter rounds and the loop exits early; state stays
+    O(reached nodes) and spools between rounds (pluggable durable
+    backend) to keep plans shallow.  No driver-side data beyond the
+    empty-frontier check.
+
+    Weights must be non-negative BIGINTs.  Returns (node, dist, hub)
+    for nodes reachable within ``hops`` edges of any source.
+    """
+    spark = edges.sparkSession
+    hub_mod = max(sources) + 1
+    ed = edges.select(src, dst, w)
+    if use_spool:
+        ed = spool(ed, "sssp_edges")
+    state = spark.createDataFrame(
+        [(int(s), int(s)) for s in sorted(sources)], "node long, key long"
+    )
+    frontier = state
+    for i in range(hops):
+        cand = (
+            frontier.join(ed, F.col("node") == F.col(src))
+            .select(
+                F.col(dst).alias("node"),
+                (F.expr(f"key DIV {hub_mod}") * hub_mod
+                 + F.col(w) * hub_mod + F.col("key") % hub_mod
+                 ).alias("_ck"),
+            )
+            .groupBy("node").agg(F.min("_ck").alias("_ck"))
+        )
+        merged = state.join(cand, "node", "full").select(
+            "node",
+            F.least("key", "_ck").alias("_new"),  # least skips NULLs
+            F.col("key").alias("_old"),
+        )
+        state = merged.select("node", F.col("_new").alias("key"))
+        frontier = merged.filter(
+            F.col("_old").isNull() | (F.col("_new") < F.col("_old"))
+        ).select("node", F.col("_new").alias("key"))
+        if use_spool:
+            state = spool(state, f"sssp_state_{i}")
+            frontier = spool(frontier, f"sssp_frontier_{i}")
+        if frontier.isEmpty():
+            break
+    return state.select(
+        "node",
+        F.expr(f"key DIV {hub_mod}").alias("dist"),
+        (F.col("key") % hub_mod).alias("hub"),
+    )

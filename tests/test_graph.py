@@ -159,3 +159,68 @@ def test_triangle_count_matches_brute_force(spark):
         got = {r["node"]: r["n_tri"]
                for r in triangle_count(df).collect()}
         assert got == _tri_brute(es), f"seed {seed}"
+
+
+# --------------------------------------------------------------------
+# Multi-source shortest paths (graph.sssp) — Bellman-Ford <= R hops,
+# nearest-hub labels, ties to the smaller hub id.
+# --------------------------------------------------------------------
+
+def _bf_py(edges, sources, hops):
+    """Independent plain-Python Bellman-Ford golden: (node -> (dist,
+    hub)), ties to the smaller hub, paths of <= hops edges."""
+    dist = {s: (0, s) for s in sources}
+    for _ in range(hops):
+        nxt = dict(dist)
+        for (u, v, w) in edges:
+            if u in dist:
+                cand = (dist[u][0] + w, dist[u][1])
+                if v not in nxt or cand < nxt[v]:
+                    nxt[v] = cand
+        dist = nxt
+    return dist
+
+
+def _rand_wgraph(seed, n=40, m=140, wmax=9):
+    rng = np.random.default_rng(seed)
+    return [(int(rng.integers(0, n)), int(rng.integers(0, n)),
+             int(rng.integers(1, wmax + 1))) for _ in range(m)]
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_sssp_matches_bellman_ford_golden(spark, seed):
+    from geospark.graph import sssp
+
+    edges = _rand_wgraph(seed)
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = {r["node"]: (r["dist"], r["hub"])
+           for r in sssp(df, [0, 1, 2], hops=4).collect()}
+    assert out == _bf_py(edges, [0, 1, 2], 4)
+
+
+def test_sssp_tie_breaks_to_smaller_hub(spark):
+    from geospark.graph import sssp
+
+    # hubs 0 and 3 both reach node 9 at distance 5
+    edges = [(0, 9, 5), (3, 9, 5), (3, 8, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = {r["node"]: (r["dist"], r["hub"])
+           for r in sssp(df, [0, 3], hops=3).collect()}
+    assert out[9] == (5, 0)
+    assert out[8] == (2, 3)
+
+
+def test_sssp_frontier_early_exit_is_converged(spark):
+    """hops far beyond the diameter: early exit on an empty frontier
+    must still equal full-convergence shortest paths."""
+    from geospark.graph import sssp
+
+    edges = _rand_wgraph(23, n=25, m=80)
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = {r["node"]: (r["dist"], r["hub"])
+           for r in sssp(df, [0], hops=30).collect()}
+    assert out == _bf_py(edges, [0], 30)
+    # a longer budget changes nothing (converged)
+    out2 = {r["node"]: (r["dist"], r["hub"])
+            for r in sssp(df, [0], hops=40).collect()}
+    assert out == out2
