@@ -406,6 +406,32 @@ def main() -> None:
 
     run("pagerank_3out_3iter", _pagerank)
 
+    def _sssp():
+        # nearest-facility assignment at scale: 1000 hubs, 8
+        # relaxation rounds over the same 3-out-regular graph with
+        # hash-derived BIGINT weights — the frontier grows to
+        # millions of nodes, so the per-round frontier x edges join
+        # and the full-outer state merge both run at data scale
+        from geospark.graph import sssp
+
+        nodes = spark.range(n_points).select(F.col("id").alias("node"))
+        nn = nodes.agg(F.count("*").alias("_n"))
+        edges = nodes.crossJoin(F.broadcast(nn)).select(
+            F.col("node").alias("src"),
+            F.explode(F.array(*[
+                (F.col("node") * F.lit(p) + F.lit(j)) % F.col("_n")
+                for j, p in [(1, 7919), (2, 104729), (3, 999983)]
+            ])).alias("dst"),
+        ).select(
+            "src", "dst",
+            (F.lit(1) + (F.col("src") * F.lit(2654435761)
+                         + F.col("dst") * F.lit(40503)) % F.lit(1000)
+             ).alias("w"),
+        )
+        return sssp(edges, list(range(1000)), hops=8).count()
+
+    run("sssp_1k_hubs_8hops", _sssp)
+
     def _colocate():
         # city-skewed points + deterministic 30-day timestamps: the
         # (cell, bucket) equi-join's pair volume is the scale driver
