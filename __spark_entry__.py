@@ -2184,6 +2184,35 @@ def _q_emb_pq(spark, sf_dir):
                    m=PQ_M, n_codes=PQ_CODES)
 
 
+KM_K, KM_ITERS = 8, 3
+
+
+def _q_emb_kmeans(spark, sf_dir):
+    """Integer-exact k-means codebook training (embeddings.kmeans_fit)
+    — the trainer that feeds ivf_assign/pq_codebook real centroids.
+    All executor math is exact integer arithmetic on floor(x*1e6)
+    BIGINT components; per Lloyd iteration the assignment is a
+    MAP-SIDE literal-array projection (zero joins, zero corpus
+    shuffle) and the update is ONE partial-aggregatable
+    (centroid_id, pos) shuffle whose map-side combine caps volume at
+    k*dim rows per task; only model-sized (sum, count) pairs reach
+    the driver.  Output certifies the trained model per centroid:
+    assignment count, exact BIGINT inertia, and component
+    sum/min/max of the final centroid.  Oracle = an
+    independent-algorithm plain-Python Lloyd (goldens.kmeans_py)."""
+    from geospark.embeddings import kmeans_fit
+
+    a, cents = kmeans_fit(_emb(spark, sf_dir), k=KM_K, iters=KM_ITERS)
+    per = a.groupBy("centroid_id").agg(
+        F.count("*").alias("n"), F.sum("d2").alias("inertia"))
+    cstats = spark.createDataFrame(
+        [(int(i), int(sum(c)), int(min(c)), int(max(c)))
+         for i, c in enumerate(cents)],
+        "centroid_id int, c_sum long, c_min long, c_max long")
+    return per.join(F.broadcast(cstats), "centroid_id").select(
+        "centroid_id", "n", "inertia", "c_sum", "c_min", "c_max")
+
+
 def _oracle_vecs() -> list[tuple[int, list[float]]]:
     """(vec_id, embedding) at the oracle SF ordered by vec_id."""
     import duckdb
@@ -2852,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf": _q_emb_ivf,
         "emb_pq": _q_emb_pq,
+        "emb_kmeans": _q_emb_kmeans,
         "emb_neardup": _q_emb_neardup,
         "emb_quantize": _q_emb_quantize,
         "multimodal_features": _q_multimodal_features,
@@ -4111,6 +4141,7 @@ def oracle_sql() -> dict[str, str]:
         for r, l, rr, c in GO.bpe_merges(_oracle_word_freqs(), BPE_MERGES)
     ]
     pq_rows = GO.pq_topk_py(_oracle_vecs(), EMB_QUERY_IDS, 10, PQ_M, PQ_CODES)
+    km_rows = GO.kmeans_py(_oracle_vecs(), KM_K, KM_ITERS)
     st_rows = [
         (int(tx), int(ty), int(c)) for tx, ty, c in GO.stream_tile_counts(2000, 6)
     ]
@@ -4845,6 +4876,14 @@ def oracle_sql() -> dict[str, str]:
             pq_rows,
             [("query_id", "BIGINT"), ("rn", "BIGINT"), ("vec_id", "BIGINT"),
              ("d2_q", "BIGINT")],
+        ),
+        # independent-ALGORITHM oracle: plain-Python Lloyd k-means
+        # (goldens.kmeans_py) over the same quantized vectors
+        "emb_kmeans": _values_sql(
+            km_rows,
+            [("centroid_id", "INTEGER"), ("n", "BIGINT"),
+             ("inertia", "BIGINT"), ("c_sum", "BIGINT"),
+             ("c_min", "BIGINT"), ("c_max", "BIGINT")],
         ),
         "doc_bpe": _values_sql(
             bpe_rows,

@@ -696,3 +696,96 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     return out.withColumn(
         "rn", F.row_number().over(w).cast("long")
     ).select("query_id", "rn", "vec_id", "d2_q")
+
+
+# ---------------------------------------------------------------------------
+# K-MEANS CODEBOOK TRAINING — integer-exact Lloyd iterations.
+#
+# ivf_assign and pq_codebook take centroids wherever they come from
+# (the deterministic first-k sample by default); this is the trainer
+# that produces REAL centroids at corpus scale. Everything the
+# executors compute is exact integer arithmetic on floor(x*1e6)
+# BIGINT components (the PQ quantizer), so assignments and inertia
+# are bit-reproducible in any engine; the only float-free
+# driver-side step is the centroid mean, defined as componentwise
+# floor division (Python //) over collected (sum, count) pairs —
+# k*dim BIGINTs per iteration, the same model-sized-data-only driver
+# contract as the BPE argmax and kNN escalation loops.
+#
+# Per-iteration plan: assignment is a MAP-SIDE projection (centroids
+# inlined as literal arrays — zero joins, zero corpus shuffle, the
+# pq_encode pattern), then ONE partial-aggregatable shuffle of
+# (centroid_id, pos) component sums — map-side combine collapses
+# each task to <= k*dim rows, so shuffle volume is model-sized, not
+# corpus-sized. Empty clusters keep their previous centroid.
+# Ties (equal d2) assign to the lowest centroid_id via the
+# (d2, c_id) struct sort, deterministically.
+# ---------------------------------------------------------------------------
+
+
+def _q_vec_sql(vec_col: str) -> str:
+    """Whole-vector integer quantizer (the PQ component quantizer
+    applied to the full array)."""
+    return (
+        f"transform({vec_col}, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_QSCALE}) AS BIGINT))"
+    )
+
+
+def _kmeans_assign_expr(cents: list[list[int]]) -> str:
+    """SQL text of struct(d2, c_id) for the nearest centroid —
+    literal centroid arrays, exact integer L2, ties to lowest c_id."""
+    arr = ", ".join(
+        "array(" + ", ".join(f"{x}L" for x in c) + ")" for c in cents
+    )
+    return (
+        f"sort_array(transform(array({arr}), (c, i) -> "
+        f"struct(aggregate(zip_with(v_q, c, (x, y) -> (x - y) * (x - y)), "
+        f"0L, (acc, v) -> acc + v) AS d2, i AS c_id)))[0]"
+    )
+
+
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               use_spool: bool = True):
+    """Integer-exact Lloyd k-means. Init = the first ``k`` vectors by
+    id (deterministic). Returns (assign, centroids): ``assign`` is
+    (vec_id, centroid_id, d2) under the FINAL centroids; ``centroids``
+    the trained integer centroid list. d2 sums are exact while
+    n * dim * (2 * 1e6)^2 stays under 2^63 — ~3.5e4 adversarial
+    vectors, ~1e8 real unit-normalized ones; quantized inputs keep
+    every run engine-reproducible."""
+    from geospark.spool import spool
+
+    qv = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_q_vec_sql(vec_col)).alias("v_q"),
+    )
+    if use_spool:
+        qv = spool(qv, "kmeans_qv")
+    cents = [
+        [int(x) for x in r["v_q"]]
+        for r in qv.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    dim = len(cents[0])
+    for _ in range(iters):
+        a = qv.select(
+            "v_q", F.expr(_kmeans_assign_expr(cents) + ".c_id").alias("_c")
+        )
+        stats = (
+            a.select("_c", F.posexplode("v_q").alias("pos", "x"))
+            .groupBy("_c", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]
+        for r in stats:
+            nxt[r["_c"]][r["pos"]] = r["s"] // r["n"]  # floor division
+        cents = nxt
+    a = qv.select(
+        "vec_id", F.expr(_kmeans_assign_expr(cents)).alias("_b")
+    ).select(
+        "vec_id", F.col("_b.c_id").alias("centroid_id"),
+        F.col("_b.d2").alias("d2"),
+    )
+    return a, cents

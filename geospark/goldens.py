@@ -932,3 +932,48 @@ def pq_topk_py(vecs: list[tuple[int, list[float]]],
         for rn, (dd, vid) in enumerate(scored[:k], start=1):
             out.append((qid, rn, vid, dd))
     return out
+
+
+def kmeans_py(vecs: list[tuple[int, list[float]]], k: int,
+              iters: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Independent plain-Python twin of embeddings.kmeans_fit:
+    integer-exact Lloyd — floor(x*1e6) components, init = first k
+    vectors by id, assignment ties to the lowest centroid_id, update
+    = componentwise floor division, empty clusters keep their
+    centroid. Returns per-centroid certification rows
+    [(centroid_id, n, inertia, c_sum, c_min, c_max)]."""
+    qv = {vid: [math.floor(float(x) * 1000000.0) for x in v]
+          for vid, v in vecs}
+    cents = [list(qv[vid]) for vid in sorted(qv)[:k]]
+    dim = len(cents[0])
+
+    def nearest(v: list[int]) -> tuple[int, int]:
+        return min(
+            (sum((x - y) * (x - y) for x, y in zip(v, c)), i)
+            for i, c in enumerate(cents)
+        )
+
+    for _ in range(iters):
+        sums = [[0] * dim for _ in range(k)]
+        cnt = [0] * k
+        for vid in qv:
+            _, c = nearest(qv[vid])
+            cnt[c] += 1
+            for p, x in enumerate(qv[vid]):
+                sums[c][p] += x
+        cents = [
+            [sums[c][p] // cnt[c] for p in range(dim)] if cnt[c]
+            else cents[c]
+            for c in range(k)
+        ]
+    agg: dict[int, list[int]] = {}
+    for vid in qv:
+        d2, c = nearest(qv[vid])
+        a = agg.setdefault(c, [0, 0])
+        a[0] += 1
+        a[1] += d2
+    return [
+        (c, agg[c][0], agg[c][1],
+         sum(cents[c]), min(cents[c]), max(cents[c]))
+        for c in sorted(agg)
+    ]

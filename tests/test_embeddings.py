@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from geospark import embeddings as E
 
@@ -378,3 +379,47 @@ def test_pq_topk_matches_python_twin(spark):
     assert got == want
     # self-match: a query's own code distance is minimal for itself
     assert got[0][0] == 3 and got[0][3] <= got[1][3]
+
+
+# --------------------------------------------------------------------
+# Integer-exact k-means (embeddings.kmeans_fit) vs the independent
+# plain-Python Lloyd twin (goldens.kmeans_py).
+# --------------------------------------------------------------------
+
+def _km_vecs(seed=5, n=40, dim=6):
+    rng = np.random.default_rng(seed)
+    return [(i, [float(x) for x in rng.normal(0, 0.5, dim)])
+            for i in range(n)]
+
+
+def test_kmeans_matches_python_twin(spark):
+    from geospark.embeddings import kmeans_fit
+    from geospark.goldens import kmeans_py
+
+    vecs = _km_vecs()
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    a, cents = kmeans_fit(df, k=4, iters=3)
+    per = {r["centroid_id"]: (r["n"], r["i"]) for r in
+           a.groupBy("centroid_id")
+           .agg(F.count("*").alias("n"), F.sum("d2").alias("i"))
+           .collect()}
+    golden = kmeans_py(vecs, 4, 3)
+    assert {c: (n, i) for c, n, i, *_ in golden} == per
+    for c, n, i, c_sum, c_min, c_max in golden:
+        assert (sum(cents[c]), min(cents[c]), max(cents[c])) == \
+            (c_sum, c_min, c_max)
+
+
+def test_kmeans_duplicate_init_keeps_empty_centroid(spark):
+    """vec 0 and 1 identical -> centroid 1 is never nearest (ties go
+    to the lowest id) and must keep its init value through training."""
+    from geospark.embeddings import kmeans_fit
+
+    vecs = [(i, [1.0, 1.0]) for i in range(5)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    a, cents = kmeans_fit(df, k=2, iters=2)
+    assert cents[1] == [1000000, 1000000]        # untouched init
+    assert a.filter(F.col("centroid_id") == 1).count() == 0
+    rows = a.collect()
+    assert all(r["centroid_id"] == 0 and r["d2"] == 0 for r in rows)
+    assert len(rows) == 5
