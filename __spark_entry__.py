@@ -750,6 +750,24 @@ def _q_doc_chunk(spark, sf_dir):
     )
 
 
+PACK_L = 128
+
+
+def _q_doc_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (textops.pack_sequences):
+    the zero-padding step that turns the corpus into fixed-length
+    training sequences — docs laid end-to-end in doc_id order, one
+    span row per (doc, 128-token sequence) overlap.  The global
+    stream offset is a TWO-LEVEL prefix sum (range-sharded local
+    window cumsums in parallel + broadcast shard offsets; only
+    n_shards totals touch the driver), vs the oracle's sequential
+    single-window cumsum in DuckDB — green certifies the scalable
+    scan == the sequential definition, span math included."""
+    from geospark.textops import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=PACK_L)
+
+
 def _q_doc_tfidf(spark, sf_dir):
     """Per-doc top-k TF-IDF terms; N via broadcast 1-row cross join,
     ties broken on token so ranking is engine-deterministic."""
@@ -2871,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_chunk": _q_doc_chunk,
+        "doc_pack": _q_doc_pack,
         "doc_tfidf": _q_doc_tfidf,
         "doc_bm25": _q_doc_bm25,
         "doc_lm_ppl": _q_doc_lm_ppl,
@@ -4351,6 +4370,35 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS n_tokens_re,
                    length(text) AS n_chars
             FROM documents
+        """,
+        "doc_pack": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_tok
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tok,
+                       CAST(sum(n_tok) OVER (ORDER BY doc_id)
+                            AS BIGINT) AS cum
+                FROM t WHERE n_tok > 0
+            ),
+            b AS (SELECT doc_id, cum - n_tok AS s, cum AS e FROM c),
+            x AS (
+                SELECT doc_id, s, e,
+                       unnest(generate_series(s // {PACK_L},
+                                              (e - 1) // {PACK_L}))
+                           AS seq_id
+                FROM b
+            )
+            SELECT doc_id, seq_id,
+                   greatest(s, seq_id * {PACK_L}) - s AS doc_off,
+                   greatest(s, seq_id * {PACK_L}) - seq_id * {PACK_L}
+                       AS seq_off,
+                   least(e, (seq_id + 1) * {PACK_L})
+                       - greatest(s, seq_id * {PACK_L}) AS len
+            FROM x
         """,
         "doc_chunk": f"""
             WITH base AS (

@@ -1312,3 +1312,73 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
     return spark.createDataFrame(
         merges, "rank long, lhs string, rhs string, pair_count long"
     )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 128,
+                   n_shards: int = 32, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a
+    tokenized corpus into fixed-length training sequences with ZERO
+    padding: all documents are laid end-to-end in doc_id order into
+    one global token stream, and sequence ``s`` is the stream window
+    [s*seq_len, (s+1)*seq_len).  Output is one row per (doc,
+    sequence) overlap span: (doc_id, seq_id, doc_off, seq_off, len) —
+    enough to materialize any sequence by slicing its member docs.
+
+    The global stream offset is a prefix sum, which a naive window
+    computes on ONE partition (the 100-TB anti-pattern).  Here it is
+    the classic two-level scan: doc_ids are range-sharded, each shard
+    cumsums locally IN PARALLEL (window partitioned by shard), shard
+    totals (n_shards rows — model-sized) come to the driver for an
+    exclusive prefix and rejoin as a broadcast.  Identical result to
+    the sequential definition, shuffle volume = one hash exchange on
+    the shard key.  Tokens are single-space splits (the corpus
+    tokenizer convention shared with the bigram/BM25 family)."""
+    spark = docs.sparkSession
+    nt = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    max_id = nt.agg(F.max("doc_id").alias("m")).first()["m"]
+    if max_id is None:
+        return spark.createDataFrame(
+            [], "doc_id long, seq_id long, doc_off long, "
+                "seq_off long, len long")
+    shard_w = max_id // n_shards + 1
+    sh = nt.withColumn("_sh", (F.col("doc_id") / shard_w).cast("long"))
+    w = Window.partitionBy("_sh").orderBy("doc_id")
+    local = sh.select(
+        "doc_id", "n_tok", "_sh", F.sum("n_tok").over(w).alias("_lc"))
+    totals = {
+        r["_sh"]: r["t"]
+        for r in sh.groupBy("_sh").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    off, acc = {}, 0
+    for s in sorted(totals):
+        off[s] = acc
+        acc += totals[s]
+    odf = spark.createDataFrame(
+        [(int(s), int(o)) for s, o in off.items()], "_sh long, _off long")
+    L = int(seq_len)
+    spans = (
+        local.join(F.broadcast(odf), "_sh")
+        .select(
+            "doc_id",
+            (F.col("_lc") + F.col("_off") - F.col("n_tok")).alias("_s"),
+            (F.col("_lc") + F.col("_off")).alias("_e"),
+        )
+        .select(
+            "doc_id", "_s", "_e",
+            F.explode(F.sequence(
+                F.expr(f"_s DIV {L}"), F.expr(f"(_e - 1) DIV {L}")
+            )).alias("seq_id"),
+        )
+    )
+    start = F.greatest(F.col("_s"), F.col("seq_id") * L)
+    return spans.select(
+        "doc_id", "seq_id",
+        (start - F.col("_s")).alias("doc_off"),
+        (start - F.col("seq_id") * L).alias("seq_off"),
+        (F.least(F.col("_e"), (F.col("seq_id") + 1) * L) - start)
+        .alias("len"),
+    )

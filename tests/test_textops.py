@@ -3,6 +3,7 @@ against exact recomputation."""
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from geospark import textops as T
@@ -688,3 +689,59 @@ def test_bpe_train_matches_classic(spark):
     assert got2[0] == (1, "a", "a", 9)   # 3 positions x freq 3
     # round 2 ties (aa,aa) with (aa,</w>) at 3; '<' sorts before 'a'
     assert got2[1] == (2, "aa", "</w>", 3)
+
+
+# --------------------------------------------------------------------
+# Sequence packing (textops.pack_sequences): concat-and-chunk spans.
+# --------------------------------------------------------------------
+
+def _pack_py(docs, L):
+    """Sequential golden: [(doc_id, seq_id, doc_off, seq_off, len)]."""
+    out, cum = [], 0
+    for doc_id, text in sorted(docs):
+        n = len(text.split(" ")) if text else 1
+        s, e = cum, cum + n
+        cum = e
+        for seq in range(s // L, (e - 1) // L + 1):
+            a = max(s, seq * L)
+            b = min(e, (seq + 1) * L)
+            out.append((doc_id, seq, a - s, a - seq * L, b - a))
+    return sorted(out)
+
+
+def _pack_docs():
+    rng = np.random.default_rng(11)
+    return [(i, " ".join("w" * 3 for _ in range(int(rng.integers(1, 40)))))
+            for i in range(60)]
+
+
+def test_pack_sequences_matches_sequential_golden(spark):
+    from geospark.textops import pack_sequences
+
+    docs = _pack_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple, pack_sequences(df, seq_len=16,
+                                           n_shards=7).collect()))
+    assert got == _pack_py(docs, 16)
+
+
+def test_pack_sequences_shard_invariance_and_conservation(spark):
+    from geospark.textops import pack_sequences
+
+    docs = _pack_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(map(tuple, pack_sequences(df, seq_len=16,
+                                         n_shards=1).collect()))
+    b = sorted(map(tuple, pack_sequences(df, seq_len=16,
+                                         n_shards=32).collect()))
+    assert a == b
+    # conservation: every token of every doc lands in exactly one span
+    per_doc = {}
+    per_seq = {}
+    for doc_id, seq_id, doc_off, seq_off, ln in a:
+        per_doc[doc_id] = per_doc.get(doc_id, 0) + ln
+        per_seq[seq_id] = per_seq.get(seq_id, 0) + ln
+    for doc_id, text in docs:
+        assert per_doc[doc_id] == len(text.split(" "))
+    full = sorted(per_seq)[:-1]
+    assert all(per_seq[s] == 16 for s in full)   # zero padding
