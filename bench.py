@@ -96,6 +96,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        print(f"  bench {name}: {timings[name]}s", file=sys.stderr)
 
     pipe_sec, _ = run_pipeline(spark, N_PIPELINE_PAGES)
     timings["pages_pipeline"] = round(pipe_sec, 3)

@@ -138,6 +138,13 @@ def main() -> None:
         "rows_out": T.token_stats(docs).count(),
     })
 
+    # concat-and-chunk packing: two-level prefix scan (256 shards) +
+    # span explode over the full corpus token stream
+    run("pack_sequences_L2048", lambda: {
+        "rows_out": T.pack_sequences(docs, seq_len=2048,
+                                     n_shards=256).count(),
+    })
+
     def _bm25():
         # 3 probes x 3 terms over the 50k-token vocabulary: expected
         # df per term ~ n*40/50000, so the candidate relation (docs

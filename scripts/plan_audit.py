@@ -655,6 +655,79 @@ def main() -> None:
               "hash join + partial-aggregated count.",
     )
 
+    audit(
+        "hdr_quantiles (mergeable bounded-error quantile sketch)",
+        q["hdr_quantiles"](spark, sf_dir),
+        must=["partial_count", "Window"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="ONE partial-aggregatable shuffle on (lang, shard, "
+              "bucket) — the map-side combine collapses each task to "
+              "its distinct buckets before the exchange; the merge "
+              "and the cumulative-rank quantile extraction window "
+              "run over the tiny sketch relation only (<= ~250 rows "
+              "per lang), and n_buckets rides in the same aggregate "
+              "so the whole query is a single raw-data scan.",
+    )
+
+    def _sssp_flat():
+        from geospark.graph import sssp
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            F.col("event_id").alias("node")).limit(2000)
+        nn = ev.agg(F.count("*").alias("_n"))
+        edges = ev.crossJoin(F.broadcast(nn)).select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 7919 + 1) % F.col("_n")).alias("dst"),
+            (F.lit(1) + (F.col("node") * 31 + 7) % 100).alias("w"),
+        )
+        return sssp(edges, [0, 1, 2], hops=2, use_spool=False)
+
+    audit(
+        "graph_sssp relaxation round (spool off, 2 hops)",
+        _sssp_flat(),
+        must=["partial_min"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "CartesianProduct"],
+        notes="per round the frontier joins the edge relation and the "
+              "candidate min on dst is PARTIAL-aggregated before its "
+              "exchange (map-side combine — shuffle volume is distinct "
+              "dst per task, not relaxations); the state merge is an "
+              "ordinary full-outer hash join on node. The driver query "
+              "spools state/frontier per round, so its visible plan is "
+              "only the final scan (the pagerank precedent) — this "
+              "audit runs the loop un-spooled to expose the round "
+              "shape.",
+    )
+
+    audit(
+        "emb_kmeans (integer-exact Lloyd training)",
+        q["emb_kmeans"](spark, sf_dir),
+        must=["BroadcastHashJoin", "partial_count"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "SortMergeJoin"],
+        notes="the final-assignment pass is a map-side literal-array "
+              "argmin projection (no join against a centroid relation "
+              "anywhere); the per-centroid rollup partial-aggregates "
+              "before its exchange and the model-sized centroid-stats "
+              "relation joins back as a broadcast. Training "
+              "iterations have the same shape: assignment projection "
+              "+ ONE (centroid_id, pos) partial-agg shuffle.",
+    )
+
+    audit(
+        "doc_pack (two-level prefix scan sequence packing)",
+        q["doc_pack"](spark, sf_dir),
+        must=["Window", "hashpartitioning(_sh"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "Exchange SinglePartition"],
+        notes="the global token-stream offset never materializes a "
+              "single-partition window: local cumsums run per range "
+              "shard in parallel (window partitioned by _sh) and the "
+              "n_shards exclusive prefix joins back as a broadcast; "
+              "the span explode is a codegen Generate over at most "
+              "(n_tok / seq_len + 1) sequences per doc.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
