@@ -251,3 +251,32 @@ def test_hdr_small_values_exact_and_state_bounded(spark):
     big, _ = _hdr_vals(spark)
     n_buckets = SK.hdr_sketch(big, [], "v").count()
     assert n_buckets <= 16 * 24
+
+
+def test_hdr_sketch_streams_incrementally(spark, tmp_path):
+    """The sketch is a pure groupBy-sum, so it runs UNCHANGED as a
+    streaming aggregation: file-source micro-batches in complete mode
+    must converge to exactly the batch sketch — the persisted-rollup
+    contract (per-day sketch + merge == rescan) exercised through
+    Structured Streaming itself."""
+    df, _ = _hdr_vals(spark)
+    src = str(tmp_path / "src")
+    # three in-order drops = three micro-batches
+    for i in range(3):
+        df.filter(F.col("v") % 3 == i).coalesce(1).write.mode(
+            "append").parquet(src)
+    stream = spark.readStream.schema("grp int, v long") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    sk = SK.hdr_sketch(stream, ["grp"], "v")
+    q = (
+        sk.writeStream.format("memory").queryName("hdr_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT grp, b, cnt FROM hdr_stream").collect()))
+    want = sorted(map(tuple, SK.hdr_sketch(df, ["grp"], "v").collect()))
+    assert got == want and len(got) > 0
