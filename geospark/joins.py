@@ -1158,10 +1158,20 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
         F.col("_m_cla").alias("c_lat"),
         F.col("_m_cln").alias("c_lng"),
     )).alias("_b")
+    # the radius filter runs AFTER the argmin, on the aggregate output
+    # (equivalent: the min struct is ordered by dist_m first, so
+    # best.dist_m < max_m  <=>  some candidate < max_m). A pre-agg
+    # filter on _m_dist is deterministic, so Catalyst pushes it down
+    # THROUGH the repartition into the broadcast join's non-equi
+    # condition — inlining the whole closest-on-segment + haversine
+    # tree into bhj_doConsume_0(), which blows the 64 KB method limit
+    # and drops the streamed cover stage (Arrow UDF + Generate + join)
+    # to interpreted mode. Filters on aggregate outputs are a pushdown
+    # barrier, so this keeps the big streamed stage expression-free.
     return (
-        scored.filter(F.col("_m_dist") < F.lit(float(max_m)))
-        .groupBy("point_id")
+        scored.groupBy("point_id")
         .agg(best)
+        .filter(F.col("_b").getField("dist_m") < F.lit(float(max_m)))
         .select(
             "point_id",
             F.col("_b.line_id").alias("line_id"),
