@@ -82,6 +82,23 @@ def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_hi = n_base * 4
+    # Optional pre-gate (SCALING_GATE=0.85): measure the host's own
+    # busy-loop ceiling FIRST and skip the ~6-min pipeline phase when
+    # the VM is being hypervisor-throttled — a run taken under a
+    # ceiling below the gate can only produce a meaningless MISS row
+    # (the pipeline cannot out-scale the host). Gated attempts print a
+    # JSON line but append nothing to BENCH.md.
+    import os
+    gate = float(os.environ.get("SCALING_GATE", "0") or 0)
+    if gate:
+        pre = cpu_ceiling(n_base, n_hi)
+        if pre < gate:
+            print(json.dumps({
+                "gated": True, "pre_ceiling": round(pre, 3),
+                "gate": gate,
+                "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+            }))
+            return
     r_lo = run_config(n_base, n_pages)
     r_hi = run_config(n_hi, n_pages)
     eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / 4.0
