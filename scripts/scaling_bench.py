@@ -99,12 +99,29 @@ def main() -> None:
                 "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
             }))
             return
-    r_lo = run_config(n_base, n_pages)
-    r_hi = run_config(n_hi, n_pages)
+    # SCALING_REPEATS=k (default 1): run the two configs interleaved
+    # k times and keep the BEST wall per config. On a hypervisor-
+    # throttled VM a single pair is noise-dominated — the throttle
+    # gates aggregate CPU above ~8 busy threads and fluctuates on
+    # ~minute windows, so one unthrottled local[4] paired with one
+    # throttled local[16] reads as a code regression that isn't there.
+    # Best-of-k per config measures the code's own scaling whenever
+    # ANY rep of each config lands in an unthrottled window;
+    # interleaving gives both configs the same exposure to host state.
+    reps = int(os.environ.get("SCALING_REPEATS", "1") or 1)
+    lo_runs, hi_runs = [], []
+    for _ in range(max(reps, 1)):
+        lo_runs.append(run_config(n_base, n_pages))
+        hi_runs.append(run_config(n_hi, n_pages))
+    r_lo = min(lo_runs, key=lambda r: r["sec"])
+    r_hi = min(hi_runs, key=lambda r: r["sec"])
     eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / 4.0
     ceiling = cpu_ceiling(n_base, n_hi)
     result = {
         "n_pages": n_pages,
+        "repeats": reps,
+        "all_lo_secs": [round(r["sec"], 1) for r in lo_runs],
+        "all_hi_secs": [round(r["sec"], 1) for r in hi_runs],
         f"local{n_base}": r_lo,
         f"local{n_hi}": r_hi,
         "speedup": round(r_hi["pages_per_sec"] / r_lo["pages_per_sec"], 3),
@@ -128,6 +145,10 @@ def main() -> None:
         "| --- | --- | --- |",
         f"| local[{n_base}] (N) | {r_lo['sec']:.1f} | {r_lo['pages_per_sec']:.0f} |",
         f"| local[{n_hi}] (4N) | {r_hi['sec']:.1f} | {r_hi['pages_per_sec']:.0f} |",
+        *([f"",
+           f"best-of-{reps} per config, interleaved "
+           f"(lo walls {result['all_lo_secs']}, hi walls "
+           f"{result['all_hi_secs']})"] if reps > 1 else []),
         "",
         f"**Speedup {n_base}→{n_hi}:** {result['speedup']}x — "
         f"**scaling efficiency:** {result['scaling_efficiency']} "
