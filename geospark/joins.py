@@ -1126,25 +1126,44 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
         pts.withColumn("_p_key", F.explode(F.array(*keys)))
         .drop("__px16", "__py16")
     )
-    # STAGE SPLIT around the exact refine. The closest-on-segment +
-    # haversine tree is too large for one generated JVM method: fused
-    # into the join stage it lands in bhj_doConsume_0(), fused into
-    # the argmin it lands in sort_addToSorter() — either way "Code
-    # grows beyond 64 KB" drops the WHOLE stage (including the
-    # 1.6M-row cover Generate and the Arrow cover UDF at sf0.1) to
-    # interpreted mode (measured 26s vs 6s). So: the big streamed
-    # stage stays expression-free (pure equi-join on the combined
-    # key, raw pair columns only), candidates — cover-bounded, a few
-    # per probe — shuffle on point_id, and the refine + struct-min
-    # argmin run post-shuffle where a codegen fallback touches only
-    # the candidate relation.
+    # REFINE PLACEMENT. The closest-on-segment + haversine tree must
+    # never end up in the JOIN CONDITION: a deterministic pre-agg
+    # filter on the exact distance gets folded into bhj_doConsume_0(),
+    # whose generated method then "grows beyond 64 KB" and drops the
+    # whole streamed stage (Arrow cover UDF + Generate + join) to
+    # interpreted mode (measured 26s vs 6s at sf0.1). The exact radius
+    # filter therefore runs on the AGGREGATE OUTPUT (a pushdown
+    # barrier), while the refine itself — staged through real _cos_*
+    # columns, one small generated method per Project — feeds the
+    # map-side PARTIAL min-struct aggregate, so the exchange carries
+    # one candidate-minimum per (probe, map partition) instead of the
+    # raw candidate relation.
+    # Conservative candidate prefilter, cheap enough to live in the
+    # join condition: the snapped point's latitude lies inside the
+    # segment's endpoint-lat interval (mercator y is monotone in lat
+    # and closest_on_segment clamps to the endpoints), and great-circle
+    # distance >= R·|Δφ| = 111,194.9 m/deg — understated to 111,000 so
+    # the bound strictly dominates. Drops only pairs whose exact dist
+    # must exceed max_m, so the post-agg radius filter sees the same
+    # argmin. Unlike the full refine tree, this is a few hundred bytes
+    # of generated code — fine inside bhj_doConsume.
+    lat_gap_m = 111000.0 * F.greatest(
+        F.lit(0.0),
+        F.least(F.col("_m_fla"), F.col("_m_tla")) - F.col(lat),
+        F.col(lat) - F.greatest(F.col("_m_fla"), F.col("_m_tla")),
+    )
+    # NO repartition here: groupBy(point_id) below plans a map-side
+    # partial min-struct aggregate, so only one candidate-minimum per
+    # (probe, map partition) reaches the exchange. An explicit
+    # repartition(point_id) shuffles the RAW candidate relation —
+    # measured ENOSPC (>37 GB spill) at 12M segments x 1.2M probes.
     pairs = (
         anc.join(seg, F.col("_p_key") == F.col("_m_key"), "inner")
+        .filter(lat_gap_m < F.lit(float(max_m)))
         .select(F.col(point_id).alias("point_id"),
                 F.col(lat).alias("_p_lat"), F.col(lng).alias("_p_lng"),
                 "_m_line", "_m_seg",
                 "_m_fla", "_m_fln", "_m_tla", "_m_tln")
-        .repartition(F.col("point_id"))
     )
     scored = K.with_closest_on_segment(
         pairs, "_p_lat", "_p_lng", "_m_fla", "_m_fln", "_m_tla", "_m_tln",
