@@ -292,23 +292,38 @@ def main() -> None:
               "preserved for downstream bucketed use.",
     )
 
-    # map matching: expression-free streamed join stage, refine
-    # post-shuffle (the closest-on-segment tree overflows one JVM
-    # method — fused anywhere into the streamed stage it drops join +
-    # cover Generate + Arrow UDF to interpreted mode)
+    # map matching: codegen'd streamed join stage (only the tiny
+    # latitude lower-bound prefilter in the join condition), refine
+    # staged through _cos_* Projects feeding a MAP-SIDE partial
+    # min-struct aggregate — the exchange carries one candidate-
+    # minimum per (probe, map partition), never the raw candidate
+    # relation (the repartition(point_id) form spilled >37 GB and
+    # died ENOSPC at 12M segments)
+    mm_df = q["map_match"](spark, sf_dir)
     audit(
         "map_match (probe -> road-network snap join)",
-        q["map_match"](spark, sf_dir),
-        must=["* BroadcastHashJoin", "hashpartitioning(point_id"],
+        mm_df,
+        must=["* BroadcastHashJoin", "hashpartitioning(point_id",
+              "partial_min"],
         must_not=["BatchEvalPython", "SortMergeJoin"],
         notes="probe ancestor keys broadcast; the network cover "
-              "streams with NO shuffle (one ArrowEvalPython for the "
-              "int64 cover keys only); the codegen'd (*) join stage "
-              "carries zero refine expressions — candidates shuffle "
-              "on point_id and the heavy closest-on-segment + "
-              "haversine refine plus struct-min argmin run on the "
-              "cover-bounded candidate relation only.",
+              "streams with NO candidate shuffle (one ArrowEvalPython "
+              "for the int64 cover keys only); the codegen'd (*) join "
+              "stage carries only the ~100-byte latitude lower-bound "
+              "prefilter; the closest-on-segment + haversine refine "
+              "and the struct-min argmin run map-side into a "
+              "partial_min, so the point_id exchange moves per-"
+              "(probe, partition) minima only.",
     )
+    # the refine tree must never fold into the join condition: a
+    # giant BroadcastHashJoin line is the 64 KB codegen fallback
+    # (and, pre-aggregation, the raw-candidate shuffle) coming back
+    mm_bhj = [l for l in plan_of(mm_df).splitlines()
+              if "BroadcastHashJoin" in l]
+    if any(len(l) > 2000 for l in mm_bhj):
+        failures.append(
+            "map_match: BroadcastHashJoin line exceeds 2000 chars — "
+            "the exact refine leaked into the join condition")
 
     # raster->vector rectangle decomposition: window passes only
     audit(
