@@ -2817,6 +2817,35 @@ def _q_geofence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GEOCODE_NAMES, GEOCODE_PER_NAME = 500, 3
+
+
+def _q_geocode_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toponym resolution (geospark/geocode.py): every event becomes a
+    NAMED mention ('place_{event_id % 500}') with its point as the
+    context coordinate; the deterministic 1500-row ambiguous gazetteer
+    (3 candidates per name) broadcasts; candidates score by the
+    integer-exact population-prior / distance-damping formula and the
+    per-mention argmax is a partial-aggregatable min-struct — one
+    broadcast join + one mention-keyed shuffle of per-partition
+    minima, the geoparsing staple at any corpus size. Oracle: an
+    INDEPENDENT argmax (row_number window over the same scored
+    candidates) in DuckDB."""
+    from geospark.geocode import gazetteer, resolve_mentions
+
+    pts = G.events_points(spark, sf_dir)
+    mentions = pts.select(
+        F.col("event_id").alias("mention_id"),
+        F.concat(
+            F.lit("place_"),
+            (F.col("event_id") % GEOCODE_NAMES).cast("string"),
+        ).alias("name"),
+        "lat", "lng",
+    )
+    gaz = gazetteer(spark, GEOCODE_NAMES, GEOCODE_PER_NAME)
+    return resolve_mentions(mentions, gaz)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "streaming_tiles": _q_streaming_tiles,
@@ -2928,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_time_rollup": _q_tile_time_rollup,
         "bearing_seq": _q_bearing_seq,
         "box_buffer": _q_box_buffer,
+        "geocode_resolve": _q_geocode_resolve,
     }
 
 
@@ -3969,6 +3999,46 @@ def _polygon_overlap_oracle_sql() -> str:
         SELECT CAST(aid AS BIGINT) AS id_a, bid AS id_b,
                edge_cross, a_in_b, b_in_a
         FROM allf WHERE edge_cross + a_in_b + b_in_a > 0
+    """
+
+
+def _geocode_resolve_oracle() -> str:
+    """DuckDB twin of _q_geocode_resolve — INDEPENDENT argmax: the
+    Spark side takes min(struct(-score, gaz_id, ...)); the oracle
+    ranks the same scored candidates with a row_number window. The
+    score is pure BIGINT (``//`` == Spark ``div`` on positive
+    operands) over floor(haversine), so both engines agree exactly."""
+    from geospark.geocode import SCORE_NUM, SCORE_OFF, gazetteer_sql
+
+    NN, PN = GEOCODE_NAMES, GEOCODE_PER_NAME
+    hav = G.haversine_sql("m.lat", "m.lng", "g.g_lat", "g.g_lng")
+    score = (f"(population * CAST({SCORE_NUM} AS BIGINT)) // "
+             f"(CAST({SCORE_OFF} AS BIGINT) + dist_m)")
+    return f"""
+        WITH pts AS ({G.EVENTS_POINTS_SQL}),
+        m AS (
+            SELECT event_id AS mention_id,
+                   'place_' || CAST(event_id % {NN} AS VARCHAR) AS name,
+                   lat, lng
+            FROM pts
+        ),
+        gaz AS ({gazetteer_sql(NN, PN)}),
+        cand AS (
+            SELECT m.mention_id, g.gaz_id, g.g_lat, g.g_lng,
+                   g.population,
+                   CAST(floor({hav}) AS BIGINT) AS dist_m
+            FROM m JOIN gaz g USING (name)
+        ),
+        scored AS (
+            SELECT *, {score} AS score,
+                   row_number() OVER (
+                       PARTITION BY mention_id
+                       ORDER BY {score} DESC, gaz_id) AS rn
+            FROM cand
+        )
+        SELECT mention_id, gaz_id, g_lat AS r_lat, g_lng AS r_lng,
+               population, dist_m, score
+        FROM scored WHERE rn = 1
     """
 
 
@@ -5512,4 +5582,5 @@ def oracle_sql() -> dict[str, str]:
                    ) AS bmax_lng
             FROM pts
         """,
+        "geocode_resolve": _geocode_resolve_oracle(),
     }

@@ -325,6 +325,21 @@ def main() -> None:
             "map_match: BroadcastHashJoin line exceeds 2000 chars — "
             "the exact refine leaked into the join condition")
 
+    # toponym resolution: broadcast gazetteer dim + map-side partial
+    # argmin; the mention relation never shuffles raw
+    audit(
+        "geocode_resolve (toponym resolution / forward geocoding)",
+        q["geocode_resolve"](spark, sf_dir),
+        must=["BroadcastHashJoin", "partial_min"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "SortMergeJoin", "CartesianProduct"],
+        notes="the 1500-row ambiguous gazetteer broadcasts; candidates "
+              "(x3 per mention) score map-side with pure-BIGINT "
+              "population/distance arithmetic and fold into a "
+              "partial_min struct argmax below the mention exchange — "
+              "one broadcast join, one minima-only shuffle.",
+    )
+
     # raster->vector rectangle decomposition: window passes only
     audit(
         "tile_vectorize (raster->vector rectangle decomposition)",
