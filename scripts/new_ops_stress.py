@@ -174,6 +174,33 @@ def main() -> None:
 
     run("graph_cc_chains", n_nodes, _cc)
 
+    def _geocode():
+        # toponym resolution at mention scale: n_nodes mentions over a
+        # 450k-row ambiguous gazetteer (150k names x 3 candidates —
+        # GeoNames-city order of magnitude). The gazetteer broadcasts;
+        # the only mention shuffle is the partial-argmin minima.
+        from geospark.geocode import gazetteer, resolve_mentions
+
+        n_names = 150_000
+        gaz = gazetteer(spark, n_names, 3)
+        mentions = spark.range(n_nodes).select(
+            F.col("id").alias("mention_id"),
+            F.concat(F.lit("place_"),
+                     (F.col("id") % n_names).cast("string")).alias("name"),
+            (((F.col("id") * 7919) % 16000) / 100.0 - 80.0).alias("lat"),
+            (((F.col("id") * 104729) % 36000) / 100.0 - 180.0).alias("lng"),
+        )
+        res = resolve_mentions(mentions, gaz)
+        agg = res.agg(
+            F.count("*").alias("n_resolved"),
+            F.countDistinct("gaz_id").alias("n_places"),
+            F.sum(F.col("dist_m")).alias("dist_sum"),
+        ).collect()[0]
+        return {"n_resolved": int(agg["n_resolved"]),
+                "n_places": int(agg["n_places"])}
+
+    run("geocode_12m_mentions", n_nodes, _geocode)
+
     out = {"ops": results, "cpus": 32,
            "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(out))
