@@ -2847,7 +2847,75 @@ def _q_geocode_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order matters: the driver's correctness harness checks the
+    FIRST 50 entries only.  Rounds 1-3 left 26 queries with no driver row in
+    any round, so round 4 puts those 26 first, followed by the 34 queries
+    whose last driver row was round 2, followed by the round-3-green set.
+    (VERDICT.md round 3, task #1.)"""
     return {
+        # -- 26 never driver-checked before round 4 --------------------------
+        "doc_incremental_dedup": _q_doc_incremental_dedup,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_dup_spans": _q_doc_dup_spans,
+        "doc_cap_per_lang": _q_doc_cap_per_lang,
+        "doc_dedup_neardup": _q_doc_dedup_neardup,
+        "doc_split": _q_doc_split,
+        "doc_pii_scrub": _q_doc_pii_scrub,
+        "doc_sample_stratified": _q_doc_sample_stratified,
+        "doc_weighted_sample": _q_doc_weighted_sample,
+        "doc_len_quantiles": _q_doc_len_quantiles,
+        "doc_mix_epochs": _q_doc_mix_epochs,
+        "doc_chunk": _q_doc_chunk,
+        "doc_pack": _q_doc_pack,
+        "doc_tfidf": _q_doc_tfidf,
+        "doc_bm25": _q_doc_bm25,
+        "doc_lm_ppl": _q_doc_lm_ppl,
+        "doc_bpe": _q_doc_bpe,
+        "doc_repetition": _q_doc_repetition,
+        "doc_line_dedup": _q_doc_line_dedup,
+        "emb_pq": _q_emb_pq,
+        "emb_kmeans": _q_emb_kmeans,
+        "emb_quantize": _q_emb_quantize,
+        "tile_bounds": _q_tile_bounds,
+        "box_join": _q_box_join,
+        "seg_intersections": _q_seg_intersections,
+        "geocode_resolve": _q_geocode_resolve,
+        # -- 34 last driver-checked in round 2 --------------------------------
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_jaccard_pairs": _q_doc_jaccard_pairs,
+        "doc_minhash_lsh": _q_doc_minhash_lsh,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_ann_lsh": _q_emb_ann_lsh,
+        "emb_ivf": _q_emb_ivf,
+        "emb_neardup": _q_emb_neardup,
+        "multimodal_features": _q_multimodal_features,
+        "polyline_length": _q_polyline_length,
+        "destination_point": _q_destination_point,
+        "midpoint": _q_midpoint,
+        "simplify_mask": _q_simplify_mask,
+        "polyline_codec": _q_polyline_codec,
+        "cluster": _q_cluster,
+        "tile_assign": _q_tile_assign,
+        "cell_morton": _q_cell_morton,
+        "min_distance": _q_min_distance,
+        "bbox_agg": _q_bbox_agg,
+        "haversine_topk": _q_haversine_topk,
+        "radius_join": _q_radius_join,
+        "box_query": _q_box_query,
+        "box_semi_anti": _q_box_semi_anti,
+        "knn": _q_knn,
+        "pip_join": _q_pip_join,
+        "tile_rollup": _q_tile_rollup,
+        "tile_multi_rollup": _q_tile_multi_rollup,
+        "tile_time_rollup": _q_tile_time_rollup,
+        "bearing_seq": _q_bearing_seq,
+        "box_buffer": _q_box_buffer,
+        # -- green in CORRECTNESS_r03.json -------------------------------------
         "streaming_tiles": _q_streaming_tiles,
         "streaming_dedup": _q_streaming_dedup,
         "geofence_stream": _q_geofence_stream,
@@ -2898,66 +2966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_range_box": _q_tile_range_box,
         "tile_relevel": _q_tile_relevel,
         "tile_pyramid": _q_tile_pyramid,
-        "doc_dedup_exact": _q_doc_dedup_exact,
-        "doc_incremental_dedup": _q_doc_incremental_dedup,
-        "doc_decontaminate": _q_doc_decontaminate,
-        "doc_dup_spans": _q_doc_dup_spans,
-        "doc_cap_per_lang": _q_doc_cap_per_lang,
-        "doc_token_stats": _q_doc_token_stats,
-        "doc_quality": _q_doc_quality,
-        "doc_lang_id": _q_doc_lang_id,
-        "doc_jaccard_pairs": _q_doc_jaccard_pairs,
-        "doc_minhash_lsh": _q_doc_minhash_lsh,
-        "doc_dedup_neardup": _q_doc_dedup_neardup,
-        "doc_split": _q_doc_split,
-        "doc_pii_scrub": _q_doc_pii_scrub,
-        "doc_sample_stratified": _q_doc_sample_stratified,
-        "doc_weighted_sample": _q_doc_weighted_sample,
-        "doc_len_quantiles": _q_doc_len_quantiles,
-        "doc_mix_epochs": _q_doc_mix_epochs,
-        "doc_simhash_pairs": _q_doc_simhash_pairs,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "doc_chunk": _q_doc_chunk,
-        "doc_pack": _q_doc_pack,
-        "doc_tfidf": _q_doc_tfidf,
-        "doc_bm25": _q_doc_bm25,
-        "doc_lm_ppl": _q_doc_lm_ppl,
-        "doc_bpe": _q_doc_bpe,
-        "doc_repetition": _q_doc_repetition,
-        "doc_line_dedup": _q_doc_line_dedup,
-        "emb_cosine_topk": _q_emb_cosine_topk,
-        "emb_ann_lsh": _q_emb_ann_lsh,
-        "emb_ivf": _q_emb_ivf,
-        "emb_pq": _q_emb_pq,
-        "emb_kmeans": _q_emb_kmeans,
-        "emb_neardup": _q_emb_neardup,
-        "emb_quantize": _q_emb_quantize,
-        "multimodal_features": _q_multimodal_features,
-        "polyline_length": _q_polyline_length,
-        "destination_point": _q_destination_point,
-        "midpoint": _q_midpoint,
-        "simplify_mask": _q_simplify_mask,
-        "polyline_codec": _q_polyline_codec,
-        "cluster": _q_cluster,
-        "tile_assign": _q_tile_assign,
-        "tile_bounds": _q_tile_bounds,
-        "cell_morton": _q_cell_morton,
-        "min_distance": _q_min_distance,
-        "bbox_agg": _q_bbox_agg,
-        "haversine_topk": _q_haversine_topk,
-        "radius_join": _q_radius_join,
-        "box_query": _q_box_query,
-        "box_semi_anti": _q_box_semi_anti,
-        "box_join": _q_box_join,
-        "seg_intersections": _q_seg_intersections,
-        "knn": _q_knn,
-        "pip_join": _q_pip_join,
-        "tile_rollup": _q_tile_rollup,
-        "tile_multi_rollup": _q_tile_multi_rollup,
-        "tile_time_rollup": _q_tile_time_rollup,
-        "bearing_seq": _q_bearing_seq,
-        "box_buffer": _q_box_buffer,
-        "geocode_resolve": _q_geocode_resolve,
     }
 
 

@@ -763,10 +763,17 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
     )
     if use_spool:
         qv = spool(qv, "kmeans_qv")
+    # Seed = first k vectors ordered by id — matches goldens.kmeans_py's
+    # sorted(ids)[:k] on ANY id space (non-dense / non-zero-based included);
+    # filter(vec_id < k) would silently diverge there (ADVICE r03).
     cents = [
         [int(x) for x in r["v_q"]]
-        for r in qv.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+        for r in qv.orderBy("vec_id").limit(k).collect()
     ]
+    if len(cents) != k:
+        raise ValueError(
+            f"kmeans_fit: k={k} but only {len(cents)} vectors available"
+        )
     dim = len(cents[0])
     for _ in range(iters):
         a = qv.select(

@@ -327,14 +327,25 @@ def sssp(edges: DataFrame, sources: list[int], hops: int = 6,
 
     Weights must be non-negative BIGINTs.  Returns (node, dist, hub)
     for nodes reachable within ``hops`` edges of any source.
+
+    Sources are remapped to DENSE hub indices internally (ADVICE r03):
+    the packed key is dist * len(sources) + hub_idx, so 64-bit-hashed
+    source ids cannot overflow the BIGINT key — only
+    max_dist * len(sources) >= 2^63 can, which the docstring bound
+    below states and real weight/hop budgets never approach.  The
+    dense indices follow sorted(source id), so min-merge tie-breaks
+    still resolve toward the smaller ORIGINAL hub id.
     """
     spark = edges.sparkSession
-    hub_mod = max(sources) + 1
+    if not sources:
+        raise ValueError("sssp: sources must be non-empty")
+    srcs = sorted({int(s) for s in sources})
+    hub_mod = len(srcs)
     ed = edges.select(src, dst, w)
     if use_spool:
         ed = spool(ed, "sssp_edges")
     state = spark.createDataFrame(
-        [(int(s), int(s)) for s in sorted(sources)], "node long, key long"
+        [(s, i) for i, s in enumerate(srcs)], "node long, key long"
     )
     frontier = state
     for i in range(hops):
@@ -362,8 +373,10 @@ def sssp(edges: DataFrame, sources: list[int], hops: int = 6,
             frontier = spool(frontier, f"sssp_frontier_{i}")
         if frontier.isEmpty():
             break
+    hub_ids = "array(" + ", ".join(f"{s}L" for s in srcs) + ")"
     return state.select(
         "node",
         F.expr(f"key DIV {hub_mod}").alias("dist"),
-        (F.col("key") % hub_mod).alias("hub"),
+        F.expr(f"element_at({hub_ids}, CAST(key % {hub_mod} AS INT) + 1)")
+        .alias("hub"),
     )

@@ -1333,12 +1333,19 @@ def pack_sequences(docs: DataFrame, seq_len: int = 128,
     exclusive prefix and rejoin as a broadcast.  Identical result to
     the sequential definition, shuffle volume = one hash exchange on
     the shard key.  Tokens are single-space splits (the corpus
-    tokenizer convention shared with the bigram/BM25 family)."""
+    tokenizer convention shared with the bigram/BM25 family).
+
+    The (doc_id, n_tok) relation is SPOOLED before the three passes
+    that read it (max_id agg, shard totals, windowed cumsum) — without
+    it each pass would re-scan + re-tokenize the full corpus text
+    (ADVICE r03); spooled, the text is read once and the three passes
+    run over the 2-column token-count relation."""
     spark = docs.sparkSession
     nt = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
+    nt = spool(nt, "pack_ntok")
     max_id = nt.agg(F.max("doc_id").alias("m")).first()["m"]
     if max_id is None:
         return spark.createDataFrame(
