@@ -7,7 +7,7 @@ on executor-local storage with no lineage: on a real cluster, losing
 one executor mid-query kills the job. The spool backend is therefore
 selected at runtime by the SQL conf ``spark.geospark.spool``:
 
-- ``local`` (default): ``DataFrame.localCheckpoint(eager=True)`` —
+- ``local``: ``DataFrame.localCheckpoint(eager=True)`` —
   fastest; correct for local[*] and for clusters that accept
   recompute-from-zero on executor loss.
 - ``reliable``: ``DataFrame.checkpoint(eager=True)`` — blocks written
@@ -19,6 +19,14 @@ selected at runtime by the SQL conf ``spark.geospark.spool``:
   killed job can be resumed AND the intermediate is queryable for
   debugging (the Iceberg-snapshot contract from the north rule).
 
+When ``spark.geospark.spool`` is UNSET the default is master-aware:
+``local[*]`` masters get ``local``; any non-local master (yarn, k8s,
+spark://, mesos) gets ``reliable`` if a checkpoint target exists
+(``setCheckpointDir`` or ``spark.geospark.spool.dir``), else a loud
+RuntimeWarning and ``local`` — so a cluster operator can't silently
+run with executor-loss-fragile localCheckpoint blocks just because
+they forgot a conf.
+
 All three return a DataFrame with the same rows/schema; callers treat
 the result as a sealed relation (no upstream recompute).
 """
@@ -26,6 +34,7 @@ the result as a sealed relation (no upstream recompute).
 from __future__ import annotations
 
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame
 
@@ -33,10 +42,42 @@ SPOOL_CONF = "spark.geospark.spool"
 SPOOL_DIR_CONF = "spark.geospark.spool.dir"
 
 
+def choose_backend(explicit: str | None, master: str,
+                   has_checkpoint_target: bool) -> tuple[str, str | None]:
+    """Pure backend-selection policy (unit-testable without a cluster).
+
+    Returns ``(backend, warning_or_None)``. An explicit conf always
+    wins; otherwise local masters spool locally, and non-local masters
+    get ``reliable`` when a checkpoint target exists — else ``local``
+    WITH a warning, because localCheckpoint blocks are lost (and the
+    whole job with them) when any executor holding them dies."""
+    if explicit is not None:
+        return explicit, None
+    if master.startswith("local"):
+        return "local", None
+    if has_checkpoint_target:
+        return "reliable", None
+    return "local", (
+        f"geospark.spool: non-local master {master!r} with no "
+        f"{SPOOL_CONF} conf and no checkpoint dir — falling back to "
+        "localCheckpoint, which does NOT survive executor loss. Set "
+        f"sparkContext.setCheckpointDir(...) or {SPOOL_DIR_CONF} to "
+        f"get the 'reliable' default, or set {SPOOL_CONF} explicitly."
+    )
+
+
 def spool(df: DataFrame, name: str = "spool") -> DataFrame:
     """Materialize ``df`` through the configured spool backend."""
     spark = df.sparkSession
-    backend = spark.conf.get(SPOOL_CONF, "local")
+    sc = spark.sparkContext
+    backend, warn = choose_backend(
+        spark.conf.get(SPOOL_CONF, None),
+        sc.master or "",
+        sc.getCheckpointDir() is not None
+        or spark.conf.get(SPOOL_DIR_CONF, None) is not None,
+    )
+    if warn:
+        warnings.warn(warn, RuntimeWarning, stacklevel=2)
     if backend == "local":
         return df.localCheckpoint(eager=True)
     if backend == "reliable":

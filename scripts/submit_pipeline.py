@@ -35,6 +35,16 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="pipeline snapshot root")
     ap.add_argument("--zoom", type=int, default=8)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--spool", default=None,
+                    choices=["local", "reliable", "table"],
+                    help="spool backend (default: master-aware — local "
+                         "masters localCheckpoint, cluster masters "
+                         "'reliable' when a checkpoint dir is set)")
+    ap.add_argument("--spool-dir", default=None,
+                    help="durable dir for the reliable/table backends "
+                         "(HDFS/S3/DFS on a cluster); defaults to "
+                         "<out>/_spool so cluster runs are durable "
+                         "out of the box")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -49,6 +59,16 @@ def main() -> None:
 
     spark = get_spark("geospark-pipeline")
     spark.sparkContext.setLogLevel("WARN")
+
+    # spool durability: the snapshot root is by construction a durable
+    # filesystem (the pipeline commits there), so default the spool dir
+    # under it — on a cluster master geospark.spool.choose_backend then
+    # resolves to 'reliable' with no extra flags
+    from geospark.spool import SPOOL_CONF, SPOOL_DIR_CONF
+
+    spark.conf.set(SPOOL_DIR_CONF, args.spool_dir or f"{args.out}/_spool")
+    if args.spool:
+        spark.conf.set(SPOOL_CONF, args.spool)
 
     if args.pages:
         pages = spark.read.parquet(args.pages)
