@@ -2231,6 +2231,27 @@ def _q_emb_kmeans(spark, sf_dir):
         "centroid_id", "n", "inertia", "c_sum", "c_min", "c_max")
 
 
+IVF_T_PROBE = 3
+
+
+def _q_emb_ivf_trained(spark, sf_dir):
+    """IVF-flat ANN over kmeans_fit-TRAINED centroids
+    (embeddings.ivf_topk_trained) — the trainer wired to the index
+    (VERDICT r03 task #4). Integer-exact end to end: coarse quantizer
+    = Lloyd-trained floor(x*1e6) centroids, probe selection and
+    candidate re-rank are exact integer L2, so the top-k replays
+    bit-identically in the plain-Python twin (goldens.ivf_trained_py).
+    Plan: map-side probe projection on a broadcast |Q|-row relation,
+    ONE broadcast join against the assignment (corpus never
+    shuffles), codegen zip_with/aggregate re-rank fold."""
+    from geospark.embeddings import ivf_topk_trained
+
+    return ivf_topk_trained(
+        _emb(spark, sf_dir), EMB_QUERY_IDS, k=10,
+        n_centroids=KM_K, iters=KM_ITERS, n_probe=IVF_T_PROBE,
+    )
+
+
 def _oracle_vecs() -> list[tuple[int, list[float]]]:
     """(vec_id, embedding) at the oracle SF ordered by vec_id."""
     import duckdb
@@ -2880,6 +2901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_join": _q_box_join,
         "seg_intersections": _q_seg_intersections,
         "geocode_resolve": _q_geocode_resolve,
+        # -- new in round 4 ----------------------------------------------------
+        "emb_ivf_trained": _q_emb_ivf_trained,
         # -- 34 last driver-checked in round 2 --------------------------------
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_token_stats": _q_doc_token_stats,
@@ -4239,6 +4262,8 @@ def oracle_sql() -> dict[str, str]:
     ]
     pq_rows = GO.pq_topk_py(_oracle_vecs(), EMB_QUERY_IDS, 10, PQ_M, PQ_CODES)
     km_rows = GO.kmeans_py(_oracle_vecs(), KM_K, KM_ITERS)
+    ivft_rows = GO.ivf_trained_py(
+        _oracle_vecs(), EMB_QUERY_IDS, 10, KM_K, KM_ITERS, IVF_T_PROBE)
     st_rows = [
         (int(tx), int(ty), int(c)) for tx, ty, c in GO.stream_tile_counts(2000, 6)
     ]
@@ -5010,6 +5035,13 @@ def oracle_sql() -> dict[str, str]:
             [("centroid_id", "INTEGER"), ("n", "BIGINT"),
              ("inertia", "BIGINT"), ("c_sum", "BIGINT"),
              ("c_min", "BIGINT"), ("c_max", "BIGINT")],
+        ),
+        # independent-ALGORITHM oracle: plain-Python Lloyd + IVF probe
+        # + exact-L2 re-rank (goldens.ivf_trained_py)
+        "emb_ivf_trained": _values_sql(
+            ivft_rows,
+            [("query_id", "BIGINT"), ("rn", "BIGINT"),
+             ("vec_id", "BIGINT"), ("d2_q", "BIGINT")],
         ),
         "doc_bpe": _values_sql(
             bpe_rows,

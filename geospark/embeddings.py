@@ -155,18 +155,39 @@ def ann_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 16,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF coarse quantization: assign each vector to its most-cosine-
-    similar centroid. Centroids are the first ``n_centroids`` vectors
-    by id — a deterministic sample (at real scale a k-means pass or a
-    reservoir sample feeds the exact same plan; the assignment stage
-    doesn't care where the centroids came from). One narrow pass of
-    n x K dot products, centroids broadcast; argmax via min-struct
-    ((-cos, centroid_id) — deterministic tie-break)."""
-    cents = emb.filter(F.col(id_col) < n_centroids).select(
+def ivf_centroids(emb: DataFrame, n_centroids: int,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Default deterministic centroid set: the first ``n_centroids``
+    vectors by id as (c_id, c_vec). kmeans_centroids_df() produces the
+    trained alternative with the same schema."""
+    return emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     )
+
+
+def kmeans_centroids_df(spark, cents: list[list[int]]) -> DataFrame:
+    """Convert kmeans_fit's integer centroids (floor(x*1e6) components)
+    to the float (c_id, c_vec) relation ivf_assign/ivf_topk consume —
+    wiring the trainer to the IVF index."""
+    return spark.createDataFrame(
+        [(i, [c / float(PQ_QSCALE) for c in v]) for i, v in enumerate(cents)],
+        "c_id long, c_vec array<double>",
+    )
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: DataFrame | None = None) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its most-cosine-
+    similar centroid. ``centroids`` (c_id, c_vec) may come from
+    anywhere — kmeans_centroids_df(kmeans_fit(...)) for trained lists,
+    or the default deterministic first-``n_centroids`` sample (the
+    assignment stage doesn't care where the centroids came from). One
+    narrow pass of n x K dot products, centroids broadcast; argmax via
+    min-struct ((-cos, centroid_id) — deterministic tie-break)."""
+    cents = (centroids if centroids is not None
+             else ivf_centroids(emb, n_centroids, id_col, vec_col))
     scored = (
         emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v_vec"))
         .crossJoin(F.broadcast(cents))
@@ -183,16 +204,18 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 16,
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF-flat ANN: queries probe their ``n_probe`` nearest centroid
     lists, exact cosine re-rank inside the probed lists. Candidate
     cost ~ n * n_probe / n_centroids per query; at 100 TB the inverted
     lists ARE the partitioning (repartition by centroid_id), so a
-    query touches n_probe partitions, not the table."""
-    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
-    cents = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-    )
+    query touches n_probe partitions, not the table. Pass trained
+    ``centroids`` (kmeans_centroids_df(kmeans_fit(...))) for balanced
+    lists and better recall at the same n_probe."""
+    cents = (centroids if centroids is not None
+             else ivf_centroids(emb, n_centroids, id_col, vec_col))
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col, centroids=cents)
     queries = emb.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -747,11 +770,13 @@ def _kmeans_assign_expr(cents: list[list[int]]) -> str:
 
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               use_spool: bool = True):
+               use_spool: bool = True, with_vec: bool = False):
     """Integer-exact Lloyd k-means. Init = the first ``k`` vectors by
     id (deterministic). Returns (assign, centroids): ``assign`` is
-    (vec_id, centroid_id, d2) under the FINAL centroids; ``centroids``
-    the trained integer centroid list. d2 sums are exact while
+    (vec_id, centroid_id, d2) under the FINAL centroids — plus the
+    quantized ``v_q`` column when ``with_vec`` (so downstream rerank
+    stages reuse the spooled quantization instead of re-scanning);
+    ``centroids`` the trained integer centroid list. d2 sums are exact while
     n * dim * (2 * 1e6)^2 stays under 2^63 — ~3.5e4 adversarial
     vectors, ~1e8 real unit-normalized ones; quantized inputs keep
     every run engine-reproducible."""
@@ -789,10 +814,66 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
         for r in stats:
             nxt[r["_c"]][r["pos"]] = r["s"] // r["n"]  # floor division
         cents = nxt
+    cols = ["vec_id"] + (["v_q"] if with_vec else [])
     a = qv.select(
-        "vec_id", F.expr(_kmeans_assign_expr(cents)).alias("_b")
+        *cols, F.expr(_kmeans_assign_expr(cents)).alias("_b")
     ).select(
-        "vec_id", F.col("_b.c_id").alias("centroid_id"),
+        *cols, F.col("_b.c_id").alias("centroid_id"),
         F.col("_b.d2").alias("d2"),
     )
     return a, cents
+
+
+def ivf_topk_trained(emb: DataFrame, query_ids: list[int], k: int = 10,
+                     n_centroids: int = 8, iters: int = 3, n_probe: int = 4,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat ANN over TRAINED centroids, integer-exact end to end:
+    kmeans_fit supplies the coarse quantizer, queries probe their
+    ``n_probe`` nearest trained centroids (exact integer L2, ties to
+    the lower c_id), and candidates in the probed lists are re-ranked
+    by exact integer L2 on the floor(x*1e6) quantized vectors — so the
+    result replays bit-identically in any engine (oracle:
+    goldens.ivf_trained_py). Returns (query_id, rn, vec_id, d2_q),
+    rn 1..k ordered by (d2_q, vec_id); the query itself is a candidate
+    (rn 1 at d2_q 0), matching pq_topk's convention.
+
+    Plan shape: training is kmeans_fit's map-side-assignment +
+    model-sized-update loop; the probe set is computed map-side on a
+    broadcast |Q|-row relation with the k centroid arrays inlined as
+    literals; candidate selection is ONE broadcast hash join of the
+    probes against the assignment (corpus never shuffles); the re-rank
+    is a zip_with/aggregate integer fold inside codegen ending in a
+    per-query top-k window over ~n * n_probe / n_centroids rows."""
+    a, cents = kmeans_fit(emb, k=n_centroids, iters=iters,
+                          id_col=id_col, vec_col=vec_col, with_vec=True)
+    qids = [int(q) for q in query_ids]
+    queries = a.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "v_q"
+    )
+    # probe list: slice(sorted (d2, c_id) structs, 1, n_probe) over the
+    # literal trained centroids — one narrow projection on |Q| rows
+    # (_kmeans_assign_expr reads the quantized vector as column v_q)
+    probe_expr = (
+        _kmeans_assign_expr(cents)
+        .replace("sort_array(", "slice(sort_array(", 1)
+        .replace(")))[0]", f"))), 1, {int(n_probe)})")
+    )
+    probes = queries.select(
+        "query_id", F.col("v_q").alias("q_q"),
+        F.explode(F.expr(probe_expr + ".c_id")).alias("probe_centroid"),
+    )
+    d2q = F.expr(
+        "aggregate(zip_with(q_q, v_q, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2_q"), F.asc("vec_id"))
+    return (
+        a.join(F.broadcast(probes),
+               F.col("centroid_id") == F.col("probe_centroid"))
+        .select("query_id", "vec_id", d2q.alias("d2_q"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("rn").cast("long").alias("rn"),
+                "vec_id", "d2_q")
+    )

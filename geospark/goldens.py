@@ -934,30 +934,29 @@ def pq_topk_py(vecs: list[tuple[int, list[float]]],
     return out
 
 
-def kmeans_py(vecs: list[tuple[int, list[float]]], k: int,
-              iters: int) -> list[tuple[int, int, int, int, int, int]]:
-    """Independent plain-Python twin of embeddings.kmeans_fit:
-    integer-exact Lloyd — floor(x*1e6) components, init = first k
-    vectors by id, assignment ties to the lowest centroid_id, update
-    = componentwise floor division, empty clusters keep their
-    centroid. Returns per-centroid certification rows
-    [(centroid_id, n, inertia, c_sum, c_min, c_max)]."""
-    qv = {vid: [math.floor(float(x) * 1000000.0) for x in v]
-          for vid, v in vecs}
+def _quantize_vecs(vecs: list[tuple[int, list[float]]]) -> dict[int, list[int]]:
+    """floor(x*1e6) integer quantization keyed by vec_id — the shared
+    exact-arithmetic domain of the kmeans/PQ/IVF twins."""
+    return {vid: [math.floor(float(x) * 1000000.0) for x in v]
+            for vid, v in vecs}
+
+
+def _d2_int(a: list[int], b: list[int]) -> int:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def _lloyd_py(qv: dict[int, list[int]], k: int,
+              iters: int) -> list[list[int]]:
+    """Integer-exact Lloyd core: init = first k vectors by id, ties to
+    the lowest centroid_id, update = componentwise floor division,
+    empty clusters keep their centroid. Returns the final centroids."""
     cents = [list(qv[vid]) for vid in sorted(qv)[:k]]
     dim = len(cents[0])
-
-    def nearest(v: list[int]) -> tuple[int, int]:
-        return min(
-            (sum((x - y) * (x - y) for x, y in zip(v, c)), i)
-            for i, c in enumerate(cents)
-        )
-
     for _ in range(iters):
         sums = [[0] * dim for _ in range(k)]
         cnt = [0] * k
         for vid in qv:
-            _, c = nearest(qv[vid])
+            _, c = min((_d2_int(qv[vid], cc), i) for i, cc in enumerate(cents))
             cnt[c] += 1
             for p, x in enumerate(qv[vid]):
                 sums[c][p] += x
@@ -966,9 +965,20 @@ def kmeans_py(vecs: list[tuple[int, list[float]]], k: int,
             else cents[c]
             for c in range(k)
         ]
+    return cents
+
+
+def kmeans_py(vecs: list[tuple[int, list[float]]], k: int,
+              iters: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Independent plain-Python twin of embeddings.kmeans_fit:
+    integer-exact Lloyd (see _lloyd_py). Returns per-centroid
+    certification rows [(centroid_id, n, inertia, c_sum, c_min,
+    c_max)]."""
+    qv = _quantize_vecs(vecs)
+    cents = _lloyd_py(qv, k, iters)
     agg: dict[int, list[int]] = {}
     for vid in qv:
-        d2, c = nearest(qv[vid])
+        d2, c = min((_d2_int(qv[vid], cc), i) for i, cc in enumerate(cents))
         a = agg.setdefault(c, [0, 0])
         a[0] += 1
         a[1] += d2
@@ -977,3 +987,35 @@ def kmeans_py(vecs: list[tuple[int, list[float]]], k: int,
          sum(cents[c]), min(cents[c]), max(cents[c]))
         for c in sorted(agg)
     ]
+
+
+def ivf_trained_py(vecs: list[tuple[int, list[float]]],
+                   query_ids: list[int], k: int, km_k: int, iters: int,
+                   n_probe: int) -> list[tuple[int, int, int, int]]:
+    """Independent plain-Python twin of embeddings.ivf_topk_trained:
+    Lloyd-trained coarse quantizer (_lloyd_py), each vector assigned
+    to its nearest trained centroid (exact integer L2, ties to the
+    lower centroid_id), queries probe their n_probe nearest centroids
+    and exact-L2 re-rank the candidates in the probed lists (ties on
+    vec_id; the query itself is a candidate). Returns
+    [(query_id, rn, vec_id, d2_q)]."""
+    qv = _quantize_vecs(vecs)
+    cents = _lloyd_py(qv, km_k, iters)
+    assign = {
+        vid: min((_d2_int(qv[vid], cc), i) for i, cc in enumerate(cents))[1]
+        for vid in qv
+    }
+    out: list[tuple[int, int, int, int]] = []
+    for qid in query_ids:
+        probed = {
+            c for _, c in sorted(
+                (_d2_int(qv[qid], cc), i) for i, cc in enumerate(cents)
+            )[:n_probe]
+        }
+        scored = sorted(
+            (_d2_int(qv[qid], qv[vid]), vid)
+            for vid in qv if assign[vid] in probed
+        )
+        for rn, (dd, vid) in enumerate(scored[:k], start=1):
+            out.append((int(qid), rn, int(vid), int(dd)))
+    return out

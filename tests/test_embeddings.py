@@ -423,3 +423,84 @@ def test_kmeans_duplicate_init_keeps_empty_centroid(spark):
     rows = a.collect()
     assert all(r["centroid_id"] == 0 and r["d2"] == 0 for r in rows)
     assert len(rows) == 5
+
+
+def test_ivf_trained_full_probe_equals_bruteforce(spark):
+    """ivf_topk_trained probing EVERY trained centroid list is exact —
+    must equal an integer-L2 brute force on the quantized vectors; a
+    partial probe returns a subset with identical exact distances."""
+    import math
+
+    df, rows = _emb_df(spark)
+    qv = {vid: [math.floor(float(x) * 1e6) for x in v] for vid, v in rows}
+
+    def brute(qid, k):
+        scored = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv[qid], qv[vid])), vid)
+            for vid in qv
+        )
+        return [(qid, rn, vid, d) for rn, (d, vid) in
+                enumerate(scored[:k], start=1)]
+
+    full = sorted(
+        tuple(r) for r in E.ivf_topk_trained(
+            df, [0, 5], k=5, n_centroids=4, iters=2, n_probe=4
+        ).collect()
+    )
+    assert full == sorted(brute(0, 5) + brute(5, 5))
+
+    part = E.ivf_topk_trained(df, [0], k=5, n_centroids=4, iters=2,
+                              n_probe=1).collect()
+    exact_d = {vid: d for _, _, vid, d in brute(0, len(qv))}
+    assert len(part) == 5
+    for r in part:
+        assert r["d2_q"] == exact_d[r["vec_id"]]
+
+
+def test_ivf_trained_matches_golden_twin(spark):
+    """Spark ivf_topk_trained replays bit-identically in the
+    plain-Python twin (goldens.ivf_trained_py) — the oracle contract
+    behind the emb_ivf_trained driver query."""
+    from geospark import goldens as GO
+
+    df, rows = _emb_df(spark)
+    vecs = [(vid, list(v)) for vid, v in rows]
+    want = sorted(GO.ivf_trained_py(vecs, [0, 5, 17], 7, 4, 3, 2))
+    got = sorted(
+        tuple(r) for r in E.ivf_topk_trained(
+            df, [0, 5, 17], k=7, n_centroids=4, iters=3, n_probe=2
+        ).collect()
+    )
+    assert got == want
+
+
+def test_ivf_topk_with_trained_centroids(spark):
+    """The cosine ivf_topk accepts kmeans-trained centroids via
+    kmeans_centroids_df: full probe stays exact (== cosine_topk), and
+    with a partial probe the trained lists lose no recall vs the
+    deterministic first-k lists on clustered data."""
+    df, rows = _emb_df(spark)
+    _, cents = E.kmeans_fit(df, k=4, iters=3)
+    cdf = E.kmeans_centroids_df(spark, cents)
+
+    exact = sorted(
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in E.cosine_topk(df, [0, 5], k=5).collect()
+    )
+    full = sorted(
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in E.ivf_topk(df, [0, 5], k=5, n_probe=4,
+                            centroids=cdf).collect()
+    )
+    assert full == exact
+
+    def recall(res):
+        hits = {(r["query_id"], r["vec_id"]) for r in res}
+        want = {(q, v) for q, v, _ in exact}
+        return len(hits & want) / len(want)
+
+    trained = E.ivf_topk(df, [0, 5], k=5, n_probe=1, centroids=cdf).collect()
+    naive = E.ivf_topk(df, [0, 5], k=5, n_centroids=4, n_probe=1).collect()
+    # 4 trained centroids on 4-cluster data: one probe is enough
+    assert recall(trained) == 1.0
+    assert recall(trained) >= recall(naive)
