@@ -291,7 +291,16 @@ def ring_pip_sql(lat: str, lng: str, ring: np.ndarray) -> str:
         )
     if not terms:
         return "FALSE"
-    return "((" + " + ".join(terms) + ") % 2 = 1)"
+    # balanced additive tree: a flat N-term `+` chain binds as an
+    # N-deep left-nested tree and overflows DuckDB's binder recursion
+    # limit (128) on densified rings (~270 edges); pairwise grouping
+    # keeps the depth O(log N) with the identical sum
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return f"(({terms[0]}) % 2 = 1)"
 
 
 def area_pip_sql(lat: str, lng: str, outers: list[np.ndarray],
@@ -348,20 +357,33 @@ DEMO_CENTERS: list[tuple[int, float, float]] = [
 ]
 
 
-def demo_layer(cover_zoom: int = 6):
-    from geospark.joins import Area, PolygonLayer
+def demo_areas(densify: bool = True):
+    """The demo areas exactly as PolygonLayer will hold them: the
+    layer densifies long edges by default (spherical reference
+    semantics, joins.PIP_DENSIFY_DEG), so the oracle SQL must
+    ray-cast over the SAME densified vertices."""
+    from geospark.joins import PIP_DENSIFY_DEG, Area, densify_areas
 
     areas = [
         Area(aid, spec["outers"], spec["inners"]) for aid, spec in DEMO_RINGS.items()
     ]
-    return PolygonLayer(areas, cover_zoom=cover_zoom)
+    return densify_areas(areas, PIP_DENSIFY_DEG if densify else None)
+
+
+def demo_layer(cover_zoom: int = 6):
+    from geospark.joins import PolygonLayer
+
+    # densify_areas is idempotent: the layer's own default pass is a
+    # no-op on the already-densified rings, so layer.areas == these
+    return PolygonLayer(demo_areas(), cover_zoom=cover_zoom)
 
 
 def demo_layer_pip_sql(lat: str, lng: str) -> list[tuple[int, str]]:
-    """(area_id, containment-SQL) for every demo area."""
+    """(area_id, containment-SQL) for every demo area — over the
+    densified rings, mirroring demo_layer() vertex-for-vertex."""
     return [
-        (aid, area_pip_sql(lat, lng, spec["outers"], spec["inners"]))
-        for aid, spec in DEMO_RINGS.items()
+        (a.area_id, area_pip_sql(lat, lng, a.outers, a.inners))
+        for a in demo_areas()
     ]
 
 

@@ -146,6 +146,22 @@ class Area:
             [[dens(h) for h in hs] for hs in self.inners],
         )
 
+    def max_edge_deg(self) -> float:
+        """Largest central angle (degrees) subtended by any ring edge —
+        the densification trigger: planar-vs-spherical divergence grows
+        O(edge²·tan(lat)), so short-edge layers never need densifying."""
+        best = 0.0
+        for ring in [*self.outers, *(h for hs in self.inners for h in hs)]:
+            la = np.radians(ring[:, 0])
+            ln = np.radians(ring[:, 1])
+            v = np.stack([
+                np.cos(la) * np.cos(ln), np.cos(la) * np.sin(ln), np.sin(la)
+            ], axis=1)
+            dots = np.clip(np.einsum("ij,ij->i", v, np.roll(v, -1, axis=0)),
+                           -1.0, 1.0)
+            best = max(best, float(np.degrees(np.arccos(dots)).max()))
+        return best
+
     def bbox(self) -> tuple[float, float, float, float]:
         allpts = np.vstack(self.outers)
         return (
@@ -194,6 +210,31 @@ def area_contains(area: Area, lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
     return result
 
 
+# Default spherical-parity densification: any ring edge subtending
+# more than this many degrees is split into great-circle segments of
+# at most this length at layer build time (reference `within` is
+# boost::geometry SPHERICAL, src/polygon.cc:38-41 — planar lat/lng
+# ray-casting diverges on long high-latitude edges). 0.5° keeps the
+# worst-case planar-vs-spherical gap ~edge²/8·sin(2·lat)/2 ≈ 60 m.
+PIP_DENSIFY_DEG = 0.5
+
+
+def densify_areas(areas: list[Area],
+                  max_seg_deg: float | None = PIP_DENSIFY_DEG) -> list[Area]:
+    """Spherical-parity pass applied by PolygonLayer by DEFAULT:
+    areas whose longest edge subtends more than ``max_seg_deg`` are
+    rebuilt with great-circle densified rings (short-edge areas are
+    returned untouched — densification is a semantic no-op for them).
+    ``max_seg_deg=None`` opts out (pure planar edges)."""
+    if max_seg_deg is None:
+        return list(areas)
+    return [
+        a.densified_great_circle(max_seg_deg)
+        if a.max_edge_deg() > max_seg_deg else a
+        for a in areas
+    ]
+
+
 class PolygonLayer:
     """A small-to-medium polygon layer, prepared for broadcast PIP
     joins: per-area bbox (Q9 agg) + cell cover at a chosen zoom (Q13
@@ -201,12 +242,18 @@ class PolygonLayer:
     executors via closure capture (Spark broadcasts task binaries);
     for layers too big to broadcast, normalize to a DataFrame and use
     a shuffle join on cell — same plan shape, bigger build side.
+
+    Edge semantics match the reference's SPHERICAL within() by
+    default: long-edge areas are great-circle densified at build time
+    (see densify_areas). Pass ``densify_deg=None`` for raw planar
+    edges (the pre-round-4 behavior).
     """
 
-    def __init__(self, areas: list[Area], cover_zoom: int = 8):
-        self.areas = areas
+    def __init__(self, areas: list[Area], cover_zoom: int = 8,
+                 densify_deg: float | None = PIP_DENSIFY_DEG):
+        self.areas = densify_areas(areas, densify_deg)
         self.cover_zoom = int(cover_zoom)
-        self.by_id = {a.area_id: a for a in areas}
+        self.by_id = {a.area_id: a for a in self.areas}
 
     def cover(self) -> list[tuple[int, int]]:
         """(cell, area_id) pairs covering each area's bbox at

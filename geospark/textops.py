@@ -581,43 +581,115 @@ def simhash_bands(n_bands: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int
     return out
 
 
+def _flip_masks(width: int, t: int) -> list[int]:
+    """All XOR masks with <= t bits set inside a width-bit band
+    (V(width, t) = sum_{i<=t} C(width, i) masks, enumerated driver-side
+    — a model-sized literal list, never data-sized)."""
+    import itertools
+
+    masks = [0]
+    for i in range(1, min(t, width) + 1):
+        for combo in itertools.combinations(range(width), i):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def mih_plan(max_hamming: int, bits: int = SIMHASH_BITS,
+             n_docs: int | None = None,
+             max_probe_rows: int = 1024) -> tuple[int, int, int]:
+    """Pick (n_bands, t1, t2) for recall-complete multi-index simhash
+    probing by minimizing a two-term cost model: exploded probe rows
+    (shuffle volume, ~n * sum V(w, t_side)) plus expected random
+    candidate pairs (~n^2 * sum V*V / 2^w). Contiguous max_hamming+1
+    banding is the t=0 point of the same family, so the optimizer
+    chooses it automatically for small corpora / small radii and
+    shifts to fewer, wider bands with multi-bit probes (Norouzi &
+    Fleet, multi-index hashing) as n grows. Recall is guaranteed at
+    EVERY point: with m bands and t = floor(r/m), a pair within
+    hamming r must differ by <= t on some band (if every band differed
+    by >= t+1, the total would be >= m*(t+1) >= r+1), and two-sided
+    enumeration of t1 + t2 = t flips covers any <= t band diff."""
+    import math
+
+    n = float(n_docs if n_docs else 1_000_000)
+    best: tuple[float, int, int, int] | None = None
+    for m in range(1, min(max_hamming + 1, bits) + 1):
+        t = max_hamming // m
+        t1, t2 = t // 2, t - t // 2
+        rate = rows1 = rows2 = 0.0
+        for _off, w in simhash_bands(m, bits):
+            v1 = sum(math.comb(w, i) for i in range(min(t1, w) + 1))
+            v2 = sum(math.comb(w, i) for i in range(min(t2, w) + 1))
+            rate += v1 * v2 / 2.0 ** w
+            rows1 += v1
+            rows2 += v2
+        if rows1 + rows2 > max_probe_rows:
+            continue
+        # a candidate costs ~2 probe rows (hash-join match + verify)
+        cost = n * (rows1 + rows2) + rate * n * n
+        if best is None or cost < best[0]:
+            best = (cost, m, t1, t2)
+    assert best is not None  # m = max_hamming+1 always fits (2 rows/band)
+    return best[1], best[2], best[3]
+
+
+def _simhash_probe_side(sig: DataFrame, bands: list[tuple[int, int]],
+                        t_side: int) -> DataFrame:
+    """Explode each signature into (band, probed band value) rows: the
+    band's own value XOR every <= t_side-bit flip mask. t_side = 0 is
+    plain contiguous banding (one row per band)."""
+    entries = []
+    for c, (off, w) in enumerate(bands):
+        val = F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+        for mask in _flip_masks(w, t_side):
+            entries.append(
+                F.struct(F.lit(c).alias("band"),
+                         val.bitwiseXOR(F.lit(mask)).alias("val"))
+            )
+    return (
+        sig.select("doc_id", "simhash", F.explode(F.array(*entries)).alias("bs"))
+        .select("doc_id", "simhash",
+                F.col("bs.band").alias("band"), F.col("bs.val").alias("val"))
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 8,
                   text_col: str = "text", id_col: str = "doc_id",
-                  hash_fn: str = "md5", n_bands: int | None = None) -> DataFrame:
-    """All pairs with hamming(simhash) <= max_hamming — banded bucket
-    join + exact bit_count verify, with GUARANTEED recall: the
-    signature is split into ``n_bands`` contiguous chunks (default
-    ``max_hamming + 1``), and by pigeonhole any pair differing in at
-    most ``n_bands - 1`` bits agrees on at least one full band, so
-    every qualifying pair surfaces as a candidate. Precision is exact
-    (candidates are verified with bit_count on the full signature).
-
-    Scale note: recall-complete banding at radius r needs r+1 bands of
-    ~60/(r+1) bits, so buckets coarsen as the radius grows —
-    candidates ~ n_bands * sum(bucket^2). For billion-doc corpora at
-    large radii the next step is multi-index probing (enumerate
-    <=floor(r/m)-bit flips inside wider bands), which keeps buckets
-    fine at the same recall guarantee; at warehouse scale the banded
-    join below is the same plan with a larger exploded build side."""
-    if n_bands is None:
-        n_bands = max_hamming + 1
-    if n_bands > SIMHASH_BITS:
-        raise ValueError(f"n_bands {n_bands} > signature bits {SIMHASH_BITS}")
+                  hash_fn: str = "md5", n_bands: int | None = None,
+                  n_docs: int | None = None) -> DataFrame:
+    """All pairs with hamming(simhash) <= max_hamming — multi-index
+    banded bucket join + exact bit_count verify, with GUARANTEED
+    recall at every configuration (see mih_plan for the pigeonhole
+    argument). The signature is split into m bands; each side of the
+    self-join probes every value within t1 (resp. t2) bit flips of its
+    own band value, t1 + t2 = floor(max_hamming / m). m defaults to
+    the mih_plan cost-model optimum for ``n_docs`` (pass the corpus
+    size for a better plan; recall never depends on it): small radii
+    pick the classic max_hamming+1 contiguous banding (t=0), large
+    radii at corpus scale pick fewer, wider bands — e.g. radius 8 at
+    5M docs probes 3 x 20-bit bands with 1 flip per side (2^20 buckets,
+    ~126 probe rows/doc) instead of 9 x ~7-bit bands whose 2^6.7
+    buckets collide ~n^2/100 times. Precision is exact: candidates are
+    verified with bit_count on the full signature BEFORE the distinct,
+    so the dedup shuffle only carries surviving pairs."""
+    if n_bands is not None:
+        if n_bands > SIMHASH_BITS:
+            raise ValueError(f"n_bands {n_bands} > signature bits {SIMHASH_BITS}")
+        m = n_bands
+        t = max_hamming // m
+        t1, t2 = t // 2, t - t // 2
+    else:
+        m, t1, t2 = mih_plan(max_hamming, n_docs=n_docs)
+    bands = simhash_bands(m)
     sig = simhash(docs, text_col, id_col, hash_fn)
-    chunks = F.array(*[
-        F.struct(
-            F.lit(c).alias("band"),
-            F.shiftright(F.col("simhash"), off)
-            .bitwiseAND(F.lit((1 << w) - 1)).alias("val"),
-        )
-        for c, (off, w) in enumerate(simhash_bands(n_bands))
-    ])
-    buckets = sig.select("doc_id", "simhash", F.explode(chunks).alias("bs")).select(
-        "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.val").alias("val")
-    )
+    side_a = _simhash_probe_side(sig, bands, t1)
+    side_b = side_a if t2 == t1 else _simhash_probe_side(sig, bands, t2)
     return (
-        buckets.alias("a")
-        .join(buckets.alias("b"), ["band", "val"])
+        side_a.alias("a")
+        .join(side_b.alias("b"), ["band", "val"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_id_a"),

@@ -94,14 +94,57 @@ def main() -> None:
     })
 
     def _simhash():
-        # radius 3 -> 4 bands of 15 bits: the banding stays selective
-        # at millions of docs. Recall-complete radius-8 banding (9x~7
-        # bit bands) is for small/medium corpora: 6-7-bit band values
-        # collide ~n^2/100 at n=5M — the documented scale limit.
-        pairs = T.simhash_pairs(docs, max_hamming=3)
+        # radius 3 -> mih_plan picks its own banding; recall-complete
+        # at any corpus size.
+        pairs = T.simhash_pairs(docs, max_hamming=3, n_docs=n)
         return {"pairs": pairs.count()}
 
     run("simhash_h3", _simhash)
+
+    def _simhash_r8():
+        # radius 8 at corpus scale — the multi-flip multi-index path
+        # (VERDICT r03 task #2): mih_plan(8) -> 3x20-bit bands, 1 flip
+        # per side (2^20 buckets), instead of 9 contiguous ~6.7-bit
+        # bands whose buckets collide ~n^2/100 at n=5M.
+        plan = T.mih_plan(8, n_docs=n)
+        pairs = T.simhash_pairs(docs, max_hamming=8, n_docs=n)
+        return {"pairs": pairs.count(), "plan": plan}
+
+    run("simhash_r8_mih", _simhash_r8)
+
+    def _simhash_r8_candidates():
+        # candidate volume for BOTH radius-8 plans from bucket
+        # statistics (aggregate probe rows to per-bucket counts, then
+        # sum cntA*cntB — the ordered matched-row count the join would
+        # stream, ~2x the a<b candidate count). This is the
+        # sub-quadratic evidence: mih candidates should be ~100x below
+        # the contiguous-9-band plan at 5M docs.
+        from geospark.spool import spool
+
+        sig = spool(T.simhash(docs), "stress_simhash_sig")
+        out = {}
+        for label, (m, t1, t2) in (
+            ("mih", T.mih_plan(8, n_docs=n)),
+            ("contiguous9", (9, 0, 0)),
+        ):
+            bands = T.simhash_bands(m)
+            ca = (T._simhash_probe_side(sig, bands, t1)
+                  .groupBy("band", "val")
+                  .agg(F.count("*").alias("ca")))
+            if t2 == t1:
+                joined = ca.select(
+                    F.sum(F.col("ca") * F.col("ca")).alias("rows"))
+            else:
+                cb = (T._simhash_probe_side(sig, bands, t2)
+                      .groupBy("band", "val")
+                      .agg(F.count("*").alias("cb")))
+                joined = ca.join(cb, ["band", "val"]).select(
+                    F.sum(F.col("ca") * F.col("cb")).alias("rows"))
+            out[f"{label}_matched_rows"] = int(joined.collect()[0]["rows"])
+            out[f"{label}_plan"] = (m, t1, t2)
+        return out
+
+    run("simhash_r8_candidates", _simhash_r8_candidates)
 
     # keep-one dedup closure: time the connected-components contraction
     # ALONE over a pre-materialized pair relation (pair generation is

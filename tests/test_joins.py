@@ -324,16 +324,21 @@ def test_pip_planar_vs_spherical_divergence(spark):
     spherical = area_contains(sph, lat, lng)
     assert spherical.tolist() == [True, True, False]  # reference semantics
 
-    # the full pip_join honors whichever layer was built
+    # A DEFAULT-built layer auto-densifies long edges, so pip_join
+    # gives the reference's SPHERICAL verdicts out of the box
+    # (VERDICT r03 task #5); densify_deg=None opts back into planar.
     pts = spark.createDataFrame(
         [(0, 65.0, 45.0), (1, 63.0, 45.0), (2, 55.0, 45.0)],
         "point_id long, lat double, lng double",
     )
-    got_planar = {r["point_id"] for r in pip_join(
+    got_default = {r["point_id"] for r in pip_join(
         pts, PolygonLayer([area], cover_zoom=4)).collect()}
+    got_planar = {r["point_id"] for r in pip_join(
+        pts, PolygonLayer([area], cover_zoom=4, densify_deg=None)).collect()}
     got_sph = {r["point_id"] for r in pip_join(
         pts, PolygonLayer([sph], cover_zoom=4)).collect()}
-    assert got_planar == {2}
+    assert got_default == {0, 1}  # reference (spherical) semantics
+    assert got_planar == {2}      # explicit opt-out
     assert got_sph == {0, 1}
 
 

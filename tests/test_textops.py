@@ -175,6 +175,37 @@ def test_simhash_pairs_full_recall_at_radius(spark):
     # the fixture must actually exercise the radius-4..8 regime the old
     # 4x16 banding could drop
     assert any(4 <= h <= 8 for h in exact.values()), sorted(exact.values())
+    # every point of the multi-index family must find the SAME exact
+    # set: classic contiguous banding (9 bands, t=0), the corpus-scale
+    # multi-flip plans (3x20-bit/1-flip-per-side, 2x30-bit/2+2 flips),
+    # and an asymmetric split (4 bands, t=2 -> t1=1, t2=1)
+    for nb in (9, 4, 3, 2):
+        got_nb = {
+            (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+            for r in T.simhash_pairs(df, max_hamming=8, n_bands=nb).collect()
+        }
+        assert got_nb == exact, f"n_bands={nb}"
+
+
+def test_mih_plan_recall_invariants():
+    """Whatever the cost model picks, the (m, t1, t2) triple must
+    satisfy the pigeonhole recall guarantee m*(t1+t2+1) >= r+1."""
+    for r in (0, 1, 2, 3, 4, 8, 12, 16, 24):
+        for n in (None, 1000, 5_000_000, 10**9, 10**12):
+            m, t1, t2 = T.mih_plan(r, n_docs=n)
+            assert m * (t1 + t2 + 1) >= r + 1, (r, n, m, t1, t2)
+            assert t1 + t2 == r // m
+    # radius 8 at corpus scale must choose a multi-flip plan (fewer,
+    # wider bands), not the 9-band contiguous one
+    m, t1, t2 = T.mih_plan(8, n_docs=5_000_000)
+    assert m < 9 and t1 + t2 >= 1
+
+
+def test_flip_masks_complete():
+    masks = T._flip_masks(5, 2)
+    assert len(masks) == 1 + 5 + 10
+    assert len(set(masks)) == len(masks)
+    assert all(bin(m).count("1") <= 2 and m < 32 for m in masks)
 
 
 def test_simhash_bands_cover_signature(spark):
