@@ -964,20 +964,22 @@ PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 
 def pii_scrub(docs: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id", with_text: bool = False) -> DataFrame:
     """Redact emails and E.164-style phone numbers from ``text_col``:
     (doc_id, n_emails, n_phones, n_chars_scrubbed, scrub_hash).
     Narrow plan — two codegen'd regexp passes per row, zero shuffles;
     at 10^12 docs this is a pure map over the corpus (the standard
     pre-training scrub stage). Counting uses regexp_count on the raw
     text; redaction replaces each match with a fixed token so
-    downstream tokenization stays stable."""
+    downstream tokenization stays stable. ``with_text=True`` appends
+    the scrubbed ``text`` itself (the materialize-and-continue shape a
+    training pipeline stage needs)."""
     raw = F.col(text_col)
     scrubbed = F.regexp_replace(
         F.regexp_replace(raw, PII_EMAIL_RE, "<EMAIL>"),
         PII_PHONE_RE, "<PHONE>",
     )
-    return docs.select(
+    cols = [
         F.col(id_col).alias("doc_id"),
         F.regexp_count(raw, F.lit(PII_EMAIL_RE)).cast("int")
         .alias("n_emails"),
@@ -985,7 +987,10 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
         .alias("n_phones"),
         F.length(scrubbed).alias("n_chars_scrubbed"),
         F.md5(scrubbed).alias("scrub_hash"),
-    )
+    ]
+    if with_text:
+        cols.append(scrubbed.alias("text"))
+    return docs.select(*cols)
 
 
 # ---------------------------------------------------------------------------

@@ -143,6 +143,72 @@ def main() -> None:
 
     run("sessionize_stream_gap5m", _sessionize)
 
+    per_batch_lines: list[str] = []
+
+    def _geofence_kill_resume():
+        """The resumability claim, exercised at operator scale: run the
+        SAME geofence stream through a durable parquet sink, hard-stop
+        the query mid-stream (mid-batch — availableNow is still
+        draining), then restart from the checkpoint and drain. The
+        state store (RocksDB-format HDFS state by default in local
+        mode) recovers every user's inside-fence set and pending
+        watermark buffer; the file sink's commit log makes the kill
+        exactly-once, so the final transition set must be IDENTICAL to
+        the uninterrupted memory-sink run above."""
+        ckpt = tempfile.mkdtemp(prefix="gf_kr_ckpt_")
+        sink = tempfile.mkdtemp(prefix="gf_kr_sink_") + "/out"
+
+        def start():
+            return (
+                geofence_stream(_stream(), G.demo_layer().areas)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        def progress_rows(q):
+            return [
+                (p["batchId"], p["numInputRows"],
+                 p["durationMs"].get("triggerExecution", 0))
+                for p in q.recentProgress if p["numInputRows"]
+            ]
+
+        # half the micro-batches, then kill (stop() aborts in-flight work)
+        target = max(1, (n_slices + 1) // 2 // 2)
+        q = start()
+        while q.isActive:
+            if len(progress_rows(q)) >= target:
+                q.stop()
+                break
+            time.sleep(0.25)
+        q.awaitTermination(600)
+        before = progress_rows(q)
+
+        q2 = start()
+        if not q2.awaitTermination(3600):
+            q2.stop()
+            raise RuntimeError("resume did not terminate")
+        after = progress_rows(q2)
+
+        n = spark.read.parquet(sink).count()
+        base = results.get("geofence_stream_demo_layer", {}).get("transitions")
+        for phase, rows in (("before-kill", before), ("after-resume", after)):
+            for bid, nrows, ms in rows:
+                rps = round(nrows / max(ms, 1) * 1000)
+                per_batch_lines.append(
+                    f"| {phase} | {bid} | {nrows} | {ms} | {rps} |")
+        return {
+            "transitions": n,
+            "matches_uninterrupted": (base is None or n == base),
+            "batches_before_kill": len(before),
+            "batches_after_resume": len(after),
+        }
+
+    run("geofence_kill_resume", _geofence_kill_resume)
+
     out = {
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
         "n_events": n_events, "n_users": n_users, "n_slices": n_slices,
@@ -163,6 +229,16 @@ def main() -> None:
                  if k not in ("sec", "events_per_sec")}
         lines.append(
             f"| {name} | {r['sec']} | {r['events_per_sec']} | {extra} |")
+    if per_batch_lines:
+        lines += [
+            "",
+            "Per-micro-batch throughput across the kill/resume "
+            "(parquet sink, checkpoint state-store recovery):",
+            "",
+            "| phase | batch | input rows | trigger ms | rows/sec |",
+            "| --- | --- | --- | --- | --- |",
+            *per_batch_lines,
+        ]
     lines.append("")
     with open(REPO / "BENCH.md", "a") as f:
         f.write("\n".join(lines))

@@ -95,3 +95,67 @@ def test_geofence_stream_watermark_exact(spark):
         assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_geofence_stream_crash_resume(spark):
+    """Checkpoint state-store recovery: the SAME fixture stream run as
+    three separate queries (process restarts) against one checkpoint +
+    durable parquet sink — batch 0, kill, batch 1, kill, batch 2 —
+    must emit EXACTLY the uninterrupted run's transitions. Each
+    restart recovers every user's inside-fence set and the pending
+    watermark buffer from the state store; the file-sink commit log
+    keeps the output exactly-once across the kills."""
+    tmp = tempfile.mkdtemp(prefix="geospark_geofence_resume_")
+    try:
+        batches = [
+            [(1, 0, 1.0, 1.0), (1, 5, 7.0, 7.0), (2, 1, 45.0, 45.0)],
+            [(1, 12, 12.0, 12.0), (9, 90, 1.0, 1.0), (2, 50, 41.0, 41.0)],
+            [(1, 200, 20.0, 20.0), (2, 300, 45.0, 45.0)],
+        ]
+        os.makedirs(f"{tmp}/drop", exist_ok=True)
+        sink = f"{tmp}/sink"
+
+        def drain():
+            """One 'process lifetime': start from the shared
+            checkpoint, drain whatever files have landed, terminate."""
+            stream = (
+                spark.readStream
+                .schema("user_id long, ts timestamp, lat double, lng double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/drop")
+            )
+            q = (geofence_stream(stream, FENCES)
+                 .writeStream.format("parquet")
+                 .option("path", sink)
+                 .option("checkpointLocation", f"{tmp}/ckpt")
+                 .outputMode("append")
+                 .trigger(availableNow=True)
+                 .start())
+            assert q.awaitTermination(300)
+
+        for b, evs in enumerate(batches):
+            df = spark.createDataFrame(
+                [(u, BASE + datetime.timedelta(minutes=m), la, ln)
+                 for u, m, la, ln in evs],
+                "user_id long, ts timestamp, lat double, lng double",
+            ).coalesce(1)
+            df.write.mode("overwrite").parquet(f"{tmp}/b{b}")
+            for i, f in enumerate(sorted(glob.glob(f"{tmp}/b{b}/*.parquet"))):
+                shutil.copy(f, f"{tmp}/drop/batch-{b}-{i}.parquet")
+            drain()  # query dies after this batch; next loop resumes
+
+        got = {
+            (r["user"], r["ts_us"], r["fence_id"], r["transition"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        want = {
+            (1, _us(0), 1, "enter"),
+            (1, _us(5), 2, "enter"),
+            (1, _us(12), 1, "exit"),
+            (1, _us(200), 2, "exit"),
+            (2, _us(50), 3, "enter"),
+            (9, _us(90), 1, "enter"),
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
