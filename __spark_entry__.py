@@ -674,6 +674,55 @@ def _q_doc_pii_scrub(spark, sf_dir):
     return pii_scrub(d2)
 
 
+def _q_doc_train_pipeline(spark, sf_dir):
+    """The END-TO-END training-data rehearsal as ONE oracle-checked
+    relational chain (geospark.training's stage semantics, minus the
+    snapshot commits the driver can't observe): exact-dedup keep-one →
+    decontaminate against an eval set (every 50th doc's first 20
+    tokens; keep only zero-overlap docs) → deterministic PII inject +
+    scrub → id-hash train/val/test split → per-split aggregate
+    (doc count, scrubbed chars, redaction counts, and a content
+    checksum folding every scrubbed text's md5-60 into one BIGINT).
+    Every stage is engine-neutral integer/md5 arithmetic, so the whole
+    chain replays exactly in DuckDB."""
+    from geospark.textops import (
+        decontaminate,
+        exact_dedup,
+        hash60_sql,
+        pii_scrub,
+        split_assign,
+    )
+
+    docs = _docs(spark, sf_dir)
+    dd = exact_dedup(docs)
+    kept = docs.join(
+        dd.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+    )
+    eval_texts = docs.filter(F.col("doc_id") % 50 == 7).select(
+        F.expr(
+            r"concat_ws(' ', slice(split(text, '\\s+'), 1, 20))"
+        ).alias("text")
+    )
+    flags = decontaminate(kept, eval_texts, n=5)
+    kept2 = kept.join(
+        flags.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+    injected = kept2.withColumn("text", F.expr(_PII_INJECT_SPARK))
+    scrubbed = pii_scrub(injected, with_text=True)
+    sp = split_assign(scrubbed)
+    check = F.expr(
+        f"pmod({hash60_sql('scrub_hash', 'md5')}, 2147483647)"
+    )
+    return sp.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars_scrubbed").alias("sum_chars"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.sum(check).alias("content_check"),
+    )
+
+
 def _q_doc_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling for training-mix construction:
     exactly min(60, |lang|) docs per language, chosen by md5 order of
@@ -2903,6 +2952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geocode_resolve": _q_geocode_resolve,
         # -- new in round 4 ----------------------------------------------------
         "emb_ivf_trained": _q_emb_ivf_trained,
+        "doc_train_pipeline": _q_doc_train_pipeline,
         # -- 34 last driver-checked in round 2 --------------------------------
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_token_stats": _q_doc_token_stats,
@@ -4880,6 +4930,90 @@ def oracle_sql() -> dict[str, str]:
                    length(scrubbed)::INT AS n_chars_scrubbed,
                    md5(scrubbed) AS scrub_hash
             FROM s
+        """,
+        "doc_train_pipeline": f"""
+            WITH keep1 AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           min(doc_id) OVER (PARTITION BY md5(text))
+                               AS canonical_id
+                    FROM documents
+                ) WHERE doc_id = canonical_id
+            ),
+            base AS (SELECT doc_id, string_split_regex(text, '\\s+') toks
+                     FROM keep1),
+            dsh AS (
+                SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                       || toks[i+3] || ' ' || toks[i+4] AS shingle
+                FROM base, generate_series(1, 100000) g(i)
+                WHERE i <= len(toks) - 4
+            ),
+            ev_base AS (
+                SELECT (string_split_regex(text, '\\s+'))[1:20] AS toks
+                FROM documents WHERE doc_id % 50 = 7
+            ),
+            ev AS (
+                SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+                FROM ev_base, generate_series(1, 100000) g(i)
+                WHERE i <= len(toks) - 4
+            ),
+            agg AS (
+                SELECT b.doc_id,
+                       count(d.shingle) AS n_grams,
+                       count(e.shingle) AS n_hit
+                FROM base b
+                LEFT JOIN dsh d USING (doc_id)
+                LEFT JOIN ev e ON d.shingle = e.shingle
+                GROUP BY b.doc_id
+            ),
+            keep2 AS (
+                SELECT k.doc_id, k.text
+                FROM keep1 k JOIN agg a USING (doc_id)
+                WHERE (CASE WHEN a.n_grams > 0
+                            THEN a.n_hit * 1000000 // a.n_grams
+                            ELSE 0 END) <= 0
+            ),
+            inj AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-0199' AS text
+                FROM keep2
+            ),
+            s AS (
+                SELECT doc_id, text,
+                       regexp_replace(
+                           regexp_replace(text, '{_PII_EMAIL_RE}',
+                                          '<EMAIL>', 'g'),
+                           '{_PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+                FROM inj
+            ),
+            sp AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{_PII_EMAIL_RE}'))
+                           AS n_emails,
+                       len(regexp_extract_all(text, '{_PII_PHONE_RE}'))
+                           AS n_phones,
+                       length(scrubbed) AS n_chars_scrubbed,
+                       md5(scrubbed) AS scrub_hash,
+                       {_duck_md5_60("CAST(doc_id AS VARCHAR)")} % 100
+                           AS bucket
+                FROM s
+            )
+            SELECT CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars_scrubbed) AS BIGINT) AS sum_chars,
+                   CAST(sum(n_emails) AS BIGINT) AS n_emails,
+                   CAST(sum(n_phones) AS BIGINT) AS n_phones,
+                   CAST(sum({_duck_md5_60('scrub_hash')} % 2147483647)
+                        AS BIGINT) AS content_check
+            FROM sp
+            GROUP BY 1
         """,
         "doc_sample_stratified": """
             SELECT doc_id, stratum, CAST(sample_rank AS INTEGER)

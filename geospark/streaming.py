@@ -322,10 +322,23 @@ def geofence_stream(points: DataFrame, areas: list,
     fence_ids = [int(a.area_id) for a in areas]
     areas = list(areas)
 
+    # bbox prefilter per fence — the streaming twin of the batch cover
+    # join: inside-ring implies within-bbox, so the exact ray-cast only
+    # runs on bbox candidates (matters with densified multi-hundred-
+    # edge fences; a walker corpus is mostly outside any given bbox)
+    boxes = [a.bbox() for a in areas]
+
     def mask_of(lats, lngs):
         m = np.zeros(len(lats), dtype=np.int64)
-        for bit, area in enumerate(areas):
-            m |= area_contains(area, lats, lngs).astype(np.int64) << bit
+        for bit, (area, (la0, ln0, la1, ln1)) in enumerate(zip(areas, boxes)):
+            cand = ((lats >= la0) & (lats <= la1)
+                    & (lngs >= ln0) & (lngs <= ln1))
+            if cand.any():
+                idx = np.flatnonzero(cand)
+                hit = np.zeros(len(lats), dtype=np.int64)
+                hit[idx] = area_contains(area, lats[idx], lngs[idx]).astype(
+                    np.int64)
+                m |= hit << bit
         return m
 
     def fn(key, pdf_iter, state):

@@ -75,15 +75,39 @@ def main() -> None:
               "partial+final hash aggregation.",
     )
 
-    # 2. PIP join: broadcast build side, codegen ray-cast refine
+    # 2. PIP join: broadcast build side; refine strategy by layer size.
+    # The default demo layer is great-circle DENSIFIED (~800 edges,
+    # spherical reference semantics), so its refine is the
+    # Arrow-batched vectorized ray-cast — measured FASTER than the
+    # wide codegen expression (BENCH.md round-4 A/B) and never
+    # row-at-a-time Python.
     audit(
-        "pip_join (Q14 point-in-polygon, <=512-edge Column refine)",
+        "pip_join (Q14 point-in-polygon, densified layer, Arrow refine)",
         q["pip_join"](spark, sf_dir),
         must=["* BroadcastHashJoin"],
-        must_not=["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"],
+        must_not=["BatchEvalPython", "SortMergeJoin"],
         notes="cell-cover build side broadcast (no shuffle of the "
-              "point table); the polygon compiles into the plan — the "
-              "refine is JVM codegen, zero Python.",
+              "point table); the spherical-parity densified polygons "
+              "refine in ONE Arrow-batched vectorized numpy pass over "
+              "cover candidates only.",
+    )
+
+    # 2b. small planar layers still compile the ray-cast into the plan
+    from geospark.joins import Area, PolygonLayer, pip_join
+
+    small = PolygonLayer(
+        [Area(1, [[(10.0, 10.0), (10.0, 12.0), (8.0, 12.0), (8.0, 10.0)]])],
+        cover_zoom=6,
+    )
+    audit(
+        "pip_join (small layer, <=512-edge Column refine)",
+        pip_join(G.events_points(spark, sf_dir)
+                 .select("event_id", "lat", "lng"), small),
+        must=["* BroadcastHashJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"],
+        notes="short-edge layers skip densification (semantic no-op) "
+              "and the polygon compiles into the plan — the refine is "
+              "JVM codegen, zero Python.",
     )
 
     # 3. radius join: broadcast cover + codegen haversine refine
