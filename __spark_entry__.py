@@ -674,6 +674,32 @@ def _q_doc_pii_scrub(spark, sf_dir):
     return pii_scrub(d2)
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """Multimodal RESIZE plumbing (the stubbed-decoder stage family's
+    third member, after feature-extract and frame-sample): binary
+    payloads block-mean pooled to a 4x4 grid of integer values inside
+    one Arrow-batched mapInArrow pass — same schema/batch/partitioning
+    shape a real image resize has, deterministic integer math so the
+    oracle is an independent pure-python twin (goldens.resize_blocks_py)
+    embedded as golden VALUES."""
+    from geospark.multimodal import resize_media
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = resize_media(media, out_w=4, out_h=4)
+    return out.select(
+        "media_id", "n_bytes_in", "width", "height",
+        F.col("blocks")[0].alias("b0"),
+        F.col("blocks")[5].alias("b5"),
+        F.col("blocks")[15].alias("b15"),
+        F.expr("aggregate(blocks, 0, (a, x) -> a + x)").alias("block_sum"),
+        F.length("payload").cast("int").alias("n_bytes_out"),
+    )
+
+
 def _q_doc_train_pipeline(spark, sf_dir):
     """The END-TO-END training-data rehearsal as ONE oracle-checked
     relational chain (geospark.training's stage semantics, minus the
@@ -2953,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 ----------------------------------------------------
         "emb_ivf_trained": _q_emb_ivf_trained,
         "doc_train_pipeline": _q_doc_train_pipeline,
+        "multimodal_resize": _q_multimodal_resize,
         # -- 34 last driver-checked in round 2 --------------------------------
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_token_stats": _q_doc_token_stats,
@@ -4257,6 +4284,22 @@ def oracle_sql() -> dict[str, str]:
     # --- golden-VALUES oracles (independent implementations) ---------------
     from geospark import goldens as GO
 
+    import duckdb as _dd
+
+    _con = _dd.connect()
+    _mm_pdf = _con.sql(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{_oracle_sf_dir()}/documents.parquet') "
+        f"ORDER BY doc_id"
+    ).df()
+    _con.close()
+    rz_rows = []
+    for _did, _txt in zip(_mm_pdf["doc_id"], _mm_pdf["text"]):
+        _data = _txt.encode("utf-8")
+        _bl = GO.resize_blocks_py(_data, 16)
+        rz_rows.append((int(_did), len(_data), 4, 4,
+                        _bl[0], _bl[5], _bl[15], sum(_bl), len(_bl)))
+
     traj = _oracle_trajectories()
     sm_rows = [
         (uid, len(line), *GO.simplify_mask_stats(line))
@@ -5104,6 +5147,13 @@ def oracle_sql() -> dict[str, str]:
                             AS DOUBLE) / length(text) AS REAL) AS DOUBLE), 6) AS f6
             FROM documents
         """,
+        "multimodal_resize": _values_sql(
+            rz_rows,
+            [("media_id", "BIGINT"), ("n_bytes_in", "INTEGER"),
+             ("width", "INTEGER"), ("height", "INTEGER"),
+             ("b0", "INTEGER"), ("b5", "INTEGER"), ("b15", "INTEGER"),
+             ("block_sum", "INTEGER"), ("n_bytes_out", "INTEGER")],
+        ),
         "simplify_mask": _values_sql(
             sm_rows,
             [("user_id", "BIGINT"), ("n_points", "INTEGER"),

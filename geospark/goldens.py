@@ -1019,3 +1019,23 @@ def ivf_trained_py(vecs: list[tuple[int, list[float]]],
         for rn, (dd, vid) in enumerate(scored[:k], start=1):
             out.append((int(qid), rn, int(vid), int(dd)))
     return out
+
+
+def resize_blocks_py(data: bytes, k: int) -> list[int]:
+    """Independent twin of multimodal.resize_media's block-mean pool:
+    pure-python loop arithmetic (no numpy), block b = bytes
+    [b*n//k, (b+1)*n//k), value = sum // count."""
+    n = len(data)
+    if n == 0:
+        return [0] * k
+    out = []
+    for b in range(k):
+        lo, hi = (b * n) // k, ((b + 1) * n) // k
+        if hi <= lo:
+            out.append(0)
+            continue
+        s = 0
+        for i in range(lo, hi):
+            s += data[i]
+        out.append(s // (hi - lo))
+    return out

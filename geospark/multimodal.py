@@ -74,6 +74,60 @@ def extract_features(media: DataFrame, decode_fake: bool = True) -> DataFrame:
     )
 
 
+def resize_media(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """'Resize' plumbing: block-mean pool the payload byte signal down
+    to ``out_w * out_h`` values (stub for a real image resize — same
+    signature, same batch shape; with a decoder plugged in the pooling
+    runs on decoded pixel planes instead of raw bytes). Block b covers
+    byte range [floor(b*n/k), floor((b+1)*n/k)) and its value is the
+    INTEGER mean (sum DIV count) — deterministic, engine-replayable.
+    Output: (media_id, kind, width, height, payload binary of k pooled
+    bytes, blocks array<int> — the decoded view of the new payload —
+    and n_bytes_in)."""
+    k = int(out_w) * int(out_h)
+    if k <= 0:
+        raise ValueError("out_w * out_h must be positive")
+
+    def pool(p: bytes) -> list[int]:
+        n = len(p)
+        if n == 0:
+            return [0] * k
+        arr = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+        bounds = [(b * n) // k for b in range(k + 1)]
+        return [
+            int(arr[lo:hi].sum() // (hi - lo)) if hi > lo else 0
+            for lo, hi in zip(bounds, bounds[1:])
+        ]
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            mids = tbl.column("media_id").to_pylist()
+            kinds = tbl.column("kind").to_pylist()
+            payloads = tbl.column("payload").to_pylist()
+            blocks = [pool(p if p is not None else b"") for p in payloads]
+            yield pa.record_batch(
+                [
+                    pa.array(mids, pa.int64()),
+                    pa.array(kinds, pa.string()),
+                    pa.array([out_w] * len(mids), pa.int32()),
+                    pa.array([out_h] * len(mids), pa.int32()),
+                    pa.array([bytes(bl) for bl in blocks], pa.binary()),
+                    pa.array(blocks, pa.list_(pa.int32())),
+                    pa.array([len(p) if p else 0 for p in payloads],
+                             pa.int32()),
+                ],
+                names=["media_id", "kind", "width", "height", "payload",
+                       "blocks", "n_bytes_in"],
+            )
+
+    return media.select("media_id", "kind", "payload").mapInArrow(
+        run,
+        "media_id long, kind string, width int, height int, "
+        "payload binary, blocks array<int>, n_bytes_in int",
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 1024,
                  max_frames: int = 8) -> DataFrame:
     """'Video' frame sampling plumbing: slice the payload into frame

@@ -112,6 +112,38 @@ def test_multimodal_feature_plumbing(spark):
         _decode_image_real(b"\x89PNG")
 
 
+def test_multimodal_resize_plumbing(spark):
+    """Block-mean resize: integer pooling matches the independent
+    pure-python twin byte-for-byte; metadata and payload shapes hold;
+    empty payload pools to zeros."""
+    from geospark.goldens import resize_blocks_py
+    from geospark.multimodal import resize_media, synth_media
+
+    media = synth_media(spark, 20, partitions=3)
+    raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = resize_media(media, out_w=4, out_h=4).collect()
+    assert len(out) == 20
+    for r in out:
+        want = resize_blocks_py(raw[r["media_id"]], 16)
+        assert list(r["blocks"]) == want
+        assert bytes(r["payload"]) == bytes(want)
+        assert (r["width"], r["height"]) == (4, 4)
+        assert r["n_bytes_in"] == len(raw[r["media_id"]])
+
+    empty = spark.createDataFrame(
+        [(1, "image", b"")], "media_id long, kind string, payload binary")
+    r = resize_media(empty, out_w=2, out_h=2).collect()[0]
+    assert list(r["blocks"]) == [0, 0, 0, 0]
+
+    # fewer input bytes than blocks: empty ranges pool to 0, the rest
+    # carry single bytes
+    tiny = spark.createDataFrame(
+        [(2, "image", bytes([10, 200]))],
+        "media_id long, kind string, payload binary")
+    r = resize_media(tiny, out_w=2, out_h=2).collect()[0]
+    assert list(r["blocks"]) == resize_blocks_py(bytes([10, 200]), 4)
+
+
 def test_media_determinism(spark):
     from geospark.multimodal import synth_media
 
