@@ -183,6 +183,29 @@ def _ring_contains(ring: np.ndarray, lat: np.ndarray, lng: np.ndarray) -> np.nda
     ys, xs = ring[:, 0], ring[:, 1]
     y2, x2 = np.roll(ys, -1), np.roll(xs, -1)
     inside = np.zeros(lat.shape, dtype=bool)
+    n_pts = lat.size
+    if n_pts == 0 or len(ring) == 0:
+        return inside
+    # Vectorize over the LARGER axis and loop the smaller one: the
+    # per-(edge, point) formula is identical either way (bit-identical
+    # boundaries), but a densified ~1000-edge fence probed by a
+    # handful of points (the applyInPandasWithState geofence shape)
+    # pays ~1000 python iterations in edge-major order vs ~5 in
+    # point-major order — and vice versa for big point batches, where
+    # edge-major keeps the working vector cache-resident.
+    if n_pts < len(ring):
+        keep = ys != y2  # horizontal edges never cross the lat ray
+        y1k, x1k, y2k, x2k = ys[keep], xs[keep], y2[keep], x2[keep]
+        if y1k.size == 0:
+            return inside
+        for j in range(n_pts):
+            la, lo = lat[j], lng[j]
+            crosses = (y1k > la) != (y2k > la)
+            if not crosses.any():
+                continue
+            xint = (x2k - x1k) * (la - y1k) / (y2k - y1k) + x1k
+            inside[j] = bool((crosses & (lo < xint)).sum() & 1)
+        return inside
     for i in range(len(ring)):
         y1i, x1i, y2i, x2i = ys[i], xs[i], y2[i], x2[i]
         if y1i == y2i:
