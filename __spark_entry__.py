@@ -1415,6 +1415,35 @@ def _q_pages_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pages_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-pipeline query: URL canonicalization (urls.url_normalize —
+    lowercase scheme/host, default-port strip, fragment drop,
+    tracking-param drop + param sort, path tidy) demonstrated as the
+    crawl-dedup join key. Pages with id % 3 == 0 get a deterministic
+    cosmetic messy variant (urls.messy_variant, branch = id // 3);
+    clean + messy rows grouped by canonical url report
+    (url_norm, n_raw, n_distinct_raw). The whole normalizer is one
+    codegen'd Column tree — no UDF, no extra shuffle beyond the final
+    groupBy. Golden-VALUES oracle from the INDEPENDENT urllib.parse
+    twin goldens.url_normalize_py (different parser family)."""
+    from geospark.urls import messy_variant, url_normalize
+
+    pages = spark.read.parquet(_pages_spool(spark, 2000, 2))
+    pid = F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    subset = pages.filter(pid % 3 == 0).select("url", pid.alias("pid"))
+    messy = subset.select(
+        messy_variant(F.col("url"), (F.col("pid") / 3).cast("long")).alias("url")
+    )
+    raw = subset.select("url").unionByName(messy)
+    return (
+        raw.groupBy(url_normalize(F.col("url")).alias("url_norm"))
+        .agg(
+            F.count("*").cast("int").alias("n_raw"),
+            F.count_distinct("url").cast("int").alias("n_distinct_raw"),
+        )
+    )
+
+
 def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity timeout) over the
     events table — per (user, session): count, start/end, dwell, and
@@ -3066,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_range_box": _q_tile_range_box,
         "tile_relevel": _q_tile_relevel,
         "tile_pyramid": _q_tile_pyramid,
+        "pages_url_normalize": _q_pages_url_normalize,
     }
 
 
@@ -4366,6 +4396,8 @@ def oracle_sql() -> dict[str, str]:
     ]
     ph_rows = [(h, int(c), int(nl)) for h, c, nl in GO.page_host_stats(2000)]
     cd_rows = GO.crawl_dedup(2000)
+    un_rows = [(u, int(n), int(d))
+               for u, n, d in GO.url_normalize_stats(2000)]
     s2a_rows = GO.s2_cell_agg(ev_lats, ev_lngs, ev_ids, S2_AGG_LEVEL,
                               S2_AGG_PARENT, S2_CHECK_MOD)
     s2r_rows = GO.s2_range_join(ev_lats, ev_lngs, ev_ids, G.DEMO_CENTERS,
@@ -5277,6 +5309,11 @@ def oracle_sql() -> dict[str, str]:
             cd_rows,
             [("url", "VARCHAR"), ("n_crawls", "INTEGER"),
              ("kept_ts", "BIGINT"), ("kept_len", "INTEGER")],
+        ),
+        "pages_url_normalize": _values_sql(
+            un_rows,
+            [("url_norm", "VARCHAR"), ("n_raw", "INTEGER"),
+             ("n_distinct_raw", "INTEGER")],
         ),
         "event_sessions": sessionize_sql(),
         "traj_tile_cover": f"""

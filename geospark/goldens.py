@@ -1039,3 +1039,71 @@ def resize_blocks_py(data: bytes, k: int) -> list[int]:
             s += data[i]
         out.append(s // (hi - lo))
     return out
+
+
+def url_normalize_py(url: str) -> str:
+    """Independent twin of urls.url_normalize, built on urllib.parse
+    (a different parser family than the Spark regex grammar — so
+    parity certifies the semantics, not the plan). Same six rules:
+    lowercase scheme/host, strip default ports, drop fragment, drop
+    tracking params, sort remaining params, tidy the path."""
+    from urllib.parse import urlsplit
+
+    sp = urlsplit(url)
+    if not sp.scheme:
+        return url.lower()
+    scheme = sp.scheme.lower()
+    auth = sp.netloc.lower()
+    if scheme == "http" and auth.endswith(":80"):
+        auth = auth[: -len(":80")]
+    elif scheme == "https" and auth.endswith(":443"):
+        auth = auth[: -len(":443")]
+    path = re.sub("/{2,}", "/", sp.path)
+    path = re.sub(r"/index\.html$", "/", path)
+    path = path.rstrip("/") or "/"
+    track = re.compile(r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)=")
+    kept = sorted(p for p in sp.query.split("&")
+                  if p and not track.match(p))
+    qtail = "?" + "&".join(kept) if kept else ""
+    return f"{scheme}://{auth}{path}{qtail}"
+
+
+def _messy_variant_py(url: str, branch: int) -> str:
+    """Plain-Python twin of urls.messy_variant (same branch table)."""
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)([^?#]*)", url)
+    host, path = m.group(1), m.group(2)
+    b = branch % 6
+    if b == 0:
+        return f"HTTPS://{host.upper()}:443{path}#frag"
+    if b == 1:
+        return f"https://{host}{path}?utm_source=feed&utm_medium=rss&gclid=xyz"
+    if b == 2:
+        return f"https://{host}{path.replace('/', '//')}"
+    if b == 3:
+        return f"https://{host}{path}/index.html"
+    if b == 4:
+        return f"https://{host}{path}/"
+    return f"http://{host}:80{path}?b=2&a=1"
+
+
+def url_normalize_stats(n_pages: int) -> list[tuple[str, int, int]]:
+    """Independent twin of the pages_url_normalize driver query:
+    pages with id % 3 == 0 get a deterministic messy variant
+    (branch = id // 3); clean + messy rows are normalized with
+    url_normalize_py and grouped by canonical url as
+    (url_norm, n_raw_rows, n_distinct_raw)."""
+    from geospark.pages import synth_pages_batch
+
+    batch = synth_pages_batch(np.arange(n_pages, dtype=np.int64))
+    urls = batch.column("url").to_pylist()
+    rows: list[tuple[str, str]] = []
+    for i, u in enumerate(urls):
+        if i % 3 == 0:
+            rows.append((u, u))
+            rows.append((_messy_variant_py(u, i // 3), u))
+    groups: dict[str, list[str]] = {}
+    for raw, _ in rows:
+        groups.setdefault(url_normalize_py(raw), []).append(raw)
+    return sorted(
+        (k, len(v), len(set(v))) for k, v in groups.items()
+    )
