@@ -700,6 +700,35 @@ def _q_multimodal_resize(spark, sf_dir):
     )
 
 
+def _q_multimodal_frames(spark, sf_dir):
+    """Multimodal FRAME-SAMPLE plumbing (the fourth stubbed-decoder
+    stage, alongside feature-extract and resize): slice each binary
+    payload into fixed-size frame chunks inside one Arrow-batched
+    mapInArrow pass, one output row per frame — the schema/fan-out
+    shape of real keyframe extraction. Unlike multimodal_resize's
+    golden-VALUES twin, the oracle here is a fully independent DuckDB
+    relational replay: the docs are filtered to ASCII (so byte slices
+    == char slices by construction), and DuckDB re-derives every
+    frame's length and md5 from substring arithmetic."""
+    from geospark.multimodal import frame_sample
+
+    media = (
+        _docs(spark, sf_dir)
+        .where(F.expr("octet_length(text) = char_length(text)"))
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    out = frame_sample(media, every_n_bytes=64, max_frames=4)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
 def _q_doc_train_pipeline(spark, sf_dir):
     """The END-TO-END training-data rehearsal as ONE oracle-checked
     relational chain (geospark.training's stage semantics, minus the
@@ -3009,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_trained": _q_emb_ivf_trained,
         "doc_train_pipeline": _q_doc_train_pipeline,
         "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
         # -- 34 last driver-checked in round 2 --------------------------------
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_token_stats": _q_doc_token_stats,
@@ -5178,6 +5208,28 @@ def oracle_sql() -> dict[str, str]:
                             - length(regexp_replace(text, '[\\x60-\\x6f]', '', 'g'))
                             AS DOUBLE) / length(text) AS REAL) AS DOUBLE), 6) AS f6
             FROM documents
+        """,
+        # Independent relational replay of the frame slicer: the ASCII
+        # filter on both sides makes char-substring == byte-substring by
+        # construction, so DuckDB's VARCHAR substring + md5 (which hashes
+        # the utf-8 bytes) re-derives every frame Spark's mapInArrow cut.
+        "multimodal_frames": """
+            WITH src AS (
+                SELECT doc_id AS media_id, text, length(text) AS n
+                FROM documents
+                WHERE octet_length(encode(text)) = length(text)
+            ), frames AS (
+                SELECT media_id, text,
+                       unnest(generate_series(CAST(0 AS BIGINT),
+                           CAST(least(3, (n + 63) // 64 - 1) AS BIGINT)))
+                           AS i
+                FROM src
+            )
+            SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+                   CAST(octet_length(encode(substring(text, i * 64 + 1, 64)))
+                        AS INTEGER) AS frame_len,
+                   md5(substring(text, i * 64 + 1, 64)) AS frame_md5
+            FROM frames
         """,
         "multimodal_resize": _values_sql(
             rz_rows,

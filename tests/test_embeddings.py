@@ -536,3 +536,32 @@ def test_ivf_topk_with_trained_centroids(spark):
     # 4 trained centroids on 4-cluster data: one probe is enough
     assert recall(trained) == 1.0
     assert recall(trained) >= recall(naive)
+
+
+def test_frame_sample_ragged_tail(spark):
+    """Frame slicing parity vs a pure-python twin on payloads that are
+    NOT a multiple of the frame size: the last frame must carry the
+    short tail, empty payloads yield no frames, and the max_frames cap
+    truncates rather than pads."""
+    from geospark.multimodal import frame_sample
+
+    payloads = {
+        1: bytes(range(256)) * 2 + b"tail",   # 516 bytes -> 5 frames pre-cap
+        2: b"",                                # 0 bytes -> 0 frames
+        3: b"x" * 100,                         # 1 short frame
+        4: b"y" * 128,                         # exactly one frame
+    }
+    media = spark.createDataFrame(
+        [(k, v) for k, v in payloads.items()], "media_id long, payload binary"
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): bytes(r["frame_bytes"])
+        for r in frame_sample(media, every_n_bytes=128, max_frames=3).collect()
+    }
+    want = {}
+    for mid, p in payloads.items():
+        n_frames = min(3, (len(p) + 127) // 128)
+        for i in range(n_frames):
+            want[(mid, i)] = p[i * 128 : (i + 1) * 128]
+    assert got == want
+    assert (2, 0) not in got and (1, 3) not in got
