@@ -579,6 +579,18 @@ def _q_doc_dup_spans(spark, sf_dir):
     return dup_span_stats(_docs(spark, sf_dir), n=10)
 
 
+def _q_doc_span_scrub(spark, sf_dir):
+    """Exact-substring scrubbing (textops.scrub_dup_spans): every
+    duplicated 10-token window is REMOVED from all but the lowest
+    doc_id holding its gram — dup_span_stats' signal turned into the
+    actual training-data cut (Lee et al., ACL 2022). Covered-position
+    explode is bounded by n x duplicated windows; reconstruction is a
+    token-relation anti-join + per-doc array_sort rollup, all JVM."""
+    from geospark.textops import scrub_dup_spans
+
+    return scrub_dup_spans(_docs(spark, sf_dir), n=10)
+
+
 def _q_doc_cap_per_lang(spark, sf_dir):
     """Language balancing: keep the 50 longest docs per language
     (deterministic doc_id tie-break) — textops.cap_per_group, one
@@ -2974,6 +2986,24 @@ def _q_geofence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 GEOCODE_NAMES, GEOCODE_PER_NAME = 500, 3
 
 
+def _q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse geocoding (geocode.reverse_geocode): nearest gazetteer
+    place per unnamed point via the cell-ring kNN escalation (k=1,
+    z6 start for the 1500-place country-scale gazetteer), exact
+    haversine argmin with gaz_id tie-break, attributes rejoined by
+    broadcast. A 1-in-10 event sample keeps the DuckDB cross-join
+    oracle tractable; the Spark plan is the full filter-refine kNN.
+    Oracle: INDEPENDENT brute-force argmin (row_number over the full
+    cross join)."""
+    from geospark.geocode import gazetteer, reverse_geocode
+
+    pts = G.events_points(spark, sf_dir).filter(
+        F.col("event_id") % 10 == 0
+    )
+    gaz = gazetteer(spark, GEOCODE_NAMES, GEOCODE_PER_NAME)
+    return reverse_geocode(pts, gaz, id_col="event_id")
+
+
 def _q_geocode_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Toponym resolution (geospark/geocode.py): every event becomes a
     NAMED mention ('place_{event_id % 500}') with its point as the
@@ -3035,6 +3065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seg_intersections": _q_seg_intersections,
         "geocode_resolve": _q_geocode_resolve,
         # -- new in round 4 ----------------------------------------------------
+        "doc_span_scrub": _q_doc_span_scrub,
+        "reverse_geocode": _q_reverse_geocode,
         "emb_ivf_trained": _q_emb_ivf_trained,
         "doc_train_pipeline": _q_doc_train_pipeline,
         "multimodal_resize": _q_multimodal_resize,
@@ -4170,6 +4202,34 @@ def _polygon_overlap_oracle_sql() -> str:
     """
 
 
+def _reverse_geocode_oracle() -> str:
+    """DuckDB twin of _q_reverse_geocode — INDEPENDENT algorithm: the
+    Spark side is the cell-ring kNN escalation; the oracle is the
+    brute-force cross-join argmin (row_number over every
+    point x place pair), so green certifies cover recall, not plan
+    echo. Ordering on the raw haversine double with gaz_id tie-break
+    matches knn_join_df's window exactly."""
+    from geospark.geocode import gazetteer_sql
+
+    hav = G.haversine_sql("p.lat", "p.lng", "g.g_lat", "g.g_lng")
+    return f"""
+        WITH pts AS (
+            SELECT * FROM ({G.EVENTS_POINTS_SQL}) WHERE event_id % 10 = 0
+        ),
+        gaz AS ({gazetteer_sql(GEOCODE_NAMES, GEOCODE_PER_NAME)}),
+        ranked AS (
+            SELECT p.event_id, g.gaz_id, g.name, g.population,
+                   CAST(floor({hav}) AS BIGINT) AS dist_floor_m,
+                   row_number() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY {hav}, g.gaz_id) AS rn
+            FROM pts p CROSS JOIN gaz g
+        )
+        SELECT event_id, gaz_id, name, population, dist_floor_m
+        FROM ranked WHERE rn = 1
+    """
+
+
 def _geocode_resolve_oracle() -> str:
     """DuckDB twin of _q_geocode_resolve — INDEPENDENT argmax: the
     Spark side takes min(struct(-score, gaz_id, ...)); the oracle
@@ -4611,6 +4671,53 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_dup_positions * 1000000 // n_positions, 0)
                        AS dup_ppm
             FROM (SELECT doc_id FROM base) b LEFT JOIN agg USING (doc_id)
+        """,
+        "doc_span_scrub": """
+            WITH base AS (SELECT doc_id, string_split_regex(text, '\\s+') toks
+                          FROM documents),
+            g AS (
+                SELECT doc_id, i,
+                       ('0x' || substr(md5(
+                           toks[i] || chr(31) || toks[i+1] || chr(31)
+                           || toks[i+2] || chr(31) || toks[i+3] || chr(31)
+                           || toks[i+4] || chr(31) || toks[i+5] || chr(31)
+                           || toks[i+6] || chr(31) || toks[i+7] || chr(31)
+                           || toks[i+8] || chr(31) || toks[i+9]),
+                           1, 15))::BIGINT AS gh
+                FROM base, generate_series(1, 100000) s(i)
+                WHERE i <= len(toks) - 9
+            ),
+            k AS (
+                SELECT gh, min(doc_id) AS keeper,
+                       min(doc_id) <> max(doc_id) AS multi
+                FROM g GROUP BY gh
+            ),
+            cov AS (
+                SELECT DISTINCT g.doc_id, g.i + off AS tpos
+                FROM g JOIN k USING (gh), generate_series(0, 9) o(off)
+                WHERE k.multi AND g.doc_id <> k.keeper
+            ),
+            tok AS (
+                SELECT doc_id, i AS tpos, toks[i] AS tok
+                FROM base, generate_series(1, 100000) s(i)
+                WHERE i <= len(toks)
+            ),
+            keep AS (
+                SELECT t.doc_id, t.tpos, t.tok
+                FROM tok t LEFT JOIN cov c
+                  ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+                WHERE c.tpos IS NULL
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY tpos) AS text
+                FROM keep GROUP BY doc_id
+            )
+            SELECT b.doc_id, coalesce(a.text, '') AS text,
+                   CAST(len(b.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(b.toks) - coalesce(a.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "doc_cap_per_lang": """
             SELECT doc_id, grp, n_chars_kept, CAST(rank AS INTEGER) AS rank
@@ -5896,4 +6003,5 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
         """,
         "geocode_resolve": _geocode_resolve_oracle(),
+        "reverse_geocode": _reverse_geocode_oracle(),
     }

@@ -17,7 +17,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-N_PIPELINE_PAGES = int(os.environ.get("GEOSPARK_BENCH_PAGES", "200000"))
+# 2M pages: large enough that the timed pass measures steady-state
+# throughput (the 200k default was fixed-overhead-dominated — 164k
+# pages/sec reported vs 3.5M pages/sec measured at 60M pages; see
+# BENCH.md scaling runs), small enough to keep bench wall bounded.
+N_PIPELINE_PAGES = int(os.environ.get("GEOSPARK_BENCH_PAGES", "2000000"))
 
 
 def _pages_parquet(spark, n_pages: int) -> str:

@@ -129,3 +129,47 @@ def resolve_mentions(mentions: DataFrame, gaz: DataFrame,
             (-F.col("_b.neg_score")).alias("score"),
         )
     )
+
+
+def reverse_geocode(points: DataFrame, gaz: DataFrame,
+                    id_col: str = "point_id",
+                    lat: str = "lat", lng: str = "lng",
+                    start_zoom: int = 6,
+                    broadcast_attrs: bool = True) -> DataFrame:
+    """Reverse geocoding — the inverse of :func:`resolve_mentions`:
+    nearest gazetteer place per UNNAMED point (exact haversine argmin,
+    ties -> lowest gaz_id). The "which city is this page's coordinate
+    in" step when a mention carries no usable name.
+
+    Plan: the cell-ring kNN escalation (joins.knn_join_df, k=1) with
+    the gazetteer as the indexed point set and the input points as
+    centers — per-point candidates stay proportional to local place
+    density, the driver loop touches only per-level counts, and the
+    exact top-1 re-rank bounds by each point's own d_1. ``start_zoom``
+    should match gazetteer density (z6 for a country-scale gazetteer;
+    finer for POI-scale). Attributes rejoin on gaz_id —
+    broadcast by default (a gazetteer is a dimension), hash join when
+    ``broadcast_attrs=False`` (10M+ POI sets).
+
+    Returns (id_col, gaz_id, name, population, dist_floor_m)."""
+    from geospark.joins import knn_join_df
+
+    gpts = gaz.select("gaz_id", "g_lat", "g_lng")
+    centers = points.select(
+        F.col(id_col).alias("query_id"),
+        F.col(lat).alias("q_lat"),
+        F.col(lng).alias("q_lng"),
+    )
+    nn = knn_join_df(
+        gpts, centers, k=1, lat="g_lat", lng="g_lng",
+        id_col="gaz_id", start_zoom=start_zoom,
+    ).select(
+        F.col("query_id").alias(id_col),
+        "gaz_id",
+        F.floor("dist_m").cast("long").alias("dist_floor_m"),
+    )
+    attrs = gaz.select("gaz_id", "name", "population")
+    attrs = F.broadcast(attrs) if broadcast_attrs else attrs
+    return nn.join(attrs, "gaz_id").select(
+        id_col, "gaz_id", "name", "population", "dist_floor_m"
+    )

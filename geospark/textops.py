@@ -262,6 +262,87 @@ def dup_span_stats(docs: DataFrame, n: int = 10,
     )
 
 
+def scrub_dup_spans(docs: DataFrame, n: int = 10,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    hash_fn: str = "md5") -> DataFrame:
+    """Exact-substring scrubbing — the REMOVAL step behind
+    :func:`dup_span_stats`'s signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): every
+    n-token window whose gram also appears in ANOTHER document is cut
+    from all but one copy of the span. Keep-one policy: the lowest
+    doc_id among the gram's holders keeps its occurrence(s); every
+    other doc drops tokens ``[i, i+n)`` for each such window start
+    ``i`` (overlapping windows union — maximal duplicated runs vanish
+    in one pass). Deterministic, so the DuckDB oracle replays it
+    exactly. Output per input doc: ``(doc_id, text [scrubbed,
+    single-space rejoined], n_tokens [original], n_removed)``.
+
+    Plan (all JVM, no Python, no windows over the token relation):
+    positional grams hash to 60-bit ints; ONE gh-partitioned window
+    marks each window with the gram's (min doc_id, cross-doc flag);
+    flagged non-keeper windows explode to covered token positions
+    (<= n x dup-window rows — proportional to the duplicated volume,
+    not the corpus); the token relation anti-joins the covered set on
+    (doc_id, pos) and regroups per doc with an array_sort
+    reconstruction. Shuffles: gram window + covered distinct +
+    anti-join + doc rollup — each linear in corpus tokens, partial-agg
+    where applicable. Docs shorter than ``n`` pass through verbatim
+    (modulo whitespace normalization, which applies corpus-wide)."""
+    parts = ", ".join(f"_t[i + {j}]" for j in range(n))
+    base = spool(docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"split({text_col}, '\\\\s+')").alias("_t"),
+    ))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(_t) >= {n} THEN "
+                f"transform(sequence(0, size(_t) - {n}), "
+                f"i -> {hash60_sql(f'concat_ws(chr(31), {parts})', hash_fn)}) "
+                f"ELSE CAST(array() AS array<bigint>) END"
+            )
+        ).alias("pos", "gh"),
+    )
+    # one exchange of the gram relation: keeper + cross-doc flag in place
+    w = Window.partitionBy("gh")
+    flagged = grams.select(
+        "doc_id", "pos",
+        F.min("doc_id").over(w).alias("_keeper"),
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).alias("_multi"),
+    )
+    covered = (
+        flagged.filter(F.col("_multi") & (F.col("doc_id") != F.col("_keeper")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    toks = base.select("doc_id", F.posexplode("_t").alias("tpos", "tok"))
+    keep = toks.join(covered, ["doc_id", "tpos"], "left_anti")
+    agg = keep.groupBy("doc_id").agg(
+        F.count("*").alias("_n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(tpos, tok))),"
+            " s -> s.tok), ' ')"
+        ).alias("_text"),
+    )
+    # fully-scrubbed docs lose every token row — restore as empty text
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_text", F.lit("")).alias("text"),
+            F.size("_t").cast("long").alias("n_tokens"),
+            (F.size("_t") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup — hash groupBy (md5 content key)
 # ---------------------------------------------------------------------------

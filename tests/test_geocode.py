@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from geospark.functions import kernels as K
 from geospark.geocode import (
-    SCORE_NUM, SCORE_OFF, gazetteer, resolve_mentions,
+    SCORE_NUM, SCORE_OFF, gazetteer, resolve_mentions, reverse_geocode,
 )
 
 
@@ -130,3 +130,35 @@ def test_resolve_plan_shape(spark):
     b = sorted(map(tuple, resolve_mentions(
         mdf, gaz, broadcast_gazetteer=False).collect()))
     assert a == b
+
+
+def test_reverse_geocode_matches_brute_force(spark):
+    """reverse_geocode (cell-ring kNN k=1) vs a plain-python
+    brute-force nearest-place argmin over the full gazetteer —
+    exact gaz_id + floor-meter distance per point, every point
+    resolved exactly once."""
+    gaz = gazetteer(spark, 40, 2)                     # 80 places
+    grows = gaz.collect()
+
+    pts = [(i,
+            ((i * 6607) % 15000) / 100.0 - 75.0,
+            ((i * 31337) % 36000) / 100.0 - 180.0)
+           for i in range(150)]
+    pdf = spark.createDataFrame(
+        pts, "point_id long, lat double, lng double")
+
+    expected = {}
+    for pid, lat, lng in pts:
+        best = None
+        for g in grows:
+            d = _hav_m(lat, lng, g["g_lat"], g["g_lng"])
+            key = (d, g["gaz_id"])
+            if best is None or key < best[0]:
+                best = (key, g["gaz_id"], int(d))
+        expected[pid] = best
+
+    out = reverse_geocode(pdf, gaz).collect()
+    assert len(out) == 150
+    for r in out:
+        _, gid, d = expected[r["point_id"]]
+        assert (r["gaz_id"], r["dist_floor_m"]) == (gid, d)

@@ -606,6 +606,79 @@ def test_dup_span_stats_exact_copy(spark):
         assert r["dup_ppm"] == 1_000_000
 
 
+def test_scrub_dup_spans_keep_one(spark):
+    """The keeper (lowest doc_id holding a gram) keeps its span; the
+    other doc loses the covered union of its duplicated windows;
+    self-repetition and short docs pass through verbatim."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"   # 12 tokens
+    d0 = shared + " u1 u2 u3 u4 u5 u6 u7 u8"
+    d1 = "v1 v2 v3 v4 v5 v6 v7 v8 " + shared
+    d2 = "r1 r2 r3 r4 r5 " * 4
+    docs = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2.strip()), (3, "x1 x2 x3")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.scrub_dup_spans(docs, n=10).collect()}
+    assert got[0]["text"] == d0 and got[0]["n_removed"] == 0
+    # doc 1: dup windows start at 8,9,10 -> covered tokens [8,20) = the
+    # whole shared run
+    assert got[1]["text"] == "v1 v2 v3 v4 v5 v6 v7 v8"
+    assert got[1]["n_removed"] == 12 and got[1]["n_tokens"] == 20
+    assert got[2]["text"] == d2.strip() and got[2]["n_removed"] == 0
+    assert got[3]["text"] == "x1 x2 x3" and got[3]["n_tokens"] == 3
+
+
+def test_scrub_dup_spans_full_copies(spark):
+    """Exact duplicate docs: the lowest id survives intact, every
+    other copy scrubs to empty."""
+    t = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, t), (1, t), (2, t)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in T.scrub_dup_spans(docs, n=10).collect()}
+    assert got[0]["text"] == t and got[0]["n_removed"] == 0
+    for i in (1, 2):
+        assert got[i]["text"] == "" and got[i]["n_removed"] == 30
+
+
+def test_scrub_dup_spans_matches_python_twin(spark):
+    """Parity vs an independent scalar twin on a deterministic corpus
+    with partial overlaps, chained sharing, and unique docs."""
+    n = 5
+    words = [f"t{i}" for i in range(40)]
+    texts = {
+        0: " ".join(words[0:20]),
+        1: " ".join(words[30:40] + words[5:15]),       # shares 5..14 with 0
+        2: " ".join(words[10:25]),                     # shares 10..19 w/ 0, 10..14 w/ 1
+        3: " ".join(f"z{i}" for i in range(12)),       # unique
+        4: " ".join(words[0:6]),                       # shares 0..5 with 0
+    }
+
+    def twin():
+        toks = {d: t.split() for d, t in texts.items()}
+        holders: dict[tuple, list] = {}
+        for d, ts in toks.items():
+            for i in range(len(ts) - n + 1):
+                holders.setdefault(tuple(ts[i:i + n]), []).append(d)
+        out = {}
+        for d, ts in toks.items():
+            cov = set()
+            for i in range(len(ts) - n + 1):
+                hs = holders[tuple(ts[i:i + n])]
+                if len(set(hs)) > 1 and d != min(hs):
+                    cov.update(range(i, i + n))
+            kept = [t for j, t in enumerate(ts) if j not in cov]
+            out[d] = (" ".join(kept), len(ts), len(cov))
+        return out
+
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+           for r in T.scrub_dup_spans(docs, n=n).collect()}
+    assert got == twin()
+
+
 def test_bm25_topk_matches_python_twin(spark):
     """bm25_topk vs an independent scalar twin: exact BIGINT scores
     and ranking on a corpus with repeated terms, varied doc lengths,
