@@ -6,7 +6,8 @@ dedup_stress.py / emb_stress.py when present. Appends a BENCH.md
 section.
 
 Usage: python scripts/new_ops_stress.py [n_docs] [n_vecs] [n_nodes]
-Env: STRESS_ONLY=lm_ppl,bpe,pq,triangles to run a subset.
+Env: STRESS_ONLY=lm_ppl_en5pct,bpe_10merges,... to run a subset
+(keys = the run() names, e.g. reverse_geocode_12m, span_scrub_n10).
 """
 
 from __future__ import annotations
@@ -201,13 +202,53 @@ def main() -> None:
 
     run("geocode_12m_mentions", n_nodes, _geocode)
 
+    def _revgeo():
+        # reverse geocoding at point scale: nearest of 450k places per
+        # point via cell-ring kNN k=1 (z8 start — ~7 places/cell).
+        from geospark.geocode import gazetteer, reverse_geocode
+
+        gaz = gazetteer(spark, 150_000, 3)
+        pts = spark.range(n_nodes).select(
+            F.col("id").alias("point_id"),
+            (((F.col("id") * 7919) % 16000) / 100.0 - 80.0).alias("lat"),
+            (((F.col("id") * 104729) % 36000) / 100.0 - 180.0).alias("lng"),
+        )
+        res = reverse_geocode(pts, gaz, start_zoom=8)
+        agg = res.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("gaz_id").alias("n_places"),
+            F.sum("dist_floor_m").alias("dist_sum"),
+        ).collect()[0]
+        return {"n_resolved": int(agg["n"]),
+                "n_places_hit": int(agg["n_places"])}
+
+    run("reverse_geocode_12m", n_nodes, _revgeo)
+
+    def _scrub():
+        # exact-substring scrubbing over the dup-structured corpus
+        # (15% exact/near duplicates): gram window + covered-position
+        # anti-join + per-doc reconstruction, xxhash64 fast path.
+        from geospark.textops import scrub_dup_spans
+
+        out = scrub_dup_spans(docs, n=10, hash_fn="xxhash64")
+        agg = out.agg(
+            F.count("*").alias("n"),
+            F.sum("n_removed").alias("tokens_removed"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias("docs_cut"),
+        ).collect()[0]
+        return {"docs_out": int(agg["n"]),
+                "tokens_removed": int(agg["tokens_removed"]),
+                "docs_cut": int(agg["docs_cut"])}
+
+    run("span_scrub_n10", n_docs, _scrub)
+
     out = {"ops": results, "cpus": 32,
            "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(out))
 
     lines = [
         "",
-        f"## Round-3 new-ops scale run {out['ts']} — "
+        f"## New-ops scale run {out['ts']} — "
         f"{n_docs:,} docs / {n_vecs:,} vecs / {n_nodes:,} nodes, local[32]",
         "",
         "| operator | wall s | input rows/sec | outputs |",

@@ -364,6 +364,34 @@ def main() -> None:
               "one broadcast join, one minima-only shuffle.",
     )
 
+    # reverse geocoding: cell-ring kNN k=1 over the gazetteer — the
+    # attribute rejoin broadcasts, nothing falls back to a cartesian
+    audit(
+        "reverse_geocode (nearest-place kNN k=1)",
+        q["reverse_geocode"](spark, sf_dir),
+        must=["BroadcastHashJoin"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+        notes="cell-ring escalation joins each point's 3x3 cell "
+              "neighborhood against the place set; the exact top-1 "
+              "re-rank windows per point over its OWN d_1-bounded "
+              "candidates; gaz attributes rejoin by broadcast.",
+    )
+
+    # exact-substring scrubbing: gram window + anti-join + rollup,
+    # all JVM — the token relation never meets a python worker
+    audit(
+        "doc_span_scrub (exact-substring scrubbing)",
+        q["doc_span_scrub"](spark, sf_dir),
+        must=["Window", "* HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "CartesianProduct"],
+        notes="ONE gh-partitioned window marks keeper + cross-doc per "
+              "gram; covered positions explode only from duplicated "
+              "windows; the token relation LEFT ANTI joins the "
+              "covered set and regroups per doc with an array_sort "
+              "reconstruction — linear shuffles, zero Python.",
+    )
+
     # raster->vector rectangle decomposition: window passes only
     audit(
         "tile_vectorize (raster->vector rectangle decomposition)",
