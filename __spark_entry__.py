@@ -2988,13 +2988,14 @@ GEOCODE_NAMES, GEOCODE_PER_NAME = 500, 3
 
 def _q_reverse_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse geocoding (geocode.reverse_geocode): nearest gazetteer
-    place per unnamed point via the cell-ring kNN escalation (k=1,
-    z6 start for the 1500-place country-scale gazetteer), exact
-    haversine argmin with gaz_id tie-break, attributes rejoined by
-    broadcast. A 1-in-10 event sample keeps the DuckDB cross-join
-    oracle tractable; the Spark plan is the full filter-refine kNN.
-    Oracle: INDEPENDENT brute-force argmin (row_number over the full
-    cross join)."""
+    place per unnamed point via the WINDOWLESS cell-ring k=1
+    escalation (joins.nearest_join_df — d_1 bound and final argmin
+    are both partial-aggregatable min-structs; z6 start for the
+    1500-place country-scale gazetteer), exact haversine argmin with
+    gaz_id tie-break, attributes rejoined by broadcast. A 1-in-10
+    event sample keeps the DuckDB cross-join oracle tractable; the
+    Spark plan is the full filter-refine path. Oracle: INDEPENDENT
+    brute-force argmin (row_number over the full cross join)."""
     from geospark.geocode import gazetteer, reverse_geocode
 
     pts = G.events_points(spark, sf_dir).filter(

@@ -141,18 +141,19 @@ def reverse_geocode(points: DataFrame, gaz: DataFrame,
     ties -> lowest gaz_id). The "which city is this page's coordinate
     in" step when a mention carries no usable name.
 
-    Plan: the cell-ring kNN escalation (joins.knn_join_df, k=1) with
-    the gazetteer as the indexed point set and the input points as
-    centers — per-point candidates stay proportional to local place
-    density, the driver loop touches only per-level counts, and the
-    exact top-1 re-rank bounds by each point's own d_1. ``start_zoom``
-    should match gazetteer density (z6 for a country-scale gazetteer;
-    finer for POI-scale). Attributes rejoin on gaz_id —
-    broadcast by default (a gazetteer is a dimension), hash join when
-    ``broadcast_attrs=False`` (10M+ POI sets).
+    Plan: the windowless k=1 cell-ring escalation
+    (joins.nearest_join_df) with the gazetteer as the indexed point
+    set and the input points as centers — per-point candidates stay
+    proportional to local place density, the driver loop touches only
+    per-level counts, and both the d_1 bound and the final argmin are
+    partial-aggregatable mins (no exchange carries raw candidates).
+    ``start_zoom`` should match gazetteer density (z6 for a
+    country-scale gazetteer; finer for POI-scale). Attributes rejoin
+    on gaz_id — broadcast by default (a gazetteer is a dimension),
+    hash join when ``broadcast_attrs=False`` (10M+ POI sets).
 
     Returns (id_col, gaz_id, name, population, dist_floor_m)."""
-    from geospark.joins import knn_join_df
+    from geospark.joins import nearest_join_df
 
     gpts = gaz.select("gaz_id", "g_lat", "g_lng")
     centers = points.select(
@@ -160,8 +161,8 @@ def reverse_geocode(points: DataFrame, gaz: DataFrame,
         F.col(lat).alias("q_lat"),
         F.col(lng).alias("q_lng"),
     )
-    nn = knn_join_df(
-        gpts, centers, k=1, lat="g_lat", lng="g_lng",
+    nn = nearest_join_df(
+        gpts, centers, lat="g_lat", lng="g_lng",
         id_col="gaz_id", start_zoom=start_zoom,
     ).select(
         F.col("query_id").alias(id_col),

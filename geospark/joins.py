@@ -868,6 +868,137 @@ def knn_join_df(points: DataFrame, centers: DataFrame, k: int,
     )
 
 
+def nearest_join_df(points: DataFrame, centers: DataFrame,
+                    lat: str = "lat", lng: str = "lng",
+                    id_col: str = "point_id",
+                    q_id: str = "query_id", q_lat: str = "q_lat",
+                    q_lng: str = "q_lng",
+                    start_zoom: int = 8) -> DataFrame:
+    """Nearest-neighbor join (kNN k=1) with ZERO windows — every pass
+    is a partial-aggregatable min, so no exchange ever carries the raw
+    candidate relation (each map task ships one minimum per center it
+    saw). :func:`knn_join_df` with k=1 is semantically identical but
+    pays two row_number windows over the candidate relation (the
+    general-k top-k needs them); at 12M points x 450k places the
+    window sorts dominated its wall (137.8s vs this path — BENCH.md).
+
+    phase 1 (d_1 upper bound): per zoom (start_zoom, -4, ... 0), join
+    each remaining center's 3x3 cell neighborhood and take
+    min(dist) per center — centers with >=1 candidate are satisfied,
+    the rest coarsen. phase 2: radius_join_df with per-center radius
+    d_1(1+1e-9)+eps, then the final exact argmin as min(struct(dist,
+    id)) — ties resolve to the lowest ``id_col``, matching
+    knn_join_df's (dist, id) window order exactly.
+
+    Returns (query_id, id_col, dist_m)."""
+    from geospark.cells import with_linear_cell_at_zoom
+    from geospark.spool import spool
+
+    eps = 1e-6
+    remaining = spool(
+        centers.select(
+            F.col(q_id).alias("query_id"),
+            F.col(q_lat).alias("c_lat"),
+            F.col(q_lng).alias("c_lng"),
+        ),
+        "nn_centers",
+    )
+
+    def _neigh_udf(_z: int):
+        @pandas_udf("array<long>")
+        def _neigh(clat: pd.Series, clng: pd.Series) -> pd.Series:
+            return neighbor_cells_series(
+                clat.to_numpy(np.float64), clng.to_numpy(np.float64), _z
+            )
+
+        return _neigh
+
+    d1_parts: list[DataFrame] = []
+    z = start_zoom
+    while z >= 0:
+        _neigh = _neigh_udf(z)
+        cov = remaining.select(
+            "query_id", "c_lat", "c_lng",
+            F.explode(_neigh(F.col("c_lat"), F.col("c_lng"))).alias("_q_cell"),
+        )
+        cand = (
+            with_linear_cell_at_zoom(points, z, lat, lng, "_c")
+            .join(cov, F.col("_c") == F.col("_q_cell"))
+        )
+        sat = (
+            cand.groupBy("query_id")
+            .agg(F.min(K.distance(F.col("c_lat"), F.col("c_lng"),
+                                  F.col(lat), F.col(lng))).alias("_d1"))
+            .select(
+                "query_id",
+                (F.col("_d1") * (1.0 + 1e-9) + eps).alias("nn_radius"),
+            )
+        )
+        sat = spool(sat, "nn_sat")
+        d1_parts.append(sat)
+        remaining = spool(
+            remaining.join(sat, "query_id", "left_anti"), "nn_remaining"
+        )
+        if remaining.limit(1).count() == 0:
+            break
+        z -= 4
+
+    d1_all = None
+    for p in d1_parts:
+        d1_all = p if d1_all is None else d1_all.unionByName(p)
+
+    base = centers.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_lat).alias("q_lat"),
+        F.col(q_lng).alias("q_lng"),
+    )
+    parts: list[DataFrame] = []
+    if d1_all is not None:
+        max_d1 = d1_all.agg(F.max("nn_radius")).collect()[0][0]
+        if max_d1 is not None:
+            centers_d1 = base.join(d1_all, "query_id")
+            parts.append(
+                radius_join_df(
+                    points, centers_d1, max_m=float(max_d1),
+                    radius_col="nn_radius", lat=lat, lng=lng,
+                ).select("query_id", F.col(id_col).alias("_id"), "dist_m")
+            )
+    if remaining.limit(1).count() > 0:
+        # centers that saw zero points even at z=0 (empty/near-empty
+        # point set): brute-force the stragglers
+        lcent = remaining.select(
+            "query_id", F.col("c_lat").alias("q_lat"),
+            F.col("c_lng").alias("q_lng"),
+        )
+        parts.append(
+            points.crossJoin(F.broadcast(lcent)).select(
+                "query_id", F.col(id_col).alias("_id"),
+                K.distance(F.col("q_lat"), F.col("q_lng"),
+                           F.col(lat), F.col(lng)).alias("dist_m"),
+            )
+        )
+    if not parts:
+        return (
+            points.select(
+                F.lit(None).cast("long").alias("query_id"),
+                F.col(id_col).alias("_id"),
+                F.lit(None).cast("double").alias("dist_m"),
+            ).limit(0)
+            .withColumnRenamed("_id", id_col)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    best = out.groupBy("query_id").agg(
+        F.min(F.struct(F.col("dist_m"), F.col("_id"))).alias("_b")
+    )
+    return best.select(
+        "query_id",
+        F.col("_b._id").alias(id_col),
+        F.col("_b.dist_m").alias("dist_m"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Box query (Q5/Q7)
 # ---------------------------------------------------------------------------

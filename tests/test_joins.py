@@ -84,6 +84,46 @@ def test_knn_join_df_matches_list_api(spark):
     assert len({q for q, _ in b}) == 3  # every center answered
 
 
+def test_nearest_join_df_matches_knn_k1(spark):
+    """The windowless k=1 path (partial-agg min-structs) returns
+    exactly knn_join_df(k=1)'s nearest point and distance per center,
+    including the escalation case (center in a sparse area) and the
+    brute-force straggler path (tiny point set)."""
+    from geospark.joins import knn_join_df, nearest_join_df
+
+    rows = [
+        (i, float(49.5 + (i * 37 % 100) / 100.0),
+         float(8.0 + (i * 53 % 200) / 100.0))
+        for i in range(200)
+    ] + [(900, -60.0, -150.0)]
+    pts = spark.createDataFrame(rows, "point_id long, lat double, lng double")
+    centers = [(1, 49.87, 8.65), (2, -59.9, -150.2), (3, 20.0, 100.0)]
+    cdf = spark.createDataFrame(
+        centers, "query_id long, q_lat double, q_lng double"
+    )
+    via_knn = {
+        r["query_id"]: (r["point_id"], round(r["dist_m"], 6))
+        for r in knn_join_df(pts, cdf, k=1, id_col="point_id").collect()
+    }
+    via_nn = {
+        r["query_id"]: (r["point_id"], round(r["dist_m"], 6))
+        for r in nearest_join_df(pts, cdf, id_col="point_id").collect()
+    }
+    assert via_nn == via_knn and len(via_nn) == 3
+
+    # 2-point set: every center below z=0 coverage hits the
+    # brute-force branch and still gets its true nearest
+    tiny = spark.createDataFrame(
+        rows[:2], "point_id long, lat double, lng double")
+    nn_tiny = {r["query_id"]: r["point_id"]
+               for r in nearest_join_df(tiny, cdf, id_col="point_id",
+                                        start_zoom=4).collect()}
+    knn_tiny = {r["query_id"]: r["point_id"]
+                for r in knn_join_df(tiny, cdf, k=1, id_col="point_id",
+                                     start_zoom=4).collect()}
+    assert nn_tiny == knn_tiny and len(nn_tiny) == 3
+
+
 def test_pip_join_table_matches_broadcast_path(spark):
     """The polygon-TABLE PIP join (cogrouped refine, non-broadcast)
     must match the broadcast PolygonLayer path on the demo layer."""
