@@ -930,6 +930,27 @@ def _q_doc_bpe(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
 
 
+def _q_doc_bpe_encode(spark, sf_dir):
+    """Train-then-APPLY BPE (textops.bpe_train -> bpe_encode): the 12
+    learned merge rules replayed over the corpus vocabulary, rolled up
+    to the token frequency relation (token, n_words, count) — the
+    encode half of the tokenizer lifecycle. The corpus is touched by
+    one word-count shuffle; the merge replay is a chain of codegen
+    folds with the rules as literals on the vocab-sized relation.
+    Oracle: the classic dict-based twin (goldens.bpe_merges to learn +
+    goldens.bpe_encode_py to apply) — an independent algorithm over
+    DuckDB-derived word counts."""
+    from geospark.textops import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, n_merges=BPE_MERGES)
+        .orderBy("rank").collect()
+    ]
+    return bpe_encode(docs, merges)
+
+
 def _oracle_word_freqs() -> list[tuple[str, int]]:
     """(word, freq) over the oracle-SF documents — input of the BPE
     golden twin."""
@@ -1322,6 +1343,43 @@ def _q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     res = match_points_to_segments(probes, seg, MAP_MATCH_MAX_M)
+    return res.select(
+        "point_id",
+        F.col("line_id").cast("long").alias("line_id"),
+        "seg_idx",
+        F.floor("dist_m").alias("dist_floor_m"),
+        F.round("c_lat", 6).alias("c_lat"),
+        F.round("c_lng", 6).alias("c_lng"),
+    )
+
+
+CORRIDOR_MAX_M = 50000.0
+
+
+def _q_corridor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corridor join (joins.corridor_join): every 50th event point
+    (nudged ~40 m off-network like map_match) against the
+    events_segments network, keeping EVERY line within 50 km — the
+    "routes passing near this point" primitive (L6 distance-to-
+    polyline lifted to an all-pairs join; map_match is its global
+    argmin). The 50 km radius spans city clusters, so most probes
+    keep SEVERAL lines (the multiplicity map_match collapses — the
+    semantics this query certifies). Same multi-zoom cover + S8/S1
+    refine plan, aggregate keyed by (point, line). Golden-VALUES
+    oracle from the brute-force twin goldens.corridor_pairs."""
+    from geospark.joins import corridor_join
+
+    pts = G.events_points(spark, sf_dir)
+    seg = G.events_segments(spark, sf_dir)
+    probes = (
+        pts.filter(F.col("event_id") % 50 == 0)
+        .select(
+            F.col("event_id").alias("point_id"),
+            (F.col("lat") + F.lit(0.0003)).alias("lat"),
+            (F.col("lng") - F.lit(0.0002)).alias("lng"),
+        )
+    )
+    res = corridor_join(probes, seg, CORRIDOR_MAX_M)
     return res.select(
         "point_id",
         F.col("line_id").cast("long").alias("line_id"),
@@ -2377,6 +2435,27 @@ def _q_emb_kmeans(spark, sf_dir):
 
 
 IVF_T_PROBE = 3
+IVFPQ_PROBE = 3
+
+
+def _q_emb_ivfpq(spark, sf_dir):
+    """IVF-PQ composed ANN (embeddings.ivfpq_topk): kmeans-trained
+    coarse quantizer prunes to n_probe inverted lists, candidates
+    scored by residual-PQ ADC — the canonical billion-vector layout
+    (IVFADC). Integer-exact throughout (floor(x*1e6) BIGINT sums), so
+    the plain-Python twin goldens.ivfpq_py replays it bit-identically.
+    Plan: map-side assignment + residual + encode (centroids and the
+    residual codebook are literal arrays — zero corpus joins), the
+    corpus persists as an m-byte codes relation, probe LUTs broadcast
+    as a |Q|*n_probe-row relation, ADC = m array lookups in codegen,
+    per-query top-k over only the probed lists."""
+    from geospark.embeddings import ivfpq_topk
+
+    return ivfpq_topk(
+        _emb(spark, sf_dir), EMB_QUERY_IDS, k=10,
+        n_centroids=KM_K, iters=KM_ITERS, n_probe=IVFPQ_PROBE,
+        m=PQ_M, n_codes=PQ_CODES,
+    )
 
 
 def _q_emb_ivf_trained(spark, sf_dir):
@@ -3069,6 +3148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_scrub": _q_doc_span_scrub,
         "reverse_geocode": _q_reverse_geocode,
         "emb_ivf_trained": _q_emb_ivf_trained,
+        "emb_ivfpq": _q_emb_ivfpq,
+        "corridor_join": _q_corridor_join,
+        "doc_bpe_encode": _q_doc_bpe_encode,
         "doc_train_pipeline": _q_doc_train_pipeline,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -4463,6 +4545,13 @@ def oracle_sql() -> dict[str, str]:
         for pid, uid, si, d, cla, cln in GO.map_match_segments(
             mm_probes, mm_segs, MAP_MATCH_MAX_M)
     ]
+    corr_rows = [
+        (pid, uid, si, int(math.floor(d)),
+         _round_half_up(cla, 6), _round_half_up(cln, 6))
+        for pid, uid, si, d, cla, cln in GO.corridor_pairs(
+            [p for p in mm_probes if p[0] % 50 == 0], mm_segs,
+            CORRIDOR_MAX_M)
+    ]
     tp_rows = GO.tile_payload(
         [(uid, line) for uid, line in traj if uid % 4 == 0],
         TILE_PAYLOAD_Z, _tile_payload_rect(),
@@ -4474,10 +4563,18 @@ def oracle_sql() -> dict[str, str]:
         (int(r), l, rr, int(c))
         for r, l, rr, c in GO.bpe_merges(_oracle_word_freqs(), BPE_MERGES)
     ]
+    bpe_enc_rows = [
+        (t, int(nw), int(c))
+        for t, nw, c in GO.bpe_encode_py(
+            _oracle_word_freqs(), [(l, r) for _, l, r, _ in bpe_rows])
+    ]
     pq_rows = GO.pq_topk_py(_oracle_vecs(), EMB_QUERY_IDS, 10, PQ_M, PQ_CODES)
     km_rows = GO.kmeans_py(_oracle_vecs(), KM_K, KM_ITERS)
     ivft_rows = GO.ivf_trained_py(
         _oracle_vecs(), EMB_QUERY_IDS, 10, KM_K, KM_ITERS, IVF_T_PROBE)
+    ivfpq_rows = GO.ivfpq_py(
+        _oracle_vecs(), EMB_QUERY_IDS, 10, KM_K, KM_ITERS, IVFPQ_PROBE,
+        PQ_M, PQ_CODES)
     st_rows = [
         (int(tx), int(ty), int(c)) for tx, ty, c in GO.stream_tile_counts(2000, 6)
     ]
@@ -5370,6 +5467,14 @@ def oracle_sql() -> dict[str, str]:
              ("seg_idx", "INTEGER"), ("dist_floor_m", "BIGINT"),
              ("c_lat", "DOUBLE"), ("c_lng", "DOUBLE")],
         ),
+        # independent-ALGORITHM oracle: brute-force all-lines corridor
+        # (goldens.corridor_pairs)
+        "corridor_join": _values_sql(
+            corr_rows,
+            [("point_id", "BIGINT"), ("line_id", "BIGINT"),
+             ("seg_idx", "INTEGER"), ("dist_floor_m", "BIGINT"),
+             ("c_lat", "DOUBLE"), ("c_lng", "DOUBLE")],
+        ),
         "tile_payload": _values_sql(
             tp_rows,
             [("tile_x", "BIGINT"), ("tile_y", "BIGINT"),
@@ -5419,10 +5524,24 @@ def oracle_sql() -> dict[str, str]:
             [("query_id", "BIGINT"), ("rn", "BIGINT"),
              ("vec_id", "BIGINT"), ("d2_q", "BIGINT")],
         ),
+        # independent-ALGORITHM oracle: plain-Python IVF-PQ (Lloyd
+        # coarse quantizer, residual codebook, ADC) — goldens.ivfpq_py
+        "emb_ivfpq": _values_sql(
+            ivfpq_rows,
+            [("query_id", "BIGINT"), ("rn", "BIGINT"),
+             ("vec_id", "BIGINT"), ("d2_adc", "BIGINT")],
+        ),
         "doc_bpe": _values_sql(
             bpe_rows,
             [("rank", "BIGINT"), ("lhs", "VARCHAR"), ("rhs", "VARCHAR"),
              ("pair_count", "BIGINT")],
+        ),
+        # independent-ALGORITHM oracle: dict-BPE learn + apply
+        # (goldens.bpe_merges -> goldens.bpe_encode_py)
+        "doc_bpe_encode": _values_sql(
+            bpe_enc_rows,
+            [("token", "VARCHAR"), ("n_words", "BIGINT"),
+             ("count", "BIGINT")],
         ),
         "streaming_tiles": _values_sql(
             st_rows,

@@ -824,6 +824,134 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
     return a, cents
 
 
+def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+               n_centroids: int = 8, iters: int = 3, n_probe: int = 2,
+               m: int = 4, n_codes: int = 16,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the canonical billion-vector ANN composition — a
+    kmeans-trained coarse quantizer prunes the search to ``n_probe``
+    inverted lists, and candidates inside the probed lists are scored
+    by product-quantization ADC over RESIDUALS (vector minus its
+    assigned centroid — the classic IVFADC layout: residuals have far
+    smaller spread than raw vectors, so the same per-subspace
+    codebook budget quantizes them much more tightly).
+
+    Integer-exact end to end (floor(x*1e6) quantization, BIGINT
+    sums), so the result replays bit-identically in the plain-Python
+    twin (goldens.ivfpq_py). Returns (query_id, rn, vec_id, d2_adc)
+    with rn = 1..k ranked by (adc distance ASC, vec_id).
+
+    Plan shape at corpus scale:
+    - training: kmeans_fit's map-side assignment + model-sized update
+      shuffle (centroids inlined as literals, never joined);
+    - assignment + residual + PQ encode: ONE map-side projection over
+      the corpus (centroid table and residual codebook are literal
+      arrays — zero joins, zero corpus shuffles); the corpus then
+      lives as an m-byte-per-vector codes relation;
+    - query side: probe lists and the m x n_codes ADC lookup tables
+      are computed on the driver from model-sized state (|Q| * n_probe
+      * m * n_codes integers) and BROADCAST as a |Q|*n_probe-row
+      relation with an array<array<bigint>> LUT column;
+    - scoring: broadcast hash join probes -> codes on centroid_id
+      (the IVF pruning — only ~n*n_probe/n_centroids candidates
+      survive), ADC = m array lookups folded in codegen, per-query
+      top-k window over the pruned candidate set only.
+
+    Reference analogue: the filter-refine discipline of
+    point_rtree.cc:21-36 (coarse prefilter, cheap refine) applied to
+    vector search; coarse quantizer = the trained twin of
+    ivf_assign's deterministic lists."""
+    a, cents = kmeans_fit(emb, k=n_centroids, iters=iters,
+                          id_col=id_col, vec_col=vec_col, with_vec=True)
+    dim = len(cents[0])
+    dsub = dim // m
+    cent_arr = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x}L" for x in c) + ")" for c in cents
+    ) + ")"
+    r = a.withColumn(
+        "r_q",
+        F.expr(f"zip_with(v_q, element_at({cent_arr}, centroid_id + 1), "
+               "(x, y) -> x - y)"),
+    )
+    # residual codebook: first n_codes vectors by id (the module's
+    # deterministic-sample convention) — n_codes rows to the driver.
+    sample = r.orderBy("vec_id").limit(n_codes).select("r_q").collect()
+    if len(sample) < n_codes:
+        raise ValueError(
+            f"ivfpq_topk: n_codes={n_codes} but only {len(sample)} vectors")
+    cb = [
+        [[int(x) for x in row["r_q"][s * dsub:(s + 1) * dsub]]
+         for row in sample]
+        for s in range(m)
+    ]
+    # inline argmin per subspace — like _pq_code_expr but slicing the
+    # ALREADY-quantized residual (re-quantizing BIGINTs would overflow)
+    def _code_expr(s: int) -> str:
+        arr = ", ".join(
+            "array(" + ", ".join(f"{x}L" for x in c) + ")" for c in cb[s]
+        )
+        sub = f"slice(r_q, {s * dsub + 1}, {dsub})"
+        return (
+            f"sort_array(transform(array({arr}), (c, i) -> "
+            f"struct(aggregate(zip_with({sub}, c, (x, y) -> (x - y) * (x - y)), "
+            f"0L, (acc, v) -> acc + v) AS d2, i AS c_id)))[0].c_id"
+        )
+
+    code_cols = ", ".join(
+        f"CAST({_code_expr(s)} AS INT)" for s in range(m)
+    )
+    from geospark.spool import spool as _spool
+
+    codes = _spool(
+        r.select("vec_id", "centroid_id",
+                 F.expr(f"array({code_cols})").alias("codes")),
+        "ivfpq_codes",
+    )
+    # driver-side probe + LUT construction (model-sized work only)
+    qids = [int(q) for q in query_ids]
+    qrows = {
+        int(row["vec_id"]): [int(x) for x in row["v_q"]]
+        for row in a.filter(F.col("vec_id").isin(qids))
+        .select("vec_id", "v_q").collect()
+    }
+    probe_rows = []
+    for qid in qids:
+        qv = qrows[qid]
+        probed = sorted(
+            (sum((x - y) * (x - y) for x, y in zip(qv, c)), ci)
+            for ci, c in enumerate(cents)
+        )[:n_probe]
+        for _, ci in probed:
+            qr = [x - y for x, y in zip(qv, cents[ci])]
+            lut = [
+                [sum((x - y) * (x - y)
+                     for x, y in zip(qr[s * dsub:(s + 1) * dsub], c))
+                 for c in cb[s]]
+                for s in range(m)
+            ]
+            probe_rows.append((qid, ci, lut))
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows,
+        "query_id long, probe_centroid int, lut array<array<long>>")
+    adc = F.expr(
+        "aggregate(zip_with(lut, codes, (l, c) -> element_at(l, c + 1)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2_adc"), F.asc("vec_id"))
+    return (
+        codes.join(F.broadcast(probes),
+                   F.col("centroid_id") == F.col("probe_centroid"))
+        .select("query_id", "vec_id", adc.alias("d2_adc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("rn").cast("long").alias("rn"),
+                "vec_id", "d2_adc")
+    )
+
+
 def ivf_topk_trained(emb: DataFrame, query_ids: list[int], k: int = 10,
                      n_centroids: int = 8, iters: int = 3, n_probe: int = 4,
                      id_col: str = "vec_id",

@@ -887,6 +887,37 @@ def bpe_merges(word_freqs: list[tuple[str, int]],
     return merges
 
 
+def bpe_encode_py(word_freqs: list[tuple[str, int]],
+                  merges: list[tuple[str, str]]
+                  ) -> list[tuple[str, int, int]]:
+    """Independent dict-based twin of textops.bpe_encode: replay the
+    merge rules in training order (left-to-right non-overlapping per
+    word), then roll up token frequencies. Returns rows
+    [(token, n_words, count)]: count = total occurrences weighted by
+    word freq, n_words = distinct words containing the token."""
+    freqs: dict[str, int] = {}
+    for w, f in word_freqs:
+        freqs[w] = freqs.get(w, 0) + int(f)
+    tok_count: dict[str, int] = {}
+    tok_words: dict[str, set] = {}
+    for w, f in freqs.items():
+        syms = list(w) + ["</w>"]
+        for lhs, rhs in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == lhs and s == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(s)
+            syms = out
+        for t in syms:
+            tok_count[t] = tok_count.get(t, 0) + f
+            tok_words.setdefault(t, set()).add(w)
+    return [
+        (t, len(tok_words[t]), tok_count[t]) for t in sorted(tok_count)
+    ]
+
+
 def pq_topk_py(vecs: list[tuple[int, list[float]]],
                query_ids: list[int], k: int, m: int,
                n_codes: int) -> list[tuple[int, int, int, int]]:
@@ -1017,6 +1048,110 @@ def ivf_trained_py(vecs: list[tuple[int, list[float]]],
             for vid in qv if assign[vid] in probed
         )
         for rn, (dd, vid) in enumerate(scored[:k], start=1):
+            out.append((int(qid), rn, int(vid), int(dd)))
+    return out
+
+
+def corridor_pairs(
+    points: list[tuple[int, float, float]],
+    segs: list[tuple[int, int, tuple, tuple]],
+    max_m: float,
+) -> list[tuple[int, int, int, float, float, float]]:
+    """Independent brute-force twin of joins.corridor_join: for each
+    probe, EVERY line with a segment within max_m (strict <), keeping
+    that line's nearest segment (ties first-wins on seg_idx — the L6
+    order within a line). Rows (point_id, line_id, seg_idx, dist,
+    c_lat, c_lng). Same numpy endpoint prefilter discipline as
+    map_match_segments."""
+    segs = sorted(segs, key=lambda s: (s[0], s[1]))
+    if not segs:
+        return []
+    f_la = np.array([s[2][0] for s in segs])
+    f_ln = np.array([s[2][1] for s in segs])
+    t_la = np.array([s[3][0] for s in segs])
+    t_ln = np.array([s[3][1] for s in segs])
+
+    def _hav_np(la1, ln1, la2, ln2):
+        dla = np.radians(la2 - la1) / 2.0
+        dln = np.radians(ln2 - ln1) / 2.0
+        a = (np.sin(dla) ** 2
+             + np.cos(np.radians(la1)) * np.cos(np.radians(la2))
+             * np.sin(dln) ** 2)
+        return 2.0 * _HAV_R * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+
+    seg_len = _hav_np(f_la, f_ln, t_la, t_ln)
+    out = []
+    for pid, pla, pln in points:
+        bound = max_m + 1.05 * seg_len + 10.0
+        near = (np.minimum(_hav_np(pla, pln, f_la, f_ln),
+                           _hav_np(pla, pln, t_la, t_ln)) <= bound)
+        best: dict[int, tuple[float, int, tuple]] = {}
+        for j in np.flatnonzero(near):
+            uid, i, f, t = segs[j]
+            c = closest_on_segment((pla, pln), f, t)
+            d = _haversine(pla, pln, c[0], c[1])
+            cur = best.get(uid)
+            if cur is None or d < cur[0]:
+                best[uid] = (d, i, c)
+        for uid in sorted(best):
+            d, i, c = best[uid]
+            if d < max_m:
+                out.append((pid, uid, i, d, c[0], c[1]))
+    return out
+
+
+def ivfpq_py(vecs: list[tuple[int, list[float]]], query_ids: list[int],
+             k: int, km_k: int, iters: int, n_probe: int,
+             m: int, n_codes: int) -> list[tuple[int, int, int, int]]:
+    """Independent plain-Python twin of embeddings.ivfpq_topk:
+    Lloyd-trained coarse quantizer (_lloyd_py), residual = quantized
+    vector minus assigned centroid, per-subspace residual codebook
+    from the first n_codes vectors by id, PQ code = argmin exact
+    integer L2 (ties to the lowest code id), query ADC = per-probe
+    residual LUT summed over the m codes. Candidates are the probed
+    lists; ties on vec_id. Returns [(query_id, rn, vec_id, d2_adc)]."""
+    qv = _quantize_vecs(vecs)
+    cents = _lloyd_py(qv, km_k, iters)
+    dim = len(cents[0])
+    dsub = dim // m
+    assign = {
+        vid: min((_d2_int(qv[vid], cc), i) for i, cc in enumerate(cents))[1]
+        for vid in qv
+    }
+    resid = {
+        vid: [x - y for x, y in zip(qv[vid], cents[assign[vid]])]
+        for vid in qv
+    }
+    sample_ids = sorted(qv)[:n_codes]
+    cb = [
+        [resid[vid][s * dsub:(s + 1) * dsub] for vid in sample_ids]
+        for s in range(m)
+    ]
+    codes = {
+        vid: [
+            min((_d2_int(resid[vid][s * dsub:(s + 1) * dsub], c), j)
+                for j, c in enumerate(cb[s]))[1]
+            for s in range(m)
+        ]
+        for vid in qv
+    }
+    out: list[tuple[int, int, int, int]] = []
+    for qid in query_ids:
+        probed = sorted(
+            (_d2_int(qv[qid], cc), i) for i, cc in enumerate(cents)
+        )[:n_probe]
+        scored = []
+        for _, ci in probed:
+            qr = [x - y for x, y in zip(qv[qid], cents[ci])]
+            lut = [
+                [_d2_int(qr[s * dsub:(s + 1) * dsub], c) for c in cb[s]]
+                for s in range(m)
+            ]
+            for vid in qv:
+                if assign[vid] == ci:
+                    scored.append((
+                        sum(lut[s][codes[vid][s]] for s in range(m)), vid))
+        for rn, (dd, vid) in enumerate(sorted(scored)[:k], start=1):
             out.append((int(qid), rn, int(vid), int(dd)))
     return out
 

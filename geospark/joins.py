@@ -1155,7 +1155,8 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
                              seg_idx: str = "seg_idx",
                              f_lat: str = "f_lat", f_lng: str = "f_lng",
                              t_lat: str = "t_lat", t_lng: str = "t_lng",
-                             broadcast_segments: bool = False) -> DataFrame:
+                             broadcast_segments: bool = False,
+                             per_line: bool = False) -> DataFrame:
     """Map matching as a distributed filter-refine join: snap every
     probe point to its NEAREST polyline segment within ``max_m``
     meters (the GPS-trace -> road-network primitive; composes S8
@@ -1171,6 +1172,15 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
       hash join on (zoom, cell); exact closest-on-segment +
       haversine refine (strict ``< max_m``); per-point min-struct
       argmin with the L6 tie-break order (dist, line_id, seg_idx).
+
+    ``per_line=True`` turns the snap into a CORRIDOR join: the argmin
+    groups by (point, line) instead of point, so the result keeps one
+    row per polyline within ``max_m`` of the probe (nearest segment of
+    that line) rather than only the globally nearest line — the
+    "points near any route" primitive. Identical output schema, plan
+    unchanged except the aggregate key (still a map-side partial
+    min-struct; the exchange carries one candidate-minimum per
+    (probe, line, map partition)).
 
     MULTI-ZOOM cover: each segment picks its own zoom — the finest
     level at which its buffered endpoint-bbox spans <= 2 cells (so a
@@ -1371,6 +1381,26 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
         "_m_cla", "_m_cln",
     ).withColumn("_m_dist", K.distance(
         F.col("_p_lat"), F.col("_p_lng"), F.col("_m_cla"), F.col("_m_cln")))
+    if per_line:
+        best_line = F.min(F.struct(
+            F.col("_m_dist").alias("dist_m"),
+            F.col("_m_seg").alias("seg_idx"),
+            F.col("_m_cla").alias("c_lat"),
+            F.col("_m_cln").alias("c_lng"),
+        )).alias("_b")
+        return (
+            scored.groupBy("point_id", "_m_line")
+            .agg(best_line)
+            .filter(F.col("_b").getField("dist_m") < F.lit(float(max_m)))
+            .select(
+                "point_id",
+                F.col("_m_line").alias("line_id"),
+                F.col("_b.seg_idx").alias("seg_idx"),
+                F.col("_b.dist_m").alias("dist_m"),
+                F.col("_b.c_lat").alias("c_lat"),
+                F.col("_b.c_lng").alias("c_lng"),
+            )
+        )
     best = F.min(F.struct(
         F.col("_m_dist").alias("dist_m"),
         F.col("_m_line").alias("line_id"),
@@ -1401,6 +1431,23 @@ def match_points_to_segments(points: DataFrame, segments: DataFrame,
             F.col("_b.c_lng").alias("c_lng"),
         )
     )
+
+
+def corridor_join(points: DataFrame, segments: DataFrame, max_m: float,
+                  **kw) -> DataFrame:
+    """Corridor join: every (probe point, polyline) pair whose
+    closest-on-segment distance is under ``max_m`` meters — "which
+    routes pass within d of this point" / "which points lie inside
+    this route's corridor". The multi-zoom filter-refine plan of
+    :func:`match_points_to_segments` with the argmin grouped per
+    (point, line); see there for the scale analysis. Returns
+    (point_id, line_id, seg_idx, dist_m, c_lat, c_lng) — one row per
+    line within the corridor, nearest segment of that line.
+
+    Reference analogue: L6 distance_to_polyline (polyline.h:79-96)
+    lifted from a per-call scalar to a distributed all-pairs join."""
+    return match_points_to_segments(points, segments, max_m,
+                                    per_line=True, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -1472,6 +1472,68 @@ def bpe_train(docs: DataFrame, n_merges: int = 10,
     )
 
 
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text") -> DataFrame:
+    """Apply a trained BPE merge list to the corpus and return the
+    resulting token frequency relation (token, n_words, count) —
+    count = total occurrences, n_words = distinct words containing
+    the token. The encode half of :func:`bpe_train` (Sennrich et al.
+    2016): each word starts as characters + '</w>' and the merge
+    rules are replayed IN TRAINING ORDER, each as a left-to-right
+    non-overlapping pass — the same aggregate() fold the trainer
+    uses, so train->encode round-trips exactly.
+
+    100-TB plan shape: the only corpus-sized stage is the initial
+    word-count shuffle (partial-agg). Encoding then runs ONCE PER
+    DISTINCT WORD on the vocab-sized (word, freq) relation — the
+    merge replay is a chain of codegen'd folds with the rules inlined
+    as literals (no joins, no Python), and the final token rollup
+    shuffles ~|vocab| * avg_tokens rows. Per-document token streams
+    (when a caller needs them) are the broadcast join of this
+    word->tokens map back to the exploded corpus."""
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(f"split(trim({text_col}), '\\\\s+')")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("freq"))
+    )
+    syms = words.select(
+        "word", "freq",
+        F.expr(
+            "concat(transform(sequence(1, length(word)), "
+            "i -> substring(word, i, 1)), array('</w>'))"
+        ).alias("s"),
+    )
+    for left, right in merges:
+        merged = F.concat(F.lit(left), F.lit(right))
+        syms = syms.select(
+            "word", "freq",
+            F.aggregate(
+                "s",
+                F.array().cast("array<string>"),
+                lambda acc, c: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (c == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(c))),
+            ).alias("s"),
+        )
+    return (
+        syms.select("word", "freq", F.explode("s").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.sum("freq").alias("count"),
+        )
+    )
+
+
 def pack_sequences(docs: DataFrame, seq_len: int = 128,
                    n_shards: int = 32, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:

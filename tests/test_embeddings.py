@@ -506,6 +506,47 @@ def test_ivf_trained_matches_golden_twin(spark):
     assert got == want
 
 
+def test_ivfpq_matches_golden_twin(spark):
+    """Spark ivfpq_topk (residual-PQ ADC inside kmeans-probed lists)
+    replays bit-identically in the plain-Python twin
+    (goldens.ivfpq_py) — the oracle contract behind the emb_ivfpq
+    driver query."""
+    from geospark import goldens as GO
+
+    df, rows = _emb_df(spark)
+    vecs = [(vid, list(v)) for vid, v in rows]
+    want = sorted(GO.ivfpq_py(vecs, [0, 5, 17], 7, 4, 3, 2, 4, 8))
+    got = sorted(
+        tuple(r) for r in E.ivfpq_topk(
+            df, [0, 5, 17], k=7, n_centroids=4, iters=3, n_probe=2,
+            m=4, n_codes=8,
+        ).collect()
+    )
+    assert got == want
+
+
+def test_ivfpq_recall_vs_exact(spark):
+    """ADC is an approximation, but on the 4-tight-cluster corpus a
+    2-of-4 probe with an 8-entry residual codebook must place most of
+    the exact top-5 in its top-5 (recall >= 0.6) — the quality floor
+    that makes the operator usable, not just well-typed."""
+    import math
+
+    df, rows = _emb_df(spark)
+    qv = {vid: [math.floor(float(x) * 1e6) for x in v] for vid, v in rows}
+    got = E.ivfpq_topk(df, [0, 5], k=5, n_centroids=4, iters=3,
+                       n_probe=2, m=4, n_codes=8).collect()
+    hits = total = 0
+    for qid in (0, 5):
+        exact = {vid for _, vid in sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv[qid], qv[vid])), vid)
+            for vid in qv)[:5]}
+        approx = {r["vec_id"] for r in got if r["query_id"] == qid}
+        hits += len(exact & approx)
+        total += 5
+    assert hits / total >= 0.6
+
+
 def test_ivf_topk_with_trained_centroids(spark):
     """The cosine ivf_topk accepts kmeans-trained centroids via
     kmeans_centroids_df: full probe stays exact (== cosine_topk), and

@@ -445,6 +445,64 @@ def test_map_match_vs_brute_force(spark):
     assert got[12][0] == 2
 
 
+def test_corridor_join_vs_brute_force(spark):
+    """corridor_join == the goldens.corridor_pairs brute force on the
+    same mixed network: probe 11 sits where lines 1 AND 2 both pass
+    within 2 km, so the corridor keeps BOTH rows where the map-match
+    argmin keeps one; map_match must equal the per-point argmin of
+    the corridor relation (consistency of the two aggregates)."""
+    from geospark.goldens import corridor_pairs
+    from geospark.joins import corridor_join, match_points_to_segments
+
+    trajectories = [
+        (1, [(48.1000, 11.5000), (48.1010, 11.5030), (48.1005, 11.5060)]),
+        (2, [(48.1003, 11.5010), (35.6800, 139.7600)]),
+        (3, [(78.2000, 15.6000), (78.2010, 15.6200)]),
+    ]
+    probes = [
+        (10, 48.10055, 11.50310),
+        (11, 48.10031, 11.50099),
+        (13, 78.20051, 15.61001),
+        (14, 0.0, 0.0),
+    ]
+    max_m = 2000.0
+    segs = []
+    seg_rows = []
+    for uid, line in trajectories:
+        for i in range(len(line) - 1):
+            segs.append((uid, i, line[i], line[i + 1]))
+            seg_rows.append((uid, i, *line[i], *line[i + 1]))
+    seg_df = spark.createDataFrame(
+        seg_rows,
+        "line_id long, seg_idx int, f_lat double, f_lng double, "
+        "t_lat double, t_lng double",
+    )
+    pts_df = spark.createDataFrame(
+        probes, "point_id long, lat double, lng double")
+    got = sorted(
+        (r["point_id"], r["line_id"], r["seg_idx"],
+         round(r["dist_m"], 6), round(r["c_lat"], 9), round(r["c_lng"], 9))
+        for r in corridor_join(pts_df, seg_df, max_m).collect()
+    )
+    want = sorted(
+        (pid, uid, si, round(d, 6), round(cla, 9), round(cln, 9))
+        for pid, uid, si, d, cla, cln in corridor_pairs(probes, segs, max_m)
+    )
+    assert got == want
+    # probe 11 is inside BOTH corridors
+    assert {u for p, u, *_ in got if p == 11} == {1, 2}
+    # map_match == per-point argmin of the corridor relation
+    mm = {
+        r["point_id"]: (r["line_id"], r["seg_idx"], round(r["dist_m"], 6))
+        for r in match_points_to_segments(pts_df, seg_df, max_m).collect()
+    }
+    best = {}
+    for p, u, si, d, _, _ in got:
+        if p not in best or (d, u, si) < best[p]:
+            best[p] = (d, u, si)
+    assert mm == {p: (u, si, d) for p, (d, u, si) in best.items()}
+
+
 def test_map_match_antimeridian_probe(spark):
     """Probes nudged past lng -180 must still match a network link ON
     the antimeridian. Regression: the JVM pixel-x used floor while the

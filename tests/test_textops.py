@@ -795,6 +795,26 @@ def test_bpe_train_matches_classic(spark):
     assert got2[1] == (2, "aa", "</w>", 3)
 
 
+def test_bpe_encode_matches_classic(spark):
+    """Train->apply roundtrip: bpe_encode replaying bpe_train's rules
+    == the classic dict twin (goldens.bpe_encode_py) on the Sennrich
+    corpus; 'newest'/'widest' share the 'est</w>' token after 3
+    merges (n_words=2, count=9)."""
+    from geospark.goldens import bpe_encode_py, bpe_merges
+
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    corpus = [w for w, f in wf for _ in range(f)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(corpus))], "doc_id long, text string")
+    merges = [(l, r) for _, l, r, _ in bpe_merges(wf, 5)]
+    got = sorted(
+        (r["token"], r["n_words"], r["count"])
+        for r in T.bpe_encode(docs, merges).collect()
+    )
+    assert got == bpe_encode_py(wf, merges)
+    assert ("est</w>", 2, 9) in got
+
+
 # --------------------------------------------------------------------
 # Sequence packing (textops.pack_sequences): concat-and-chunk spans.
 # --------------------------------------------------------------------
