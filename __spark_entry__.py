@@ -1420,6 +1420,60 @@ def _q_tile_range_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("tile_x", "tile_y")
 
 
+IDW_Z = 6
+IDW_RADIUS_M = 300_000.0
+
+
+@functools.lru_cache(maxsize=1)
+def _idw_targets() -> list[tuple[int, float, float]]:
+    """(query_id, c_lat, c_lng) tile-CENTER targets of the demo box at
+    z6 — computed once on the driver (P4 pixel->merc->latlng numpy
+    kernels) and inlined as identical double literals into BOTH the
+    Spark plan and the DuckDB oracle, so the grid itself can't be a
+    parity variable. query_id = (tile_x << 32) | tile_y."""
+    import numpy as np
+
+    from geospark.functions import numpy_kernels as NK
+
+    lat_min, lng_min, lat_max, lng_max = BOX
+    ts = 4096
+    px1, py1 = NK.latlng_to_pixel(lat_max, lng_min, IDW_Z, ts)
+    px2, py2 = NK.latlng_to_pixel(lat_min, lng_max, IDW_Z, ts)
+    res = NK.resolution(IDW_Z, ts)
+    msz = NK.map_size(IDW_Z, ts)
+    out = []
+    for ty in range(int(py1) // ts, int(py2) // ts + 1):
+        for tx in range(int(px1) // ts, int(px2) // ts + 1):
+            mx = (tx + 0.5) * ts * res - NK.MERC_ORIGIN_SHIFT
+            my = (msz - (ty + 0.5) * ts) * res - NK.MERC_ORIGIN_SHIFT
+            la, ln = NK.merc_to_latlng(np.float64(mx), np.float64(my))
+            out.append(((tx << 32) | ty, float(la), float(ln)))
+    return out
+
+
+def _q_idw_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW surface interpolation (raster.idw_interpolate): the event
+    ``value`` measure interpolated onto the z6 tile-center grid of the
+    demo box, 300 km inverse-square radius — integer-exact (cm-floored
+    distances, BIGINT weights scale DIV d_cm^2, cent-floored values),
+    so the DuckDB oracle replays it from the same inlined grid with a
+    brute-force cross join + identical integer formulas (a different
+    JOIN ALGORITHM — cover-join vs cross — certifying the estimator,
+    not the plan). Returns (tile_x, tile_y, n_samples, den_w,
+    est_cents)."""
+    from geospark.raster import idw_interpolate
+
+    centers = spark.createDataFrame(
+        _idw_targets(), "query_id long, q_lat double, q_lng double")
+    res = idw_interpolate(
+        G.events_points(spark, sf_dir), centers, IDW_RADIUS_M)
+    return res.select(
+        F.shiftright("query_id", 32).alias("tile_x"),
+        (F.col("query_id") % (1 << 32)).alias("tile_y"),
+        "n_samples", "den_w", "est_cents",
+    )
+
+
 def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15: per-level tile counts of the pyramid, z 0..7."""
     from geospark.cells import tile_pyramid
@@ -3151,6 +3205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq": _q_emb_ivfpq,
         "corridor_join": _q_corridor_join,
         "doc_bpe_encode": _q_doc_bpe_encode,
+        "idw_tiles": _q_idw_tiles,
         "doc_train_pipeline": _q_doc_train_pipeline,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -5943,6 +5998,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor({hav}) AS BIGINT) AS dist_floor_m
             FROM pts CROSS JOIN {_centers_values()}
             WHERE {hav} < {repr(RADIUS_M)} AND {hav} >= 0.0
+        """,
+        # independent-JOIN-ALGORITHM oracle: brute-force cross join +
+        # the same integer IDW formulas over the same inlined grid
+        "idw_tiles": f"""
+            WITH pts AS ({pts}),
+            targets(query_id, q_lat, q_lng) AS (VALUES {", ".join(
+                f"({qid}, {repr(la)}, {repr(ln)})"
+                for qid, la, ln in _idw_targets())}),
+            pairs AS (
+                SELECT query_id,
+                       (1000000000000000 // (d_cm * d_cm)) AS w,
+                       v
+                FROM (
+                    SELECT query_id,
+                           greatest(CAST(floor({hav} * 100.0) AS BIGINT),
+                                    100) AS d_cm,
+                           CAST(floor(value * 100.0) AS BIGINT) AS v
+                    FROM pts CROSS JOIN targets
+                    WHERE {hav} < {repr(IDW_RADIUS_M)}
+                )
+            )
+            SELECT query_id >> 32 AS tile_x,
+                   query_id % 4294967296 AS tile_y,
+                   count(*) AS n_samples,
+                   CAST(sum(w) AS BIGINT) AS den_w,
+                   CAST(sum(w * v) AS BIGINT)
+                       // CAST(sum(w) AS BIGINT) AS est_cents
+            FROM pairs GROUP BY 1, 2
         """,
         "box_query": f"""
             WITH pts AS ({pts})

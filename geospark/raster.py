@@ -164,3 +164,58 @@ def vectorize_tiles(tiles: DataFrame, area: str = "area_id",
              * (F.col("y1") - F.col("y0") + 1)).alias("n_tiles"),
         )
     )
+
+
+def idw_interpolate(points: DataFrame, centers: DataFrame,
+                    radius_m: float, value_col: str = "value",
+                    scale: int = 10 ** 15,
+                    min_d_cm: int = 100,
+                    broadcast_centers: bool = True) -> DataFrame:
+    """Inverse-distance-weighted interpolation of a point measure onto
+    a target grid — the classic spatial-analytics surface estimator
+    (Shepard 1968, power 2). For each center, samples within
+    ``radius_m`` contribute weight 1/d^2 and the estimate is the
+    weighted mean of their values.
+
+    INTEGER-EXACT formulation (the module's engine-neutral
+    discipline): distances floor to centimeters (clamped at
+    ``min_d_cm`` so coincident points can't blow the weight up),
+    weights are ``scale DIV d_cm^2`` BIGINTs, values floor to cents —
+    so the weighted sums are associative integer adds, immune to
+    float summation order in any engine, and the estimate is one
+    deterministic floor division. With the defaults a 300 km radius
+    keeps d_cm^2 <= 9e14 < scale (weights >= 1, never all-zero) and
+    w * v_cents <= ~5e13 per pair — 1e5 overflow headroom on the sum.
+
+    Plan: one filter-refine radius join (radius_join_df — per-center
+    cell cover, hash or broadcast join, exact haversine refine)
+    followed by one partial-agg shuffle keyed by center. Returns
+    (query_id, n_samples, den_w, est_cents); est_cents = NULL is
+    impossible (den_w >= n_samples >= 1 by the weight floor).
+
+    Reference analogue: Q2 in_radius_with_distance
+    (src/point_rtree.cc:21-36) feeding a weighted aggregate instead
+    of a sorted candidate list."""
+    from geospark.joins import radius_join_df
+
+    pairs = radius_join_df(points, centers, radius_m,
+                           broadcast_centers=broadcast_centers)
+    d_cm = F.greatest(
+        F.floor(F.col("dist_m") * 100.0).cast("long"),
+        F.lit(int(min_d_cm)).cast("long"),
+    )
+    return (
+        pairs.withColumn("_d_cm", d_cm)
+        .withColumn("_w", F.expr(f"{int(scale)}L DIV (_d_cm * _d_cm)"))
+        .withColumn("_v", F.floor(F.col(value_col) * 100.0).cast("long"))
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("_w").alias("den_w"),
+            F.sum(F.col("_w") * F.col("_v")).alias("_num"),
+        )
+        .select(
+            "query_id", "n_samples", "den_w",
+            F.expr("_num DIV den_w").alias("est_cents"),
+        )
+    )

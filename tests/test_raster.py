@@ -170,3 +170,60 @@ def test_vectorize_tiles_round_trip(spark):
     # conservation: per-rect n_tiles sums to the input count
     assert (rects.agg(F.sum("n_tiles")).collect()[0][0]
             == tiles.count())
+
+
+def test_idw_interpolate_integer_exact(spark):
+    """IDW semantics on a hand-computed fixture: one center, three
+    samples at known distances — weights = 1e15 DIV d_cm^2, estimate
+    = floor(sum(w*v_cents) / sum(w)); a lone-sample center returns
+    exactly that sample's value in cents; out-of-radius samples are
+    invisible."""
+    from pyspark.sql import functions as F
+
+    from geospark.functions import kernels as K
+    from geospark.raster import idw_interpolate
+
+    # center at origin; samples due north at ~1.1km, ~2.2km, ~5.6km,
+    # plus one far outside the 10 km radius
+    samples = [
+        (1, 0.01, 0.0, 10.0),
+        (2, 0.02, 0.0, 20.0),
+        (3, 0.05, 0.0, 40.0),
+        (4, 5.0, 0.0, 99.0),       # ~556 km: outside
+    ]
+    pts = spark.createDataFrame(
+        samples, "point_id long, lat double, lng double, value double")
+    centers = spark.createDataFrame(
+        [(7, 0.0, 0.0), (8, 40.0, 40.0)],
+        "query_id long, q_lat double, q_lng double")
+    got = {r["query_id"]: r for r in idw_interpolate(
+        pts, centers, 10_000.0).collect()}
+    # expected from the same integer formulas, distances via the
+    # engine's own haversine evaluated through Spark (bit-identical)
+    d = [r[0] for r in spark.createDataFrame(
+        [(la,) for _, la, _, _ in samples[:3]], "lat double"
+    ).select(K.distance(F.lit(0.0), F.lit(0.0),
+                        F.col("lat"), F.lit(0.0))).collect()]
+    ws = [10 ** 15 // max(int(x * 100), 100) ** 2 for x in d]
+    vs = [1000, 2000, 4000]
+    num = sum(w * v for w, v in zip(ws, vs))
+    den = sum(ws)
+    assert got[7]["n_samples"] == 3
+    assert got[7]["den_w"] == den
+    assert got[7]["est_cents"] == num // den
+    # nearest sample dominates: estimate within [1000, 2000)
+    assert 1000 <= got[7]["est_cents"] < 2000
+    assert 8 not in got  # no samples in radius -> no row
+
+
+def test_idw_lone_sample_returns_value(spark):
+    from geospark.raster import idw_interpolate
+
+    pts = spark.createDataFrame(
+        [(1, 10.001, 20.0, 123.45)],
+        "point_id long, lat double, lng double, value double")
+    centers = spark.createDataFrame(
+        [(0, 10.0, 20.0)], "query_id long, q_lat double, q_lng double")
+    rows = idw_interpolate(pts, centers, 5000.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["est_cents"] == 12345  # floor(123.45*100)
