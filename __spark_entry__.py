@@ -1610,6 +1610,46 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+SESSION_OVERLAP_BUCKET_US = 3_600_000_000  # 1 h
+SESSION_OVERLAP_GAP_US = 300_000_000       # 5 min (short, sparse sessions)
+
+
+def _q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-active session pairs (asof.interval_join): sessionize the
+    events table, then interval x interval OVERLAP self-join — every
+    cross-user pair of sessions whose closed [start_us, end_us]
+    intervals intersect, rolled up per (user_lo, user_hi) with the
+    exact integer overlap sum. The temporal-range join Spark lacks
+    natively, re-expressed as 1-hour time-bucket chunking with the
+    each-pair-exactly-once bucket rule (bucket == floor(max(starts)/W)
+    in the join condition — no distinct pass). The DuckDB oracle is a
+    brute-force O(n^2) range join over the same sessionize_sql
+    relation — an independent join algorithm, so green certifies the
+    chunking's recall, not a plan echo. The 5-min gap (vs the default
+    30-min) keeps sessions short: with the synthetic ~26-min mean
+    inter-event spacing a 30-min gap chains most users into multi-day
+    sessions and the overlap graph degenerates toward all-pairs."""
+    from geospark.asof import interval_join
+    from geospark.sessions import sessionize
+
+    s = sessionize(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        gap_us=SESSION_OVERLAP_GAP_US,
+    ).select("user_id", "session_idx", "start_us", "end_us")
+    pairs = interval_join(s, s, SESSION_OVERLAP_BUCKET_US)
+    return (
+        pairs.filter(F.col("l_user_id") < F.col("r_user_id"))
+        .groupBy(
+            F.col("l_user_id").alias("user_lo"),
+            F.col("r_user_id").alias("user_hi"),
+        )
+        .agg(
+            F.count("*").alias("n_session_pairs"),
+            F.sum("overlap_us").alias("overlap_us_sum"),
+        )
+    )
+
+
 def _q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-click attribution: each purchase matched to the user's
     most recent click at-or-before the purchase timestamp — the as-of
@@ -3206,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corridor_join": _q_corridor_join,
         "doc_bpe_encode": _q_doc_bpe_encode,
         "idw_tiles": _q_idw_tiles,
+        "session_overlap": _q_session_overlap,
         "doc_train_pipeline": _q_doc_train_pipeline,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -5650,6 +5691,21 @@ def oracle_sql() -> dict[str, str]:
              ("n_distinct_raw", "INTEGER")],
         ),
         "event_sessions": sessionize_sql(),
+        # independent-JOIN-ALGORITHM oracle: brute-force O(n^2) range
+        # self-join over the same sessionize relation
+        "session_overlap": f"""
+            WITH s AS ({sessionize_sql(gap_us=SESSION_OVERLAP_GAP_US)})
+            SELECT a.user_id AS user_lo, b.user_id AS user_hi,
+                   count(*) AS n_session_pairs,
+                   CAST(sum(least(a.end_us, b.end_us)
+                            - greatest(a.start_us, b.start_us))
+                        AS BIGINT) AS overlap_us_sum
+            FROM s a JOIN s b
+              ON a.user_id < b.user_id
+             AND greatest(a.start_us, b.start_us)
+                 <= least(a.end_us, b.end_us)
+            GROUP BY 1, 2
+        """,
         "traj_tile_cover": f"""
             WITH pts AS ({pts}),
             seg AS (

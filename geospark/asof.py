@@ -103,3 +103,61 @@ def asof_join(left: DataFrame, right: DataFrame, by: str | list[str],
     sel.append(F.col(f"{c_m}._rts").alias(f"{right_ts}{suffix}"))
     sel += [F.col(f"{c_m}._v.{c}").alias(f"{c}{suffix}") for c in right_cols]
     return out.select(*sel)
+
+
+def interval_join(left: DataFrame, right: DataFrame, bucket_us: int,
+                  l_start: str = "start_us", l_end: str = "end_us",
+                  r_start: str = "start_us", r_end: str = "end_us",
+                  l_prefix: str = "l_", r_prefix: str = "r_") -> DataFrame:
+    """Interval x interval OVERLAP join: every (left, right) pair
+    whose CLOSED integer intervals intersect — max(starts) <=
+    min(ends). The temporal-range join Spark lacks natively (its
+    range-condition joins degenerate to broadcast-nested-loop); the
+    classic distributed re-expression is time-bucket chunking:
+
+      each side explodes its interval into the width-``bucket_us``
+      buckets it touches (sequence(), cost linear in interval length /
+      bucket width) -> hash equi-join on bucket -> every overlapping
+      pair shares the bucket containing max(l_start, r_start) and is
+      KEPT ONLY THERE (bucket == floor(greatest(starts)/W) rides in
+      the join condition) — so no distinct pass, each qualifying pair
+      emitted exactly once -> exact closed-overlap refine.
+
+    At scale the bucket width trades replication (long intervals x
+    fine buckets) against join selectivity (coarse buckets collide
+    unrelated intervals); both sides shuffle once on the bucket key.
+    All arithmetic is integer microseconds — engine-exact.
+
+    Output: all left columns prefixed ``l_prefix`` + all right
+    columns prefixed ``r_prefix`` + ``overlap_us`` (the closed
+    intersection length, >= 0). Callers add equi-keys (user, tile) by
+    pre-concatenating them into the bucket key or post-filtering.
+    Reference analogue: Q8 box::overlaps (box.h:77-88) on the time
+    axis, as a JOIN."""
+    w = int(bucket_us)
+    lb = left.select(
+        *[F.col(c).alias(l_prefix + c) for c in left.columns],
+        F.explode(F.sequence(
+            F.floor(F.col(l_start) / w).cast("long"),
+            F.floor(F.col(l_end) / w).cast("long"),
+        )).alias("_ib"),
+    )
+    rb = right.select(
+        *[F.col(c).alias(r_prefix + c) for c in right.columns],
+        F.explode(F.sequence(
+            F.floor(F.col(r_start) / w).cast("long"),
+            F.floor(F.col(r_end) / w).cast("long"),
+        )).alias("_jb"),
+    )
+    ls, le = F.col(l_prefix + l_start), F.col(l_prefix + l_end)
+    rs, re_ = F.col(r_prefix + r_start), F.col(r_prefix + r_end)
+    pairs = lb.join(
+        rb,
+        (F.col("_ib") == F.col("_jb"))
+        & (F.col("_ib") == F.floor(F.greatest(ls, rs) / w).cast("long"))
+        & (F.greatest(ls, rs) <= F.least(le, re_)),
+        "inner",
+    )
+    return pairs.drop("_ib", "_jb").withColumn(
+        "overlap_us", F.least(le, re_) - F.greatest(ls, rs)
+    )

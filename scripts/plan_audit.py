@@ -810,6 +810,62 @@ def main() -> None:
               "(n_tok / seq_len + 1) sequences per doc.",
     )
 
+    audit(
+        "corridor_join (per-(point, line) radius corridor)",
+        q["corridor_join"](spark, sf_dir),
+        must=["* BroadcastHashJoin", "partial_min"],
+        must_not=["BatchEvalPython", "SortMergeJoin",
+                  "CartesianProduct"],
+        notes="the map_match plan with the argmin keyed by (point, "
+              "line): same multi-zoom cover join (ArrowEvalPython for "
+              "the int64 cover keys only), same aggregate-output "
+              "radius filter as a pushdown barrier, and the exchange "
+              "still carries per-(probe, line, partition) partial "
+              "minima — never the raw candidate relation.",
+    )
+
+    audit(
+        "emb_ivfpq (IVF-PQ composed ANN, trained coarse quantizer)",
+        q["emb_ivfpq"](spark, sf_dir),
+        must=["* BroadcastHashJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "SortMergeJoin", "CartesianProduct"],
+        notes="assignment + residual + PQ encode are ONE map-side "
+              "projection (centroids and the residual codebook are "
+              "literal arrays — the corpus never joins during "
+              "encode); the |Q|*n_probe probe/LUT relation broadcasts "
+              "into the codes join, ADC is m array lookups folded in "
+              "codegen, and only the probed lists reach the per-query "
+              "top-k window.",
+    )
+
+    audit(
+        "doc_bpe_encode (merge-rule replay + token rollup)",
+        q["doc_bpe_encode"](spark, sf_dir),
+        must=["* HashAggregate"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+        notes="the corpus is touched by the word-count shuffle only; "
+              "the 12 merge folds are chained codegen aggregate() "
+              "expressions with the rules as literals on the "
+              "vocab-sized relation; the token rollup (explode + "
+              "count-distinct-word) partial-aggregates before its "
+              "exchange.",
+    )
+
+    audit(
+        "idw_tiles (inverse-distance-weighted tile surface)",
+        q["idw_tiles"](spark, sf_dir),
+        must=["* BroadcastHashJoin", "partial_sum"],
+        must_not=["BatchEvalPython", "SortMergeJoin",
+                  "CartesianProduct"],
+        notes="the ~160-row target grid broadcasts with its cover "
+              "cells (Arrow UDF on the tiny center side only); the "
+              "point side takes one narrow cell projection, the "
+              "haversine refine is codegen, and the integer weight "
+              "sums partial-aggregate per center before the single "
+              "exchange.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:

@@ -119,3 +119,38 @@ def test_asof_user_columns_named_like_internals(spark):
     assert row["_ts"] == "keepme"
     assert row["_v"] == 42
     assert row["rid_r"] == 7 and row["ts_r"] == _ts(5)
+
+
+def test_interval_join_vs_brute_force(spark):
+    """Chunked interval_join == brute-force closed-overlap on mixed
+    intervals: ones inside a bucket, spanning buckets, touching at a
+    single instant (closed semantics), zero-length, and disjoint —
+    each qualifying pair exactly once (the max(starts)-bucket rule),
+    overlap_us exact."""
+    from itertools import product
+
+    from geospark.asof import interval_join
+
+    W = 100
+    left = [(1, 0, 50), (2, 90, 210), (3, 300, 300), (4, 500, 650)]
+    right = [(10, 40, 95), (11, 205, 300), (12, 660, 700), (13, 130, 140)]
+    ldf = spark.createDataFrame(
+        left, "lid long, start_us long, end_us long")
+    rdf = spark.createDataFrame(
+        right, "rid long, start_us long, end_us long")
+    got = sorted(
+        (r["l_lid"], r["r_rid"], r["overlap_us"])
+        for r in interval_join(ldf, rdf, W).collect()
+    )
+    want = sorted(
+        (li, ri, min(le, re) - max(ls, rs))
+        for (li, ls, le), (ri, rs, re) in product(left, right)
+        if max(ls, rs) <= min(le, re)
+    )
+    assert got == want
+    # the single-instant touch (11 end=300, 3 start=300) is IN (closed)
+    assert (3, 11, 0) in got
+    # cross-bucket pair [90,210]x[205,300] found despite bucket gap
+    assert (2, 11, 5) in got
+    # disjoint pairs absent
+    assert all(o >= 0 for _, _, o in got)
