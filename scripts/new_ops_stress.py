@@ -48,6 +48,14 @@ def main() -> None:
     def run(name: str, base_n: int, fn) -> None:
         if only and name not in only:
             return
+        # drop the previous op's spooled relations BEFORE timing: the
+        # py4j references pin localCheckpoint blocks until Python GC
+        # runs, and a session-long pile-up thrashes executor storage
+        # (measured: bpe_encode_5m 511s polluted vs 25s isolated)
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
         t0 = time.time()
         extra = fn()
         secs = time.time() - t0
@@ -241,6 +249,115 @@ def main() -> None:
                 "docs_cut": int(agg["docs_cut"])}
 
     run("span_scrub_n10", n_docs, _scrub)
+
+    def _corridor():
+        # corridor join at probe scale: 12M probes against a 3M-link
+        # network (one ~400 m link per 4th id, co-located with its
+        # probe), 500 m corridor — the per-(point, line) variant of
+        # the map-match plan (multi-zoom cover + S8/S1 refine +
+        # partial min-struct per pair).
+        from geospark.joins import corridor_join
+
+        pts = spark.range(n_nodes).select(
+            F.col("id").alias("point_id"),
+            ((((F.col("id") * 7919) % 16000) / 100.0 - 80.0)
+             + 0.0003).alias("lat"),
+            ((((F.col("id") * 104729) % 36000) / 100.0 - 180.0)
+             - 0.0002).alias("lng"),
+        )
+        base = spark.range(n_nodes).filter(F.col("id") % 4 == 0)
+        segs = base.select(
+            (F.col("id") / 4).cast("long").alias("line_id"),
+            F.lit(0).alias("seg_idx"),
+            (((F.col("id") * 7919) % 16000) / 100.0 - 80.0).alias("f_lat"),
+            (((F.col("id") * 104729) % 36000) / 100.0 - 180.0).alias("f_lng"),
+            ((((F.col("id") * 7919) % 16000) / 100.0 - 80.0)
+             + 0.003).alias("t_lat"),
+            ((((F.col("id") * 104729) % 36000) / 100.0 - 180.0)
+             + 0.002).alias("t_lng"),
+        )
+        out_df = corridor_join(pts, segs, 500.0)
+        agg = out_df.agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("point_id").alias("n_probes_hit"),
+        ).collect()[0]
+        return {"n_pairs": int(agg["n_pairs"]),
+                "n_probes_hit": int(agg["n_probes_hit"])}
+
+    run("corridor_12m", n_nodes, _corridor)
+
+    def _ivfpq():
+        # IVF-PQ composed ANN at corpus scale: 16-centroid trained
+        # coarse quantizer (2 Lloyd iters = 2 corpus scans +
+        # model-sized update shuffles), residual-PQ encode map-side,
+        # 5 queries x 4-probe ADC over the m-byte code relation.
+        from geospark.embeddings import ivfpq_topk
+
+        top = ivfpq_topk(emb, [3, 57, 111, 222, 404], k=10,
+                         n_centroids=16, iters=2, n_probe=4,
+                         m=4, n_codes=16)
+        rows = top.collect()
+        return {"rows_out": len(rows)}
+
+    run("ivfpq_5m", n_vecs, _ivfpq)
+
+    def _idw():
+        # IDW interpolation at point scale: 12M samples onto the z8
+        # tile-center grid of the demo box (~1.5k targets broadcast),
+        # 100 km inverse-square radius, integer-exact weights.
+        from geospark.functions import numpy_kernels as NK
+        from geospark.raster import idw_interpolate
+
+        lat_min, lng_min, lat_max, lng_max = 10.0, -20.0, 60.0, 40.0
+        z, ts = 8, 4096
+        px1, py1 = NK.latlng_to_pixel(lat_max, lng_min, z, ts)
+        px2, py2 = NK.latlng_to_pixel(lat_min, lng_max, z, ts)
+        res = NK.resolution(z, ts)
+        msz = NK.map_size(z, ts)
+        targets = []
+        for ty in range(int(py1) // ts, int(py2) // ts + 1):
+            for tx in range(int(px1) // ts, int(px2) // ts + 1):
+                mx = (tx + 0.5) * ts * res - NK.MERC_ORIGIN_SHIFT
+                my = (msz - (ty + 0.5) * ts) * res - NK.MERC_ORIGIN_SHIFT
+                la, ln = NK.merc_to_latlng(mx, my)
+                targets.append(((tx << 32) | ty, float(la), float(ln)))
+        centers = spark.createDataFrame(
+            targets, "query_id long, q_lat double, q_lng double")
+        pts = spark.range(n_nodes).select(
+            F.col("id").alias("point_id"),
+            (((F.col("id") * 7919) % 16000) / 100.0 - 80.0).alias("lat"),
+            (((F.col("id") * 104729) % 36000) / 100.0 - 180.0).alias("lng"),
+            ((F.col("id") % 49000) / 100.0).alias("value"),
+        )
+        out_df = idw_interpolate(pts, centers, 100_000.0)
+        agg = out_df.agg(
+            F.count("*").alias("n_tiles"),
+            F.sum("n_samples").alias("n_pairs"),
+        ).collect()[0]
+        return {"n_tiles": int(agg["n_tiles"]),
+                "n_pairs": int(agg["n_pairs"])}
+
+    run("idw_12m", n_nodes, _idw)
+
+    def _bpe_encode():
+        # tokenizer APPLY at corpus scale: 10 merges learned on the
+        # 1% doc_id sample, replayed over the full 5M-doc corpus —
+        # one word-count shuffle + literal-rule codegen folds on the
+        # vocab relation.
+        from geospark.textops import bpe_encode, bpe_train
+
+        sample = docs.filter(F.col("doc_id") % 100 == 0)
+        merges = [(r["lhs"], r["rhs"]) for r in
+                  bpe_train(sample, n_merges=10).orderBy("rank").collect()]
+        out_df = bpe_encode(docs, merges)
+        agg = out_df.agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("count").alias("occurrences"),
+        ).collect()[0]
+        return {"n_tokens": int(agg["n_tokens"]),
+                "occurrences": int(agg["occurrences"])}
+
+    run("bpe_encode_5m", n_docs, _bpe_encode)
 
     out = {"ops": results, "cpus": 32,
            "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
