@@ -1353,6 +1353,45 @@ def _q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HMM_MAX_M = 2000.0
+HMM_K = 3
+HMM_TW = 100
+
+
+def _q_hmm_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM (Viterbi) map matching (hmm.viterbi_map_match): every 10th
+    event point per user, nudged ~40 m off-network, matched as an
+    ORDERED TRAJECTORY against the events_segments network — road
+    candidates from the distributed corridor join (top-3 lines within
+    2 km), integer meter-floored emission/transition costs, Viterbi
+    DP per user in one Arrow-batched grouped kernel. Continuity beats
+    per-point greed: the jointly most plausible road sequence, not the
+    nearest road per point (Newson & Krumm 2009; map_match is the
+    greedy baseline). Golden-VALUES oracle from the plain-Python twin
+    goldens.viterbi_match_py — an independent trellis construction and
+    DP, bit-identical because every cost is an integer."""
+    from geospark.hmm import viterbi_map_match
+
+    pts = G.events_points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("point_id")
+    probes = (
+        pts.filter(F.col("event_id") % 10 == 0)
+        .select(
+            "user_id",
+            F.col("event_id").alias("point_id"),
+            (F.col("lat") + F.lit(0.0003)).alias("lat"),
+            (F.col("lng") - F.lit(0.0002)).alias("lng"),
+        )
+        .withColumn("seq", F.row_number().over(w).cast("long"))
+    )
+    seg = G.events_segments(spark, sf_dir)
+    res = viterbi_map_match(probes, seg, HMM_MAX_M, k=HMM_K,
+                            trans_weight=HMM_TW)
+    return res.select("user_id", "seq", "point_id",
+                      F.col("line_id").cast("long").alias("line_id"),
+                      "seg_idx")
+
+
 CORRIDOR_MAX_M = 50000.0
 
 
@@ -3247,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_encode": _q_doc_bpe_encode,
         "idw_tiles": _q_idw_tiles,
         "session_overlap": _q_session_overlap,
+        "hmm_map_match": _q_hmm_map_match,
         "doc_train_pipeline": _q_doc_train_pipeline,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -4648,6 +4688,16 @@ def oracle_sql() -> dict[str, str]:
             [p for p in mm_probes if p[0] % 50 == 0], mm_segs,
             CORRIDOR_MAX_M)
     ]
+    _hmm_by_user: dict[int, list] = {}
+    for pid, la, ln in mm_probes:
+        _hmm_by_user.setdefault(ev_uid[pid], []).append((pid, la, ln))
+    hmm_points = [
+        (uid, seq, pid, la, ln)
+        for uid, rows in _hmm_by_user.items()
+        for seq, (pid, la, ln) in enumerate(sorted(rows), start=1)
+    ]
+    hmm_rows = GO.viterbi_match_py(hmm_points, mm_segs, HMM_MAX_M,
+                                   HMM_K, HMM_TW)
     tp_rows = GO.tile_payload(
         [(uid, line) for uid, line in traj if uid % 4 == 0],
         TILE_PAYLOAD_Z, _tile_payload_rect(),
@@ -5570,6 +5620,15 @@ def oracle_sql() -> dict[str, str]:
             [("point_id", "BIGINT"), ("line_id", "BIGINT"),
              ("seg_idx", "INTEGER"), ("dist_floor_m", "BIGINT"),
              ("c_lat", "DOUBLE"), ("c_lng", "DOUBLE")],
+        ),
+        # independent-ALGORITHM oracle: plain-Python trellis + Viterbi
+        # (goldens.viterbi_match_py) — integer costs make it bit-exact
+        "hmm_map_match": _values_sql(
+            [(int(u), int(s), int(p), int(l), int(si))
+             for u, s, p, l, si in hmm_rows],
+            [("user_id", "BIGINT"), ("seq", "BIGINT"),
+             ("point_id", "BIGINT"), ("line_id", "BIGINT"),
+             ("seg_idx", "INTEGER")],
         ),
         "tile_payload": _values_sql(
             tp_rows,

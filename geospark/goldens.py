@@ -1100,6 +1100,76 @@ def corridor_pairs(
     return out
 
 
+def viterbi_match_py(
+    points: list[tuple[int, int, int, float, float]],
+    segs: list[tuple[int, int, tuple, tuple]],
+    max_m: float, k: int, trans_weight: int,
+) -> list[tuple[int, int, int, int, int]]:
+    """Independent plain-Python twin of hmm.viterbi_map_match.
+    ``points`` rows are (user_id, seq, point_id, lat, lng). Candidates
+    = corridor_pairs top-k lines per point by (dist, line_id);
+    emission = floor(dist) m; transition = |floor(gc(snap,snap')) -
+    floor(gc(obs,obs'))| * trans_weight // 100; ties at
+    every argmin to the earlier (lower line_id) candidate. Returns
+    [(user_id, seq, point_id, line_id, seg_idx)] for observations
+    with >= 1 candidate."""
+    out: list[tuple[int, int, int, int, int]] = []
+    by_user: dict[int, list[tuple[int, int, float, float]]] = {}
+    for uid, seq, pid, la, ln in points:
+        by_user.setdefault(uid, []).append((seq, pid, la, ln))
+    for uid in sorted(by_user):
+        traj = sorted(by_user[uid])
+        cand_rows = corridor_pairs(
+            [(pid, la, ln) for _, pid, la, ln in traj], segs, max_m)
+        by_pid: dict[int, list] = {}
+        for pid, line, si, d, cla, cln in cand_rows:
+            by_pid.setdefault(pid, []).append((d, line, si, cla, cln))
+        trellis = []  # per observation: list of candidates
+        obs_meta = []
+        for seq, pid, la, ln in traj:
+            cands = sorted(by_pid.get(pid, []))[:k]
+            cands = sorted(cands, key=lambda c: (c[0], c[1]))
+            if cands:
+                # re-sort by (seq, line) convention: line asc
+                cands = sorted(cands, key=lambda c: c[1])
+                trellis.append(cands)
+                obs_meta.append((seq, pid, la, ln))
+        if not trellis:
+            continue
+        cost = [math.floor(c[0]) for c in trellis[0]]
+        back: list[list[int]] = []
+        for t in range(1, len(trellis)):
+            prev, cur = trellis[t - 1], trellis[t]
+            _, _, pla0, pln0 = obs_meta[t - 1]
+            _, _, pla1, pln1 = obs_meta[t]
+            d_pp = math.floor(_haversine(pla0, pln0, pla1, pln1))
+            nc, nb = [], []
+            for j, (dj, lj, sj, cla_j, cln_j) in enumerate(cur):
+                best = None
+                for i, (di, li, si, cla_i, cln_i) in enumerate(prev):
+                    d_cc = math.floor(
+                        _haversine(cla_i, cln_i, cla_j, cln_j))
+                    tr = abs(d_cc - d_pp) * trans_weight // 100
+                    v = cost[i] + tr
+                    if best is None or v < best[0]:
+                        best = (v, i)
+                nc.append(best[0] + math.floor(dj))
+                nb.append(best[1])
+            cost, back_t = nc, nb
+            back.append(back_t)
+        j = min(range(len(cost)), key=lambda i: (cost[i], i))
+        path = [j]
+        for t in range(len(trellis) - 2, -1, -1):
+            j = back[t][j]
+            path.append(j)
+        path.reverse()
+        for t, j in enumerate(path):
+            seq, pid, _, _ = obs_meta[t]
+            _, line, si, _, _ = trellis[t][j]
+            out.append((uid, seq, pid, line, si))
+    return out
+
+
 def ivfpq_py(vecs: list[tuple[int, list[float]]], query_ids: list[int],
              k: int, km_k: int, iters: int, n_probe: int,
              m: int, n_codes: int) -> list[tuple[int, int, int, int]]:

@@ -339,6 +339,44 @@ def main() -> None:
 
     run("idw_12m", n_nodes, _idw)
 
+    def _hmm():
+        # Viterbi map matching at trajectory scale: 12M observations
+        # in 120k 100-point trajectories against the 3M-link network
+        # of the corridor stress; k=3 candidates, one Arrow kernel per
+        # trajectory.
+        from geospark.hmm import viterbi_map_match
+
+        pts = spark.range(n_nodes).select(
+            (F.col("id") / 100).cast("long").alias("user_id"),
+            (F.col("id") % 100).alias("seq"),
+            F.col("id").alias("point_id"),
+            ((((F.col("id") * 7919) % 16000) / 100.0 - 80.0)
+             + 0.0003).alias("lat"),
+            ((((F.col("id") * 104729) % 36000) / 100.0 - 180.0)
+             - 0.0002).alias("lng"),
+        )
+        base = spark.range(n_nodes).filter(F.col("id") % 4 == 0)
+        segs = base.select(
+            (F.col("id") / 4).cast("long").alias("line_id"),
+            F.lit(0).alias("seg_idx"),
+            (((F.col("id") * 7919) % 16000) / 100.0 - 80.0).alias("f_lat"),
+            (((F.col("id") * 104729) % 36000) / 100.0 - 180.0).alias("f_lng"),
+            ((((F.col("id") * 7919) % 16000) / 100.0 - 80.0)
+             + 0.003).alias("t_lat"),
+            ((((F.col("id") * 104729) % 36000) / 100.0 - 180.0)
+             + 0.002).alias("t_lng"),
+        )
+        out_df = viterbi_map_match(pts, segs, 500.0, k=3,
+                                   trans_weight=100)
+        agg = out_df.agg(
+            F.count("*").alias("n_matched"),
+            F.countDistinct("user_id").alias("n_traj"),
+        ).collect()[0]
+        return {"n_matched": int(agg["n_matched"]),
+                "n_traj": int(agg["n_traj"])}
+
+    run("hmm_12m", n_nodes, _hmm)
+
     def _bpe_encode():
         # tokenizer APPLY at corpus scale: 10 merges learned on the
         # 1% doc_id sample, replayed over the full 5M-doc corpus —

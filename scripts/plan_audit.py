@@ -866,6 +866,20 @@ def main() -> None:
               "exchange.",
     )
 
+    audit(
+        "hmm_map_match (Viterbi trajectory matching)",
+        q["hmm_map_match"](spark, sf_dir),
+        must=["FlatMapGroupsInPandas", "partial_min"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+        notes="candidates come from the corridor join (multi-zoom "
+              "cover + partial min-struct per (point, line)) and a "
+              "per-point top-k window; the only Python is the ONE "
+              "Arrow-batched per-trajectory Viterbi kernel "
+              "(FlatMapGroupsInPandas on user_id) — O(len * k^2) "
+              "integer ops per group, trajectories are the "
+              "parallelism axis.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
