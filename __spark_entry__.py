@@ -2569,6 +2569,22 @@ def _q_emb_kmeans(spark, sf_dir):
 
 IVF_T_PROBE = 3
 IVFPQ_PROBE = 3
+PQ_RERANK = 40
+
+
+def _q_emb_pq_rerank(spark, sf_dir):
+    """PQ-ADC shortlist + exact rerank (embeddings.pq_topk_rerank) —
+    the production two-stage ANN read path: codes-only ADC prunes to
+    40 candidates/query, exact integer L2 re-scores only that
+    broadcast shortlist. Zero corpus shuffles; the float corpus is
+    read once for quantization. Oracle: the plain-Python twin
+    goldens.pq_rerank_py (ADC + exact rerank, bit-identical)."""
+    from geospark.embeddings import pq_topk_rerank
+
+    return pq_topk_rerank(
+        _emb(spark, sf_dir), EMB_QUERY_IDS, k=10, rerank=PQ_RERANK,
+        m=PQ_M, n_codes=PQ_CODES,
+    )
 
 
 def _q_emb_ivfpq(spark, sf_dir):
@@ -3287,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_tiles": _q_idw_tiles,
         "session_overlap": _q_session_overlap,
         "hmm_map_match": _q_hmm_map_match,
+        "emb_pq_rerank": _q_emb_pq_rerank,
         "doc_train_pipeline": _q_doc_train_pipeline,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -4721,6 +4738,8 @@ def oracle_sql() -> dict[str, str]:
     ivfpq_rows = GO.ivfpq_py(
         _oracle_vecs(), EMB_QUERY_IDS, 10, KM_K, KM_ITERS, IVFPQ_PROBE,
         PQ_M, PQ_CODES)
+    pqr_rows = GO.pq_rerank_py(
+        _oracle_vecs(), EMB_QUERY_IDS, 10, PQ_RERANK, PQ_M, PQ_CODES)
     st_rows = [
         (int(tx), int(ty), int(c)) for tx, ty, c in GO.stream_tile_counts(2000, 6)
     ]
@@ -5685,6 +5704,13 @@ def oracle_sql() -> dict[str, str]:
             ivfpq_rows,
             [("query_id", "BIGINT"), ("rn", "BIGINT"),
              ("vec_id", "BIGINT"), ("d2_adc", "BIGINT")],
+        ),
+        # independent-ALGORITHM oracle: plain-Python ADC shortlist +
+        # exact rerank (goldens.pq_rerank_py)
+        "emb_pq_rerank": _values_sql(
+            pqr_rows,
+            [("query_id", "BIGINT"), ("rn", "BIGINT"),
+             ("vec_id", "BIGINT"), ("d2_exact", "BIGINT")],
         ),
         "doc_bpe": _values_sql(
             bpe_rows,

@@ -721,6 +721,61 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     ).select("query_id", "rn", "vec_id", "d2_q")
 
 
+def pq_topk_rerank(emb: DataFrame, query_ids: list[int], k: int = 10,
+                   rerank: int = 50, m: int = 4, n_codes: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """PQ-ADC shortlist + EXACT rerank — the production two-stage ANN
+    read path: the m-byte code relation prunes the corpus to
+    ``rerank`` candidates per query (pq_topk's scan-only ADC), and
+    only that |Q| * rerank shortlist is re-scored by exact integer L2
+    on the floor(x*1e6) quantized vectors. Fixes ADC's quantization
+    error at the top of the ranking while still never reading the
+    float corpus beyond the shortlist join.
+
+    Plan: ADC per-query TakeOrdered heaps over codes (zero corpus
+    shuffle) -> the model-sized shortlist BROADCASTS into one hash
+    join against the quantized-vector relation -> exact fold + final
+    per-query top-k window over rerank rows. Returns (query_id, rn,
+    vec_id, d2_exact), rn 1..k by (exact d2, vec_id) — integer-
+    deterministic (twin: goldens.pq_rerank_py)."""
+    d = dim if dim is not None else (
+        emb.select(F.size(vec_col).alias("_d")).first()["_d"])
+    shortlist = pq_topk(emb, query_ids, k=rerank, m=m, n_codes=n_codes,
+                        id_col=id_col, vec_col=vec_col, dim=d).select(
+        "query_id", "vec_id")
+    qv = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_q_vec_sql(vec_col)).alias("v_q"),
+    )
+    qids = [int(q) for q in query_ids]
+    qrows = {
+        int(r["vec_id"]): [int(x) for x in r["v_q"]]
+        for r in qv.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    q_arr = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x}L" for x in qrows[q]) + ")" for q in qids
+    ) + ")"
+    idx = F.lit(None).cast("int")
+    for i, q in enumerate(qids):
+        idx = F.when(F.col("query_id") == q, i + 1).otherwise(idx)
+    d2 = F.expr(
+        f"aggregate(zip_with(element_at({q_arr}, _qi), v_q, "
+        "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d2_exact"), F.asc("vec_id"))
+    return (
+        qv.join(F.broadcast(shortlist), "vec_id")
+        .withColumn("_qi", idx)
+        .select("query_id", "vec_id", d2.alias("d2_exact"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("rn").cast("long").alias("rn"),
+                "vec_id", "d2_exact")
+    )
+
+
 # ---------------------------------------------------------------------------
 # K-MEANS CODEBOOK TRAINING — integer-exact Lloyd iterations.
 #

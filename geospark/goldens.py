@@ -918,6 +918,27 @@ def bpe_encode_py(word_freqs: list[tuple[str, int]],
     ]
 
 
+def pq_rerank_py(vecs: list[tuple[int, list[float]]],
+                 query_ids: list[int], k: int, rerank: int, m: int,
+                 n_codes: int) -> list[tuple[int, int, int, int]]:
+    """Independent twin of embeddings.pq_topk_rerank: the ADC top-
+    ``rerank`` shortlist (pq_topk_py) re-scored by exact integer L2
+    on the quantized vectors, final top-k by (exact d2, vec_id)."""
+    short = pq_topk_py(vecs, query_ids, rerank, m, n_codes)
+    qv = {vid: [math.floor(float(x) * 1000000.0) for x in v]
+          for vid, v in vecs}
+    out: list[tuple[int, int, int, int]] = []
+    for qid in query_ids:
+        cands = [vid for q, _, vid, _ in short if q == qid]
+        scored = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv[qid], qv[vid])), vid)
+            for vid in cands
+        )
+        for rn, (dd, vid) in enumerate(scored[:k], start=1):
+            out.append((int(qid), rn, int(vid), int(dd)))
+    return out
+
+
 def pq_topk_py(vecs: list[tuple[int, list[float]]],
                query_ids: list[int], k: int, m: int,
                n_codes: int) -> list[tuple[int, int, int, int]]:

@@ -547,6 +547,41 @@ def test_ivfpq_recall_vs_exact(spark):
     assert hits / total >= 0.6
 
 
+def test_pq_rerank_matches_twin_and_fixes_adc(spark):
+    """pq_topk_rerank == the plain-Python twin; with rerank = corpus
+    size the exact rerank must equal integer-L2 brute force (ADC's
+    quantization error is fully corrected), and d2_exact is the true
+    integer distance (0 for the query itself)."""
+    import math
+
+    from geospark import goldens as GO
+
+    df, rows = _emb_df(spark)
+    vecs = [(vid, list(v)) for vid, v in rows]
+    got = sorted(
+        tuple(r) for r in E.pq_topk_rerank(
+            df, [0, 5], k=5, rerank=12, m=4, n_codes=8).collect()
+    )
+    assert got == sorted(GO.pq_rerank_py(vecs, [0, 5], 5, 12, 4, 8))
+    # full-corpus rerank == exact brute force
+    qv = {vid: [math.floor(float(x) * 1e6) for x in v] for vid, v in rows}
+
+    def brute(qid, k):
+        scored = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv[qid], qv[vid])), vid)
+            for vid in qv
+        )
+        return [(qid, rn, vid, d) for rn, (d, vid) in
+                enumerate(scored[:k], start=1)]
+
+    full = sorted(
+        tuple(r) for r in E.pq_topk_rerank(
+            df, [0], k=5, rerank=len(rows), m=4, n_codes=8).collect()
+    )
+    assert full == sorted(brute(0, 5))
+    assert full[0][3] == 0  # the query itself at exact distance 0
+
+
 def test_ivf_topk_with_trained_centroids(spark):
     """The cosine ivf_topk accepts kmeans-trained centroids via
     kmeans_centroids_df: full probe stays exact (== cosine_topk), and
