@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -624,7 +626,7 @@ def _pq_code_expr(cb_s: list[list[int]], s: int, dsub: int,
 def pq_encode(emb: DataFrame, m: int = 4, n_codes: int = 16,
               id_col: str = "vec_id",
               vec_col: str = "embedding",
-              dim: int | None = None) -> DataFrame:
+              dim: int | None = None, arrow: bool = False) -> DataFrame:
     """PQ encoding: each vector becomes m uint8-sized codes — the
     64-dim float corpus compresses to m bytes/vector (plus the tiny
     codebook), the memory step that makes billion-vector ANN fit.
@@ -639,6 +641,33 @@ def pq_encode(emb: DataFrame, m: int = 4, n_codes: int = 16,
         emb.select(F.size(vec_col).alias("_d")).first()["_d"])
     dsub = d // m
     cb = _collect_codebook(emb, m, n_codes, id_col, vec_col, d)
+    if arrow:
+        # Arrow fast path: same exact int64 argmin per subspace as the
+        # literal-array fold (which is CodegenFallback-interpreted),
+        # one numpy matmul per (batch, subspace). Bit-identical
+        # (parity-tested) — float32 widens exactly to double, floor,
+        # int64; ties to the lowest c_id via argmin-first.
+        from pyspark.sql.functions import pandas_udf
+
+        cbs = [np.asarray(cb[s], dtype=np.int64) for s in range(m)]
+        cbn = [(c * c).sum(axis=1) for c in cbs]
+
+        @pandas_udf("array<int>")
+        def _codes(v: pd.Series) -> pd.Series:
+            q = np.floor(
+                np.asarray(v.tolist(), dtype=np.float64) * 1000000.0
+            ).astype(np.int64)
+            out = np.empty((len(q), m), dtype=np.int32)
+            for s in range(m):
+                qs = q[:, s * dsub:(s + 1) * dsub]
+                scores = cbn[s][None, :] - 2 * (qs @ cbs[s].T)
+                out[:, s] = np.argmin(scores, axis=1)
+            return pd.Series(list(out))
+
+        return emb.select(
+            F.col(id_col).alias("vec_id"),
+            _codes(F.col(vec_col)).alias("codes"),
+        )
     code_cols = ", ".join(
         f"CAST({_pq_code_expr(cb[s], s, dsub, vec_col)} AS INT)"
         for s in range(m)
@@ -652,7 +681,7 @@ def pq_encode(emb: DataFrame, m: int = 4, n_codes: int = 16,
 def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
             m: int = 4, n_codes: int = 16, id_col: str = "vec_id",
             vec_col: str = "embedding",
-            dim: int | None = None) -> DataFrame:
+            dim: int | None = None, arrow: bool = False) -> DataFrame:
     """PQ-ADC approximate top-k: asymmetric distance computation —
     each query precomputes its exact integer L2 to every centroid (an
     m x n_codes lookup table, inlined as literal BIGINT arrays), and
@@ -684,7 +713,8 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     # codes, never the float corpus (and the 4096-literal encode
     # expression compiles exactly once)
     codes = _spool(
-        pq_encode(emb, m, n_codes, id_col, vec_col, dim=d), "pq_codes"
+        pq_encode(emb, m, n_codes, id_col, vec_col, dim=d, arrow=arrow),
+        "pq_codes",
     )
     per_query = []
     for qid in query_ids:
@@ -823,9 +853,57 @@ def _kmeans_assign_expr(cents: list[list[int]]) -> str:
     )
 
 
+def _assign_arrow(qv: DataFrame, cents: list[list[int]]):
+    """Arrow fast path for the nearest-centroid assignment: the same
+    exact int64 L2 argmin as _kmeans_assign_expr (ties to the lowest
+    c_id), computed as one numpy matmul per batch instead of the
+    interpreted Catalyst fold (higher-order array functions are
+    CodegenFallback — measured ~5x slower at 5M x 64 x 16). numpy
+    int64 arithmetic wraps exactly like a JVM long, and |v|,|c| <=
+    2e6-scale quantized components keep every d2 term far below
+    2^63, so the two paths are bit-identical (parity-tested).
+    Returns qv with an added _c INT column."""
+    from pyspark.sql.functions import pandas_udf
+
+    c_arr = np.asarray(cents, dtype=np.int64)          # k x dim
+    c_norm = (c_arr * c_arr).sum(axis=1)               # k
+
+    @pandas_udf("int")
+    def _nearest(v: pd.Series) -> pd.Series:
+        m = np.asarray(v.tolist(), dtype=np.int64)     # n x dim
+        # d2 = |v|^2 - 2 v.c + |c|^2; |v|^2 constant per row -> argmin
+        # over (-2 v.c + |c|^2) — exact int64, same ties (argmin takes
+        # the first = lowest c_id)
+        scores = c_norm[None, :] - 2 * (m @ c_arr.T)
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return qv.withColumn("_c", _nearest(F.col("v_q")))
+
+
+def _assign_arrow_d2(qv: DataFrame, cents: list[list[int]]):
+    """Arrow twin of ``_kmeans_assign_expr`` returning BOTH the
+    assignment and its exact int64 d2 (struct<c_id, d2>) — the final-
+    assignment variant of :func:`_assign_arrow`."""
+    from pyspark.sql.functions import pandas_udf
+
+    c_arr = np.asarray(cents, dtype=np.int64)
+    c_norm = (c_arr * c_arr).sum(axis=1)
+
+    @pandas_udf("struct<c_id: int, d2: long>")
+    def _nearest(v: pd.Series) -> pd.DataFrame:
+        m = np.asarray(v.tolist(), dtype=np.int64)
+        scores = c_norm[None, :] - 2 * (m @ c_arr.T)
+        ci = np.argmin(scores, axis=1)
+        d2 = scores[np.arange(len(ci)), ci] + (m * m).sum(axis=1)
+        return pd.DataFrame({"c_id": ci.astype(np.int32), "d2": d2})
+
+    return qv.withColumn("_b", _nearest(F.col("v_q")))
+
+
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               use_spool: bool = True, with_vec: bool = False):
+               use_spool: bool = True, with_vec: bool = False,
+               arrow: bool = False):
     """Integer-exact Lloyd k-means. Init = the first ``k`` vectors by
     id (deterministic). Returns (assign, centroids): ``assign`` is
     (vec_id, centroid_id, d2) under the FINAL centroids — plus the
@@ -856,9 +934,13 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
         )
     dim = len(cents[0])
     for _ in range(iters):
-        a = qv.select(
-            "v_q", F.expr(_kmeans_assign_expr(cents) + ".c_id").alias("_c")
-        )
+        if arrow:
+            a = _assign_arrow(qv, cents).select("v_q", "_c")
+        else:
+            a = qv.select(
+                "v_q",
+                F.expr(_kmeans_assign_expr(cents) + ".c_id").alias("_c"),
+            )
         stats = (
             a.select("_c", F.posexplode("v_q").alias("pos", "x"))
             .groupBy("_c", "pos")
@@ -870,12 +952,20 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 3,
             nxt[r["_c"]][r["pos"]] = r["s"] // r["n"]  # floor division
         cents = nxt
     cols = ["vec_id"] + (["v_q"] if with_vec else [])
-    a = qv.select(
-        *cols, F.expr(_kmeans_assign_expr(cents)).alias("_b")
-    ).select(
-        *cols, F.col("_b.c_id").alias("centroid_id"),
-        F.col("_b.d2").alias("d2"),
-    )
+    if arrow:
+        a = _assign_arrow_d2(qv.select(*cols, "v_q") if not with_vec
+                             else qv, cents)
+        a = a.select(
+            *cols, F.col("_b.c_id").alias("centroid_id"),
+            F.col("_b.d2").alias("d2"),
+        )
+    else:
+        a = qv.select(
+            *cols, F.expr(_kmeans_assign_expr(cents)).alias("_b")
+        ).select(
+            *cols, F.col("_b.c_id").alias("centroid_id"),
+            F.col("_b.d2").alias("d2"),
+        )
     return a, cents
 
 
@@ -883,7 +973,8 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                n_centroids: int = 8, iters: int = 3, n_probe: int = 2,
                m: int = 4, n_codes: int = 16,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               arrow: bool = False) -> DataFrame:
     """IVF-PQ: the canonical billion-vector ANN composition — a
     kmeans-trained coarse quantizer prunes the search to ``n_probe``
     inverted lists, and candidates inside the probed lists are scored
@@ -918,7 +1009,8 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     vector search; coarse quantizer = the trained twin of
     ivf_assign's deterministic lists."""
     a, cents = kmeans_fit(emb, k=n_centroids, iters=iters,
-                          id_col=id_col, vec_col=vec_col, with_vec=True)
+                          id_col=id_col, vec_col=vec_col, with_vec=True,
+                          arrow=arrow)
     dim = len(cents[0])
     dsub = dim // m
     cent_arr = "array(" + ", ".join(
@@ -958,11 +1050,39 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     )
     from geospark.spool import spool as _spool
 
-    codes = _spool(
-        r.select("vec_id", "centroid_id",
-                 F.expr(f"array({code_cols})").alias("codes")),
-        "ivfpq_codes",
-    )
+    if arrow:
+        # Arrow residual-encode: residual and per-subspace argmin in
+        # one numpy kernel (the JVM fold is interpreted); bit-identical
+        # int64 math, parity-tested against the expression path.
+        from pyspark.sql.functions import pandas_udf
+
+        cent_np = np.asarray(cents, dtype=np.int64)
+        cbs = [np.asarray(cb[s], dtype=np.int64) for s in range(m)]
+        cbn = [(cc * cc).sum(axis=1) for cc in cbs]
+
+        @pandas_udf("array<int>")
+        def _codes(v: pd.Series, ci: pd.Series) -> pd.Series:
+            q = np.asarray(v.tolist(), dtype=np.int64)
+            rq = q - cent_np[ci.to_numpy(np.int64)]
+            out = np.empty((len(rq), m), dtype=np.int32)
+            for sx in range(m):
+                rs = rq[:, sx * dsub:(sx + 1) * dsub]
+                scores = cbn[sx][None, :] - 2 * (rs @ cbs[sx].T)
+                out[:, sx] = np.argmin(scores, axis=1)
+            return pd.Series(list(out))
+
+        codes = _spool(
+            a.select("vec_id", "centroid_id",
+                     _codes(F.col("v_q"), F.col("centroid_id"))
+                     .alias("codes")),
+            "ivfpq_codes",
+        )
+    else:
+        codes = _spool(
+            r.select("vec_id", "centroid_id",
+                     F.expr(f"array({code_cols})").alias("codes")),
+            "ivfpq_codes",
+        )
     # driver-side probe + LUT construction (model-sized work only)
     qids = [int(q) for q in query_ids]
     qrows = {

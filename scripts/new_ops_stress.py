@@ -123,7 +123,7 @@ def main() -> None:
         from geospark.embeddings import pq_topk
 
         top = pq_topk(emb, [3, 57, 111, 222, 404], k=10, m=4,
-                      n_codes=16, dim=DIM)
+                      n_codes=16, dim=DIM, arrow=True)
         rows = top.collect()
         return {"rows_out": len(rows)}
 
@@ -295,7 +295,7 @@ def main() -> None:
 
         top = ivfpq_topk(emb, [3, 57, 111, 222, 404], k=10,
                          n_centroids=16, iters=2, n_probe=4,
-                         m=4, n_codes=16)
+                         m=4, n_codes=16, arrow=True)
         rows = top.collect()
         return {"rows_out": len(rows)}
 

@@ -61,14 +61,25 @@ def compare(name: str, spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[st
 
 
 def main() -> int:
+    import gc
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("verify-oracle", master="local[8]", shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    def fresh_con():
+        # one connection PER QUERY: a shared connection accumulates
+        # buffer-pool state across the 120+ oracles and a full-registry
+        # sweep eventually dies with a DuckDB bad-allocation (seen at
+        # ~query 60); the per-query connection + an explicit cap keeps
+        # the harness memory flat. Views are cheap to re-create.
+        c = duckdb.connect()
+        c.execute("SET memory_limit='8GB'")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if Path(p).exists():
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
 
     qs = E.queries()
     oracles = E.oracle_sql()
@@ -76,6 +87,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        gc.collect()
         t0 = time.time()
         spark_pd = fn(spark, sf_dir).toPandas()
         t1 = time.time()
@@ -83,7 +95,9 @@ def main() -> int:
             print(f"  {name}: rows={len(spark_pd)} (no oracle, rows-only) "
                   f"spark={t1 - t0:.1f}s")
             continue
+        con = fresh_con()
         duck_pd = con.execute(oracles[name]).fetchdf()
+        con.close()
         problems = compare(name, spark_pd, duck_pd)
         status = "OK" if not problems else "FAIL"
         if problems:

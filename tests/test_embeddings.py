@@ -547,6 +547,31 @@ def test_ivfpq_recall_vs_exact(spark):
     assert hits / total >= 0.6
 
 
+def test_arrow_fast_paths_bit_identical(spark):
+    """The Arrow (numpy matmul) assignment/encode kernels must be
+    BIT-IDENTICAL to the literal-array JVM expression paths — same
+    exact int64 L2, same lowest-id tie rule — across kmeans_fit,
+    pq_encode, and the full ivfpq_topk composition."""
+    df, rows = _emb_df(spark)
+    a1, c1 = E.kmeans_fit(df, k=4, iters=3, with_vec=False)
+    a2, c2 = E.kmeans_fit(df, k=4, iters=3, with_vec=False, arrow=True)
+    assert c1 == c2
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    e1 = sorted((r["vec_id"], tuple(r["codes"]))
+                for r in E.pq_encode(df, m=4, n_codes=8).collect())
+    e2 = sorted((r["vec_id"], tuple(r["codes"]))
+                for r in E.pq_encode(df, m=4, n_codes=8,
+                                     arrow=True).collect())
+    assert e1 == e2
+    t1 = sorted(tuple(r) for r in E.ivfpq_topk(
+        df, [0, 5], k=5, n_centroids=4, iters=2, n_probe=2, m=4,
+        n_codes=8).collect())
+    t2 = sorted(tuple(r) for r in E.ivfpq_topk(
+        df, [0, 5], k=5, n_centroids=4, iters=2, n_probe=2, m=4,
+        n_codes=8, arrow=True).collect())
+    assert t1 == t2
+
+
 def test_pq_rerank_matches_twin_and_fixes_adc(spark):
     """pq_topk_rerank == the plain-Python twin; with rerank = corpus
     size the exact rerank must equal integer-L2 brute force (ADC's
