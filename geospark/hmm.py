@@ -162,7 +162,7 @@ def viterbi_map_match(points: DataFrame, segments: DataFrame,
         "seg_idx int, dist_m double, c_lat double, c_lng double"
     )
 
-    def _match(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _match(key, pdf):
         pdf = pdf.sort_values(["_seq", "line_id"], kind="mergesort")
         seq_raw = pdf["_seq"].to_numpy(np.int64)
         # densify seq (observations with no candidates just collapse)
