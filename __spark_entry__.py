@@ -2966,6 +2966,60 @@ def _q_s2_radius_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TREND_Z = 4
+TREND_WIN_US = 2 * 86_400_000_000   # 2 days
+TREND_SLIDE_US = 86_400_000_000     # 1 day
+
+
+def _q_trending_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window trending tiles (streaming.sliding_tile_counts):
+    the events GPS stream replayed as 3 time-sliced micro-batches, a
+    2-day window sliding by 1 day over z4 tiles, APPEND mode — every
+    event lands in two overlapping windows and a window row is emitted
+    exactly once, when the watermark (0 s delay) passes its end. The
+    DuckDB oracle derives the same finalized set independently: each
+    event explodes to its two slide-aligned window starts, and a
+    window survives iff end <= the ms-floored global max timestamp —
+    Spark's watermark arithmetic (the geofence_stream precedent). The
+    overlap (window > slide) is the semantics the tumbling
+    streaming_tiles query cannot express."""
+    import tempfile
+
+    from geospark.streaming import sliding_tile_counts
+
+    ckpt = tempfile.mkdtemp(prefix="geospark_trend_ckpt_")
+    stream = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, lat double, lng double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_geofence_spool(spark, sf_dir))
+    )
+    out = sliding_tile_counts(stream, zoom=TREND_Z, window="2 days",
+                              slide="1 day", watermark="0 seconds")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("geospark_trending_tiles")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("trending_tiles: stream did not "
+                               "terminate within 300s — refusing to "
+                               "return a partial result")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(
+        "SELECT unix_micros(win_start) AS win_start_us, tile_x, tile_y, "
+        "n_points FROM geospark_trending_tiles"
+    )
+
+
 def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-VALUES oracle: Structured Streaming ingest — synthetic pages spool
     -> watermarked windowed tile aggregation (availableNow trigger) —
@@ -3304,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_overlap": _q_session_overlap,
         "hmm_map_match": _q_hmm_map_match,
         "emb_pq_rerank": _q_emb_pq_rerank,
+        "trending_tiles": _q_trending_tiles,
         "doc_train_pipeline": _q_doc_train_pipeline,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -5776,6 +5831,32 @@ def oracle_sql() -> dict[str, str]:
              ("n_distinct_raw", "INTEGER")],
         ),
         "event_sessions": sessionize_sql(),
+        # independent derivation of the FINALIZED sliding-window set:
+        # explode each event to its two slide-aligned window starts,
+        # keep windows whose end the ms-floored global-max watermark
+        # passed (Spark append-mode arithmetic, geofence precedent)
+        "trending_tiles": f"""
+            WITH pts AS ({pts}),
+            mx AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 AS wm_us
+                   FROM pts),
+            ev AS (
+                SELECT {G.tile_x_sql('lng', TREND_Z)} AS tile_x,
+                       {G.tile_y_sql('lat', TREND_Z)} AS tile_y,
+                       epoch_us(ts) AS us
+                FROM pts
+            ),
+            wins AS (
+                SELECT tile_x, tile_y,
+                       (us // {TREND_SLIDE_US}) * {TREND_SLIDE_US}
+                           - k.k * {TREND_SLIDE_US} AS ws
+                FROM ev CROSS JOIN (VALUES (0), (1)) AS k(k)
+            )
+            SELECT ws AS win_start_us, tile_x, tile_y,
+                   count(*) AS n_points
+            FROM wins, mx
+            WHERE ws + {TREND_WIN_US} <= mx.wm_us
+            GROUP BY 1, 2, 3
+        """,
         # independent-JOIN-ALGORITHM oracle: brute-force O(n^2) range
         # self-join over the same sessionize relation
         "session_overlap": f"""

@@ -52,6 +52,37 @@ def streaming_tile_counts(pages: DataFrame, zoom: int = 8,
     )
 
 
+def sliding_tile_counts(points: DataFrame, zoom: int = 6,
+                        window: str = "10 minutes",
+                        slide: str = "5 minutes",
+                        watermark: str = "0 seconds",
+                        ts_col: str = "ts") -> DataFrame:
+    """SLIDING-window trending tiles: per-(window, tile) event counts
+    where consecutive windows overlap (window > slide), the
+    "trending now" aggregation — each event lands in window/slide
+    overlapping windows, and append mode emits a window only once the
+    watermark passes its end (exactly-once finalized counts, state
+    bounded by watermark eviction). The tumbling
+    :func:`streaming_tile_counts` is the slide == window special
+    case; the overlap is what a tumbling window cannot express
+    without double-reading the stream.
+
+    Output: (win_start, tile_x, tile_y, n_points)."""
+    tiled = with_tile(points, zoom)
+    return (
+        tiled.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, window, slide).alias("w"),
+            "tile_x", "tile_y",
+        )
+        .agg(F.count("*").alias("n_points"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "tile_x", "tile_y", "n_points",
+        )
+    )
+
+
 def extract_points_stream(pages: DataFrame) -> DataFrame:
     """Streaming variant of geospark.extract.extract_points: the SAME
     batch-vectorized kernel (one regex pass per Arrow batch, per-MATCH

@@ -253,3 +253,66 @@ def test_streaming_compaction_expires_folded_deltas(spark, tmp_path):
     stages = [m["stage"] for m in st._manifests()]
     assert sum(s.startswith("batch-") for s in stages) == 6
     assert sum(s.startswith("compact-") for s in stages) == 6
+
+
+def test_sliding_tile_counts_append_semantics(spark, tmp_path):
+    """sliding_tile_counts: every event lands in exactly
+    window/slide overlapping windows, append mode emits a window
+    exactly once when the watermark passes its end, and the final
+    (unfinalizable) windows stay withheld — pinned on a hand-built
+    3-batch stream with known timestamps."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geospark.streaming import sliding_tile_counts
+
+    # win=20s slide=10s; events at t=5,12,25,31,47 (same location)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = 1_700_000_000_000_000  # us
+    batches = [[5, 12], [25, 31], [47]]
+    for i, ts_list in enumerate(batches):
+        tbl = pa.table({
+            "user_id": pa.array([1] * len(ts_list), pa.int64()),
+            "ts": pa.array([base + t * 1_000_000 for t in ts_list],
+                           pa.timestamp("us")),
+            "lat": pa.array([48.1] * len(ts_list), pa.float64()),
+            "lng": pa.array([11.5] * len(ts_list), pa.float64()),
+        })
+        f = f"{src}/b{i}.parquet"
+        pq.write_table(tbl, f)
+        os.utime(f, (1_700_000_000 + i * 60,) * 2)
+    stream = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, lat double, lng double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = sliding_tile_counts(stream, zoom=4, window="20 seconds",
+                              slide="10 seconds", watermark="0 seconds")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("trend_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = spark.sql(
+        "SELECT unix_micros(win_start) AS ws, n_points FROM trend_test"
+    ).collect()
+    got = sorted((int((r["ws"] - base) / 1_000_000), r["n_points"])
+                 for r in rows)
+    # watermark ends at t=47: finalized windows are those ending <= 47.
+    # windows (start, [events]): (-10,[5]) (0,[5,12]) (10,[12,25])
+    # (20,[25,31]) -> ends 10/20/30/40 <= 47 all emitted; (30,[31,47])
+    # ends 50 and (40,[47]) ends 60 stay withheld.
+    assert got == [(-10, 1), (0, 2), (10, 2), (20, 2)]
