@@ -1,4 +1,4 @@
-"""As-of (temporal nearest-key) join — last-prior / next-after match.
+"""Temporal joins: as-of (nearest-key) and interval overlap.
 
 The training-data pipeline shape: attribute each fact row (purchase,
 label, page snapshot) to the most recent dimension row at-or-before
