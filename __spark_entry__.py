@@ -200,6 +200,26 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification (joins.knn_classify): each
+    demo center takes the modal event_type of its 25 nearest event
+    points — exact-haversine neighbors via the two-phase kNN
+    escalation, votes as one partial-agg shuffle, winner by
+    (-votes, label) min-struct (vote ties to the smaller label). The
+    DuckDB oracle is the brute-force window derivation: rank all
+    points per center by (dist, event_id) — the kNN tie rule — take
+    25, count labels, argmax by (n DESC, label ASC)."""
+    from geospark.joins import knn_classify
+
+    pts = G.events_points(spark, sf_dir).select(
+        "event_id", "lat", "lng", "event_type")
+    return knn_classify(pts, G.DEMO_CENTERS, k=KNN_CLS_K,
+                        label_col="event_type", id_col="event_id")
+
+
+KNN_CLS_K = 25
+
+
 def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = G.events_points(spark, sf_dir).select("event_id", "lat", "lng")
     return pip_join(pts, G.demo_layer()).select("area_id", "event_id")
@@ -3359,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmm_map_match": _q_hmm_map_match,
         "emb_pq_rerank": _q_emb_pq_rerank,
         "trending_tiles": _q_trending_tiles,
+        "knn_classify": _q_knn_classify,
         "doc_train_pipeline": _q_doc_train_pipeline,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
@@ -6368,6 +6389,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, event_id,
                    CAST(floor(dist) AS BIGINT) AS dist_floor_m
             FROM ranked WHERE rn <= {KNN_K}
+        """,
+        # independent-ALGORITHM oracle: brute-force window kNN + vote
+        # argmax (the engine's escalation never appears)
+        "knn_classify": f"""
+            WITH pts AS ({pts}),
+            ranked AS (
+                SELECT query_id, event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY {hav}, event_id
+                       ) AS rn
+                FROM pts CROSS JOIN {_centers_values()}
+            ),
+            votes AS (
+                SELECT query_id, event_type AS label,
+                       count(*) AS n_votes
+                FROM ranked WHERE rn <= {KNN_CLS_K}
+                GROUP BY 1, 2
+            ),
+            win AS (
+                SELECT query_id, label, n_votes,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY n_votes DESC, label
+                       ) AS wr
+                FROM votes
+            )
+            SELECT query_id, label, n_votes FROM win WHERE wr = 1
         """,
         "pip_join": f"""
             WITH pts AS ({pts})

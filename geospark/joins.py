@@ -1147,6 +1147,46 @@ def knn_join(points: DataFrame, centers: list[tuple[int, float, float]], k: int,
 # ---------------------------------------------------------------------------
 # Map matching: nearest segment within a radius (GPS probe -> network)
 # ---------------------------------------------------------------------------
+def knn_classify(points: DataFrame, centers: list[tuple[int, float, float]],
+                 k: int, label_col: str = "label",
+                 lat: str = "lat", lng: str = "lng",
+                 id_col: str = "point_id",
+                 start_zoom: int = 16) -> DataFrame:
+    """k-NN majority-vote classification — the spatial ML primitive:
+    each query location takes the modal label of its ``k`` nearest
+    labeled points (exact haversine neighbors via the two-phase
+    :func:`knn_join` escalation; vote ties break on the
+    lexicographically smaller label — deterministic in any engine).
+
+    Plan: the kNN join's aggregate-only escalation finds the |Q|*k
+    neighbor ids; that MODEL-SIZED relation broadcasts back into one
+    hash join against the labeled points (the corpus never shuffles),
+    votes partial-aggregate per (query, label), and the winner is a
+    min-struct argmax on (-votes, label). Returns
+    (query_id, label, n_votes).
+
+    Reference analogue: Q4 nearest (src/point_rtree.cc:38-48)
+    feeding a vote aggregate instead of a ranked list."""
+    nn = knn_join(points.select(id_col, lat, lng), centers, k,
+                  lat=lat, lng=lng, id_col=id_col,
+                  start_zoom=start_zoom).select("query_id", id_col)
+    votes = (
+        points.select(id_col, F.col(label_col).alias("_lbl"))
+        .join(F.broadcast(nn), id_col)
+        .groupBy("query_id", "_lbl")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    best = F.min(F.struct(
+        (-F.col("n_votes")).alias("_neg"),
+        F.col("_lbl").alias("label"),
+    )).alias("_b")
+    return (
+        votes.groupBy("query_id").agg(best)
+        .select("query_id", F.col("_b.label").alias("label"),
+                (-F.col("_b._neg")).alias("n_votes"))
+    )
+
+
 def match_points_to_segments(points: DataFrame, segments: DataFrame,
                              max_m: float,
                              point_id: str = "point_id",

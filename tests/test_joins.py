@@ -586,3 +586,34 @@ def test_pip_join_empty_layer(spark):
                                "point_id long, lat double, lng double")
     out = pip_join(df, PolygonLayer([], cover_zoom=6))
     assert out.count() == 0
+
+
+def test_knn_classify_majority_and_ties(spark):
+    """Majority vote: 1-NN label loses to the 2-of-3 majority; an even
+    2-2 split breaks to the lexicographically smaller label; votes
+    come from exactly the k nearest under the (dist, id) kNN order."""
+    from geospark.joins import knn_classify
+
+    # center at origin; nearest point labeled 'z', next two 'a'
+    pts = [
+        (1, 0.001, 0.0, "z"),   # ~111 m, nearest
+        (2, 0.002, 0.0, "a"),
+        (3, 0.003, 0.0, "a"),
+        (4, 0.004, 0.0, "b"),   # outside k=3
+        # second center (id 8) at (10, 10): exact 2-2 tie b vs c
+        (5, 10.001, 10.0, "c"),
+        (6, 10.002, 10.0, "b"),
+        (7, 10.003, 10.0, "c"),
+        (8, 10.004, 10.0, "b"),
+    ]
+    df = spark.createDataFrame(
+        pts, "point_id long, lat double, lng double, label string")
+    got = {
+        r["query_id"]: (r["label"], r["n_votes"])
+        for r in knn_classify(
+            df, [(0, 0.0, 0.0), (8, 10.0, 10.0)], k=3
+        ).collect()
+    }
+    assert got[0] == ("a", 2)      # majority beats the nearest 'z'
+    q8 = knn_classify(df, [(8, 10.0, 10.0)], k=4).collect()[0]
+    assert (q8["label"], q8["n_votes"]) == ("b", 2)  # 2-2 tie -> 'b'
