@@ -1056,8 +1056,11 @@ def _lm_ppl_oracle() -> str:
 
 def _bm25_oracle() -> str:
     """DuckDB twin of textops.bm25_topk over BM25_QUERIES — identical
-    expression tree (left-assoc float ops, ln isolated inside the
-    1e-6 floor quantization) so BIGINT scores match bit-exactly."""
+    expression tree (left-assoc float ops; idf and norm each floor-
+    quantized to integer milli-units SEPARATELY, then multiplied as
+    BIGINTs, so the one libm call (ln) sits inside its own coarse
+    1e-3 floor and a 1-ulp engine disagreement cannot straddle a
+    boundary) so BIGINT scores match bit-exactly."""
     from geospark.textops import BM25_B, BM25_K1
 
     terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
@@ -1091,8 +1094,9 @@ def _bm25_oracle() -> str:
         q(query_id, term) AS (VALUES {qvals}),
         scored AS (
             SELECT q.query_id, tf.doc_id,
-                   sum(CAST(floor(1000000.0 * {idf} * {norm})
-                       AS BIGINT)) AS score_q
+                   sum(CAST(floor(1000.0 * {idf}) AS BIGINT)
+                       * CAST(floor(1000.0 * {norm}) AS BIGINT))
+                       AS score_q
             FROM tf JOIN q USING (term) JOIN dfr USING (term)
             CROSS JOIN stats
             GROUP BY 1, 2

@@ -1202,12 +1202,17 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
     Formula (Lucene variant): for each query term t in doc d,
         idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
         norm(t,d) = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
-    and the per-term contribution is FLOOR-QUANTIZED to integer
-    micro-units BEFORE the per-(query, doc) sum, so document scores
-    are BIGINTs: the ranking is immune to float-summation order and
-    bit-identical across engines (ln is the only libm call, isolated
-    inside the quantization, where a 1-ulp disagreement would have to
-    straddle a 1e-6 boundary to matter).
+    and idf and norm are each FLOOR-QUANTIZED to integer milli-units
+    SEPARATELY, then multiplied as integers, BEFORE the per-
+    (query, doc) sum, so document scores are BIGINTs: the ranking is
+    immune to float-summation order and bit-identical across engines.
+    norm is pure +,*,/ (IEEE-correctly-rounded, deterministic across
+    engines), so its floor never wobbles; ln is the only libm call,
+    isolated inside idf's own coarse 1e-3 floor, where a 1-ulp libm
+    disagreement (~1e-13 absolute) would have to land exactly on one
+    of the 1000×-sparser milli-boundaries to matter (a joint 1e-6
+    floor of the product had 1000× more boundaries and went
+    driver-red once on exactly this).
 
     100-TB plan shape: the corpus explode is filtered to the query
     vocabulary INSIDE the generate stage (narrow — the isin filter
@@ -1273,7 +1278,8 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, list[str]]],
         .crossJoin(broadcast(stats))
         .select(
             "query_id", "doc_id",
-            F.floor(F.lit(1000000.0) * idf * norm).cast("long").alias("s"),
+            (F.floor(F.lit(1000.0) * idf).cast("long")
+             * F.floor(F.lit(1000.0) * norm).cast("long")).alias("s"),
         )
         .groupBy("query_id", "doc_id")
         .agg(F.sum("s").alias("score_q"))

@@ -722,7 +722,7 @@ def test_bm25_topk_matches_python_twin(spark):
                     tf + T.BM25_K1
                     * (1.0 - T.BM25_B + T.BM25_B * len(t) / avgdl)
                 )
-                s += math.floor(1000000.0 * idf * norm)
+                s += math.floor(1000.0 * idf) * math.floor(1000.0 * norm)
             if s or any(term in t for term in terms):
                 scores[d] = s
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
