@@ -2559,7 +2559,7 @@ def _q_emb_pq(spark, sf_dir):
     from geospark.embeddings import pq_topk
 
     return pq_topk(_emb(spark, sf_dir), EMB_QUERY_IDS, k=10,
-                   m=PQ_M, n_codes=PQ_CODES)
+                   m=PQ_M, n_codes=PQ_CODES, arrow=True)
 
 
 KM_K, KM_ITERS = 8, 3
@@ -2580,7 +2580,8 @@ def _q_emb_kmeans(spark, sf_dir):
     independent-algorithm plain-Python Lloyd (goldens.kmeans_py)."""
     from geospark.embeddings import kmeans_fit
 
-    a, cents = kmeans_fit(_emb(spark, sf_dir), k=KM_K, iters=KM_ITERS)
+    a, cents = kmeans_fit(_emb(spark, sf_dir), k=KM_K, iters=KM_ITERS,
+                          arrow=True)
     per = a.groupBy("centroid_id").agg(
         F.count("*").alias("n"), F.sum("d2").alias("inertia"))
     cstats = spark.createDataFrame(
@@ -2607,7 +2608,7 @@ def _q_emb_pq_rerank(spark, sf_dir):
 
     return pq_topk_rerank(
         _emb(spark, sf_dir), EMB_QUERY_IDS, k=10, rerank=PQ_RERANK,
-        m=PQ_M, n_codes=PQ_CODES,
+        m=PQ_M, n_codes=PQ_CODES, arrow=True,
     )
 
 
@@ -2627,7 +2628,7 @@ def _q_emb_ivfpq(spark, sf_dir):
     return ivfpq_topk(
         _emb(spark, sf_dir), EMB_QUERY_IDS, k=10,
         n_centroids=KM_K, iters=KM_ITERS, n_probe=IVFPQ_PROBE,
-        m=PQ_M, n_codes=PQ_CODES,
+        m=PQ_M, n_codes=PQ_CODES, arrow=True,
     )
 
 
@@ -2646,6 +2647,7 @@ def _q_emb_ivf_trained(spark, sf_dir):
     return ivf_topk_trained(
         _emb(spark, sf_dir), EMB_QUERY_IDS, k=10,
         n_centroids=KM_K, iters=KM_ITERS, n_probe=IVF_T_PROBE,
+        arrow=True,
     )
 
 

@@ -754,7 +754,8 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
 def pq_topk_rerank(emb: DataFrame, query_ids: list[int], k: int = 10,
                    rerank: int = 50, m: int = 4, n_codes: int = 16,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   dim: int | None = None) -> DataFrame:
+                   dim: int | None = None,
+                   arrow: bool = False) -> DataFrame:
     """PQ-ADC shortlist + EXACT rerank — the production two-stage ANN
     read path: the m-byte code relation prunes the corpus to
     ``rerank`` candidates per query (pq_topk's scan-only ADC), and
@@ -772,7 +773,8 @@ def pq_topk_rerank(emb: DataFrame, query_ids: list[int], k: int = 10,
     d = dim if dim is not None else (
         emb.select(F.size(vec_col).alias("_d")).first()["_d"])
     shortlist = pq_topk(emb, query_ids, k=rerank, m=m, n_codes=n_codes,
-                        id_col=id_col, vec_col=vec_col, dim=d).select(
+                        id_col=id_col, vec_col=vec_col, dim=d,
+                        arrow=arrow).select(
         "query_id", "vec_id")
     qv = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -1130,7 +1132,8 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
 def ivf_topk_trained(emb: DataFrame, query_ids: list[int], k: int = 10,
                      n_centroids: int = 8, iters: int = 3, n_probe: int = 4,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     arrow: bool = False) -> DataFrame:
     """IVF-flat ANN over TRAINED centroids, integer-exact end to end:
     kmeans_fit supplies the coarse quantizer, queries probe their
     ``n_probe`` nearest trained centroids (exact integer L2, ties to
@@ -1149,7 +1152,8 @@ def ivf_topk_trained(emb: DataFrame, query_ids: list[int], k: int = 10,
     is a zip_with/aggregate integer fold inside codegen ending in a
     per-query top-k window over ~n * n_probe / n_centroids rows."""
     a, cents = kmeans_fit(emb, k=n_centroids, iters=iters,
-                          id_col=id_col, vec_col=vec_col, with_vec=True)
+                          id_col=id_col, vec_col=vec_col, with_vec=True,
+                          arrow=arrow)
     qids = [int(q) for q in query_ids]
     queries = a.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"), "v_q"
