@@ -3339,13 +3339,149 @@ def _q_geocode_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_mentions(mentions, gaz)
 
 
+PL_UTILS_TOL_DEG = 5.0  # M7 one-shot DP tolerance (degree space)
+POLY_FIXTURES = ((1, "area_band.poly"), (2, "area_north.poly"))
+
+
+def _q_polyline_utils(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline utilities end-to-end: L4 extract incl. the reversed
+    direction (src/polyline.cc:22-30), L5 serialize/deserialize
+    roundtrip (polyline.h:43-66), and M7 one-shot simplify
+    (simplify_mask.h:272-290) over per-user trajectories. All but the
+    DP are pure JVM array exprs (slice/flatten/transform — narrow,
+    codegen); the DP is one Arrow-batched UDF. Oracle = embedded
+    VALUES from independent plain-Python twins (index-loop slicing +
+    goldens.simplify_dp_deg_py recursive DP)."""
+    from geospark import lines as L
+
+    traj = (
+        _user_lines(G.events_points(spark, sf_dir))
+        .filter(F.size("line") >= 2)
+        .withColumn("n_points", F.size("line"))
+        .withColumn("from_idx", F.expr("size(line) div 4").cast("int"))
+        .withColumn("to_idx", F.expr("(3 * size(line)) div 4").cast("int"))
+        .withColumn("ext", L.extract("line", F.col("from_idx"), F.col("to_idx")))
+        .withColumn("rev", L.extract("line", F.col("to_idx"), F.col("from_idx")))
+        .withColumn("flat", L.serialize("ext"))
+        .withColumn("back", L.deserialize("flat"))
+        .repartition(spark.sparkContext.defaultParallelism)  # fan out the DP UDF
+        .withColumn("simp", L.simplify_udf(PL_UTILS_TOL_DEG)(F.col("ext")))
+    )
+    return traj.select(
+        "user_id",
+        F.col("n_points").cast("int").alias("n_points"),
+        "from_idx", "to_idx",
+        F.size("ext").alias("n_extract"),
+        (F.reverse(F.col("rev")) == F.col("ext")).cast("int").alias("rev_ok"),
+        F.size("flat").alias("flat_len"),
+        (F.col("back") == F.col("ext")).cast("int").alias("rt_ok"),
+        F.floor(F.element_at("ext", 1).getField("lat") * 1e7)
+        .cast("long").alias("p0_lat_e7"),
+        F.floor(F.element_at("ext", 1).getField("lng") * 1e7)
+        .cast("long").alias("p0_lng_e7"),
+        F.size("simp").alias("n_simplified"),
+    )
+
+
+def _poly_fixture_path(fname: str) -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", fname)
+
+
+def _q_poly_file_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 Osmosis .poly sources (src/polygon.cc:15-36) wired into the
+    Q13/Q14 area lookup: parse the committed fixtures with the
+    engine's readers (full multi-section format AND the
+    reference-exact single-ring reader), build a PolygonLayer
+    (densified spherical edges, the Q10 default), PIP-join the event
+    points, aggregate per area. n_ring certifies the single-ring
+    reader: it must stop at the first ring's END. Oracle: an
+    independent inline .poly parse + the same ray-cast SQL generator
+    the pip_join oracle uses."""
+    from geospark.joins import PolygonLayer, pip_join
+    from geospark.sources import read_poly_file, read_poly_file_full
+
+    areas, n_ring_rows = [], []
+    for aid, fname in POLY_FIXTURES:
+        path = _poly_fixture_path(fname)
+        areas.append(read_poly_file_full(path, area_id=aid))
+        n_ring_rows.append((aid, len(read_poly_file(path))))
+    layer = PolygonLayer(areas, cover_zoom=6)
+    pts = G.events_points(spark, sf_dir).select("event_id", "lat", "lng")
+    agg = (
+        pip_join(pts, layer)
+        .groupBy("area_id")
+        .agg(
+            F.count("*").alias("n_inside"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+    nr = spark.createDataFrame(n_ring_rows, "area_id long, n_ring int")
+    return agg.join(F.broadcast(nr), "area_id")
+
+
+# Keys the driver's round-4 window checked (CORRECTNESS_r04.json):
+# these already have fresh green rows, so round 5 rotates them to the
+# back of the registry.
+_ROUND4_WINDOW = frozenset((
+    "doc_incremental_dedup", "doc_decontaminate", "doc_dup_spans",
+    "doc_cap_per_lang", "doc_dedup_neardup", "doc_split",
+    "doc_pii_scrub", "doc_sample_stratified", "doc_weighted_sample",
+    "doc_len_quantiles", "doc_mix_epochs", "doc_chunk",
+    "doc_pack", "doc_tfidf", "doc_bm25",
+    "doc_lm_ppl", "doc_bpe", "doc_repetition",
+    "doc_line_dedup", "emb_pq", "emb_kmeans",
+    "emb_quantize", "tile_bounds", "box_join",
+    "seg_intersections", "geocode_resolve", "doc_span_scrub",
+    "reverse_geocode", "emb_ivf_trained", "emb_ivfpq",
+    "corridor_join", "doc_bpe_encode", "idw_tiles",
+    "session_overlap", "hmm_map_match", "emb_pq_rerank",
+    "trending_tiles", "knn_classify", "doc_train_pipeline",
+    "multimodal_resize", "multimodal_frames", "doc_dedup_exact",
+    "doc_token_stats", "doc_quality", "doc_lang_id",
+    "doc_jaccard_pairs", "doc_minhash_lsh", "doc_simhash_pairs",
+    "doc_fingerprint", "emb_cosine_topk",
+))
+
+# Round-5 head of the window: brand-new queries, the round-4 red
+# (doc_bm25, quantization fixed), the one never-sampled entry, and the
+# queries whose implementation changed this round (Arrow-path
+# embeddings) — these MUST be re-checked ahead of rotation.
+_ROUND5_PRIORITY = (
+    "polyline_utils", "poly_file_pip", "doc_bm25", "pages_url_normalize",
+    "emb_pq", "emb_kmeans", "emb_pq_rerank", "emb_ivfpq",
+    "emb_ivf_trained", "hmm_map_match", "trending_tiles",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness harness checks the
-    FIRST 50 entries only.  Rounds 1-3 left 26 queries with no driver row in
-    any round, so round 4 puts those 26 first, followed by the 34 queries
-    whose last driver row was round 2, followed by the round-3-green set.
-    (VERDICT.md round 3, task #1.)"""
+    FIRST 50 entries only.  Round 5 puts _ROUND5_PRIORITY first (new +
+    changed + previously-red queries), then every entry NOT in round 4's
+    window (oldest driver rows first in practice), then the round-4
+    greens. (VERDICT.md round 4, task #3.)"""
+    base = _query_registry()
+    pri = [k for k in _ROUND5_PRIORITY if k in base]
+    mid = [k for k in base if k not in _ROUND4_WINDOW and k not in pri]
+    tail = [k for k in base if k in _ROUND4_WINDOW and k not in pri]
+    return {k: base[k] for k in pri + mid + tail}
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # -- round 5 priority: new queries, the round-4 red (fixed), the
+        # -- never-sampled entry, and the queries whose implementation
+        # -- changed this round (Arrow-path embeddings) ----------------------
+        "polyline_utils": _q_polyline_utils,
+        "poly_file_pip": _q_poly_file_pip,
+        "doc_bm25": _q_doc_bm25,
+        "pages_url_normalize": _q_pages_url_normalize,
+        "emb_pq": _q_emb_pq,
+        "emb_kmeans": _q_emb_kmeans,
+        "emb_pq_rerank": _q_emb_pq_rerank,
+        "emb_ivfpq": _q_emb_ivfpq,
+        "emb_ivf_trained": _q_emb_ivf_trained,
         # -- 26 never driver-checked before round 4 --------------------------
         "doc_incremental_dedup": _q_doc_incremental_dedup,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -4615,6 +4751,56 @@ def oracle_sql() -> dict[str, str]:
         for aid, sql in G.demo_layer_pip_sql("lat", "lng")
     )
 
+    # poly_file_pip oracle: INDEPENDENT inline .poly parse (token-count
+    # state machine, distinct from sources.py's readline flow), then
+    # the same densify + ray-cast SQL generation the pip_join oracle
+    # uses over its in-code rings.
+    def _parse_poly_alt(path: str):
+        import numpy as _np
+
+        rings: list[tuple[str, list[tuple[float, float]]]] = []
+        kind, cur = "outer", []
+        for raw in open(path).read().splitlines()[1:]:
+            tok = raw.split()
+            if len(tok) >= 2:
+                cur.append((float(tok[1]), float(tok[0])))
+            elif tok == ["END"]:
+                if cur:
+                    rings.append((kind, cur))
+                kind, cur = "outer", []
+            elif len(tok) == 1:
+                kind = "hole" if tok[0].startswith("!") else "outer"
+        outers, inners = [], []
+        for k, r in rings:
+            if k == "outer":
+                outers.append(_np.asarray(r, dtype=_np.float64))
+                inners.append([])
+            else:
+                inners[-1].append(_np.asarray(r, dtype=_np.float64))
+        return outers, inners
+
+    from geospark.joins import PIP_DENSIFY_DEG, Area as _Area, densify_areas
+
+    poly_hits, poly_nring = [], {}
+    for aid, fname in POLY_FIXTURES:
+        path = _poly_fixture_path(fname)
+        o, i = _parse_poly_alt(path)
+        dens = densify_areas([_Area(aid, o, i)], PIP_DENSIFY_DEG)[0]
+        poly_hits.append(
+            f"SELECT {aid} AS area_id, event_id FROM pts "
+            f"WHERE {G.area_pip_sql('lat', 'lng', dens.outers, dens.inners)}"
+        )
+        body = open(path).read().splitlines()[2:]
+        n = 0
+        for ln in body:
+            if not ln.startswith(" ") or len(ln.split()) < 2:
+                break
+            n += 1
+        poly_nring[aid] = n
+    poly_union = "\nUNION ALL\n".join(poly_hits)
+    poly_nring_case = ("CASE area_id " + " ".join(
+        f"WHEN {a} THEN {n}" for a, n in poly_nring.items()) + " END")
+
     prev = "PARTITION BY event_type ORDER BY event_id"
     bearing = G.bearing_sql("p_lat", "p_lng", "lat", "lng")
     seg_hav = G.haversine_sql("p_lat", "p_lng", "lat", "lng")
@@ -4751,6 +4937,23 @@ def oracle_sql() -> dict[str, str]:
         pc_rows.append((
             uid, len(enc), len(GO.decode_polyline(enc, 5)), len(line),
             len(nz), kept,
+        ))
+    plu_rows = []
+    for uid, line in traj:
+        n = len(line)
+        if n < 2:
+            continue
+        f_, t_ = n // 4, (3 * n) // 4
+        ext = [tuple(p) for p in line[f_:t_ + 1]]
+        rev = [tuple(line[i]) for i in range(t_, f_ - 1, -1)]
+        flat = [c for p in ext for c in p]
+        back = list(zip(flat[0::2], flat[1::2]))
+        keep = GO.simplify_dp_deg_py(ext, PL_UTILS_TOL_DEG)
+        plu_rows.append((
+            uid, n, f_, t_, len(ext),
+            int(list(reversed(rev)) == ext), len(flat), int(back == ext),
+            math.floor(ext[0][0] * 1e7), math.floor(ext[0][1] * 1e7),
+            sum(keep),
         ))
     pd_rows = []
     for uid, line in traj:
@@ -5696,6 +5899,15 @@ def oracle_sql() -> dict[str, str]:
              ("n_z0", "INTEGER"), ("n_z10", "INTEGER"),
              ("mask_bytes", "INTEGER")],
         ),
+        "polyline_utils": _values_sql(
+            plu_rows,
+            [("user_id", "BIGINT"), ("n_points", "INTEGER"),
+             ("from_idx", "INTEGER"), ("to_idx", "INTEGER"),
+             ("n_extract", "INTEGER"), ("rev_ok", "INTEGER"),
+             ("flat_len", "INTEGER"), ("rt_ok", "INTEGER"),
+             ("p0_lat_e7", "BIGINT"), ("p0_lng_e7", "BIGINT"),
+             ("n_simplified", "INTEGER")],
+        ),
         "polyline_codec": _values_sql(
             pc_rows,
             [("user_id", "BIGINT"), ("enc_len", "INTEGER"),
@@ -6426,6 +6638,14 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": f"""
             WITH pts AS ({pts})
             {pip_union}
+        """,
+        "poly_file_pip": f"""
+            WITH pts AS ({pts}),
+            hits AS ({poly_union})
+            SELECT area_id, count(*) AS n_inside,
+                   min(event_id) AS min_event, max(event_id) AS max_event,
+                   CAST({poly_nring_case} AS INTEGER) AS n_ring
+            FROM hits GROUP BY area_id
         """,
         "tile_rollup": f"""
             WITH pts AS ({pts}),

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 import re
+import sys
 
 import numpy as np
 
@@ -811,6 +812,50 @@ def convex_hull_jarvis(
         if len(hull) > len(q):  # safety: cannot happen on exact ints
             raise RuntimeError("jarvis march failed to close")
     return [(i, p[1], p[0]) for i, p in enumerate(hull)]
+
+
+def simplify_dp_deg_py(latlngs: list[tuple[float, float]],
+                       tol_deg: float) -> list[bool]:
+    """Independent one-shot Douglas-Peucker twin (M7,
+    simplify_mask.h:272-290 / src/polyline.cc:16-20 degree-tolerance
+    form): scalar recursion (vs the engine's vectorized stack loop)
+    over clamped segment-point squared distance in (lng, lat) degree
+    space; keep when sq-dist >= tol^2, first max wins."""
+    n = len(latlngs)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    t2 = tol_deg * tol_deg
+
+    def sqd(lo: int, hi: int, i: int) -> float:
+        sx = latlngs[hi][1] - latlngs[lo][1]
+        sy = latlngs[hi][0] - latlngs[lo][0]
+        rx = latlngs[i][1] - latlngs[lo][1]
+        ry = latlngs[i][0] - latlngs[lo][0]
+        sq_len = sx * sx + sy * sy
+        if sq_len < sys.float_info.epsilon:
+            px, py = latlngs[lo][1], latlngs[lo][0]
+        else:
+            ratio = max(min((sx * rx + sy * ry) / sq_len, 1.0), 0.0)
+            px = (1.0 - ratio) * latlngs[lo][1] + latlngs[hi][1] * ratio
+            py = (1.0 - ratio) * latlngs[lo][0] + latlngs[hi][0] * ratio
+        dx, dy = px - latlngs[i][1], py - latlngs[i][0]
+        return dx * dx + dy * dy
+
+    def rec(lo: int, hi: int) -> None:
+        if hi - lo <= 1:
+            return
+        best, best_d = hi, 0.0
+        for i in range(lo + 1, hi):
+            d = sqd(lo, hi, i)
+            if d >= t2 and d > best_d:
+                best, best_d = i, d
+        if best_d >= t2 and best != hi:
+            keep[best] = True
+            rec(lo, best)
+            rec(best, hi)
+
+    rec(0, n - 1)
+    return keep
 
 
 def frechet_to_ref_py(traj: list[tuple[float, float]],

@@ -279,3 +279,22 @@ def test_complete_linkage_incremental_matches_per_round_large():
     b = nk.make_complete_linkage_clusters_per_round(la, ln, T)
     c = nk.make_complete_linkage_clusters(la, ln, T)
     assert (b == c).all()
+
+
+def test_simplify_dp_deg_golden_twin_parity():
+    """M7 one-shot degree-tolerance DP: the vectorized kernel and the
+    independent recursive golden twin (goldens.simplify_dp_deg_py)
+    must produce identical keep-masks on pseudorandom polylines."""
+    import numpy as np
+
+    from geospark import goldens as GO
+    from geospark.functions import numpy_kernels as NK
+
+    rng = np.random.default_rng(20260821)
+    for n in (2, 3, 5, 17, 64, 301):
+        lats = rng.uniform(-80, 80, n)
+        lngs = rng.uniform(-179, 179, n)
+        for tol in (0.5, 5.0, 30.0):
+            got = NK.simplify_dp_latlng(lats, lngs, tol)
+            want = GO.simplify_dp_deg_py(list(zip(lats, lngs)), tol)
+            assert got.tolist() == want, (n, tol)

@@ -69,3 +69,24 @@ def test_polygon_table_roundtrip(spark):
     assert np.array_equal(back[0].outers[0], outer)
     assert np.array_equal(back[0].inners[0][0], hole)
     assert np.array_equal(back[1].outers[0], outer + 20.0)
+
+
+def test_committed_poly_fixtures_parse():
+    """The driver-query fixtures (fixtures/*.poly) parse with BOTH
+    readers: the full Osmosis parse sees every ring; the
+    reference-exact single-ring reader (src/polygon.cc:15-36) stops
+    at the first ring's END."""
+    import os
+
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    band = read_poly_file_full(os.path.join(base, "area_band.poly"), 1)
+    assert len(band.outers) == 1 and len(band.inners[0]) == 1
+    assert band.outers[0].shape == (5, 2) and band.inners[0][0].shape == (3, 2)
+    north = read_poly_file_full(os.path.join(base, "area_north.poly"), 2)
+    assert len(north.outers) == 1 and north.inners[0] == []
+    assert north.outers[0].shape == (6, 2)
+    # single-ring reader: first ring only, [lat, lng] order
+    r1 = read_poly_file(os.path.join(base, "area_band.poly"))
+    assert r1.shape == (5, 2)
+    assert np.array_equal(r1, band.outers[0])
