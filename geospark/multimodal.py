@@ -2,13 +2,15 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched UDF stages.
 
-The sandbox has no image/audio libraries, so the DECODE step is
-stubbed (clearly marked below) behind ``_decode_image_real`` raising
-NotImplementedError, with a deterministic fake
-(``_decode_image_fake``: byte-histogram features) standing in. The
-Spark-side plumbing — schema, batch shape, partitioning, UDF
-signatures — is real and tested; swapping the stub for PIL/ffmpeg is a
-one-function change.
+The DECODE step is feature-gated: ``decode_image`` uses PIL when
+installed, and otherwise falls back to built-in pure-numpy decoders
+for the self-describing uncompressed formats (24-bit BI_RGB BMP,
+binary P6 / ascii P3 PPM) — so real image bytes ARE decoded even in a
+container with no imaging libraries. Compressed formats (JPEG/PNG/...)
+without PIL raise NotImplementedError rather than silently faking.
+``_decode_image_fake`` (byte-histogram features) remains as the
+deterministic stand-in used by the driver oracle, where results must
+replay in DuckDB.
 """
 
 from __future__ import annotations
@@ -27,13 +29,106 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, features array<float>"
 
 
-def _decode_image_real(payload: bytes) -> np.ndarray:
-    """STUB: real image decode needs PIL/opencv (absent in this
-    container). Raise rather than silently fake in a 'real' path."""
+def _decode_bmp24(payload: bytes) -> np.ndarray:
+    """Pure-numpy 24-bit uncompressed (BI_RGB) BMP decode: little-
+    endian header, 4-byte-aligned row stride, bottom-up rows unless
+    height is negative, BGR pixel order."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    if off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy netpbm decode: binary P6 and ascii P3, '#' comments,
+    maxval <= 255."""
+    if payload[:2] not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    binary = payload[:2] == b"P6"
+    # tokenize the header: magic, width, height, maxval ('#' to EOL is
+    # a comment); in P6 pixel data starts after ONE whitespace byte
+    # following maxval
+    toks, i, n = [], 2, len(payload)
+    while len(toks) < 3 and i < n:
+        c = payload[i:i + 1]
+        if c == b"#":
+            while i < n and payload[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j:j + 1].isspace():
+                j += 1
+            toks.append(int(payload[i:j]))
+            i = j
+    if len(toks) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    if binary:
+        i += 1  # the single whitespace byte after maxval
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    else:
+        vals = payload[i:].split()
+        if len(vals) < w * h * 3:
+            raise ValueError("truncated P3 pixel data")
+        px = np.array([int(v) for v in vals[: w * h * 3]], dtype=np.uint8)
+    return px.reshape(h, w, 3).copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real image decode -> HxWx3 uint8 RGB. Uses PIL when installed
+    (any format); otherwise built-in decoders handle uncompressed
+    BMP/PPM. Compressed formats without an imaging library raise
+    NotImplementedError."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        return np.asarray(
+            Image.open(io.BytesIO(payload)).convert("RGB"), dtype=np.uint8)
+    except ImportError:
+        pass
+    if payload[:2] == b"BM":
+        return _decode_bmp24(payload)
+    if payload[:2] in (b"P6", b"P3"):
+        return _decode_ppm(payload)
     raise NotImplementedError(
-        "image decode requires an imaging library; use decode_fake=True "
-        "or plug a decoder in here"
+        "compressed image decode requires an imaging library (PIL); "
+        "built-in decoders cover uncompressed BMP/PPM only"
     )
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Real-decode feature path: decode pixels (decode_image), then
+    the same 16-bin L1-normalized histogram as the fake path — over
+    DECODED PIXEL bytes, not raw payload bytes."""
+    px = decode_image(payload).reshape(-1)
+    if px.size == 0:
+        return np.zeros(16, dtype=np.float32)
+    hist, _ = np.histogram(px, bins=16, range=(0, 256))
+    return (hist / px.size).astype(np.float32)
 
 
 def _decode_image_fake(payload: bytes) -> np.ndarray:
