@@ -126,7 +126,11 @@ def interval_join(left: DataFrame, right: DataFrame, bucket_us: int,
     At scale the bucket width trades replication (long intervals x
     fine buckets) against join selectivity (coarse buckets collide
     unrelated intervals); both sides shuffle once on the bucket key.
-    All arithmetic is integer microseconds — engine-exact.
+    All arithmetic is integer microseconds — engine-exact: bucket ids
+    use true integer floor division ((a - pmod(a, w)) DIV w), never a
+    float quotient, so the operator is exact over the full BIGINT
+    timestamp range and for negative epochs (a double floor(a/w)
+    breaks past 2^53 and at ulp-adjacent quotients).
 
     Output: all left columns prefixed ``l_prefix`` + all right
     columns prefixed ``r_prefix`` + ``overlap_us`` (the closed
@@ -135,26 +139,28 @@ def interval_join(left: DataFrame, right: DataFrame, bucket_us: int,
     Reference analogue: Q8 box::overlaps (box.h:77-88) on the time
     axis, as a JOIN."""
     w = int(bucket_us)
+
+    def fdiv(expr: str):
+        # exact integer floor division (Spark DIV truncates toward
+        # zero; pmod makes the numerator exactly divisible)
+        e = f"CAST({expr} AS BIGINT)"
+        return F.expr(f"({e} - pmod({e}, {w})) DIV {w}")
+
     lb = left.select(
         *[F.col(c).alias(l_prefix + c) for c in left.columns],
-        F.explode(F.sequence(
-            F.floor(F.col(l_start) / w).cast("long"),
-            F.floor(F.col(l_end) / w).cast("long"),
-        )).alias("_ib"),
+        F.explode(F.sequence(fdiv(l_start), fdiv(l_end))).alias("_ib"),
     )
     rb = right.select(
         *[F.col(c).alias(r_prefix + c) for c in right.columns],
-        F.explode(F.sequence(
-            F.floor(F.col(r_start) / w).cast("long"),
-            F.floor(F.col(r_end) / w).cast("long"),
-        )).alias("_jb"),
+        F.explode(F.sequence(fdiv(r_start), fdiv(r_end))).alias("_jb"),
     )
     ls, le = F.col(l_prefix + l_start), F.col(l_prefix + l_end)
     rs, re_ = F.col(r_prefix + r_start), F.col(r_prefix + r_end)
     pairs = lb.join(
         rb,
         (F.col("_ib") == F.col("_jb"))
-        & (F.col("_ib") == F.floor(F.greatest(ls, rs) / w).cast("long"))
+        & (F.col("_ib")
+           == fdiv(f"greatest({l_prefix}{l_start}, {r_prefix}{r_start})"))
         & (F.greatest(ls, rs) <= F.least(le, re_)),
         "inner",
     )
