@@ -3009,10 +3009,17 @@ def _q_trending_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's watermark arithmetic (the geofence_stream precedent). The
     overlap (window > slide) is the semantics the tumbling
     streaming_tiles query cannot express."""
+    import shutil
     import tempfile
+    import uuid
 
     from geospark.streaming import sliding_tile_counts
 
+    # unique per-invocation sink name + cleaned-up checkpoint: a fixed
+    # queryName collides with the live query of a previous invocation
+    # in the same session, and mkdtemp without cleanup leaks one dir
+    # per run (ADVICE r4)
+    sink = f"geospark_trending_tiles_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="geospark_trend_ckpt_")
     stream = (
         spark.readStream
@@ -3027,7 +3034,7 @@ def _q_trending_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = (
             out.writeStream.format("memory")
-            .queryName("geospark_trending_tiles")
+            .queryName(sink)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -3040,9 +3047,10 @@ def _q_trending_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "return a partial result")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(
         "SELECT unix_micros(win_start) AS win_start_us, tile_x, tile_y, "
-        "n_points FROM geospark_trending_tiles"
+        f"n_points FROM {sink}"
     )
 
 

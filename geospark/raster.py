@@ -183,7 +183,11 @@ def idw_interpolate(points: DataFrame, centers: DataFrame,
     weights are ``scale DIV d_cm^2`` BIGINTs, values floor to cents —
     so the weighted sums are associative integer adds, immune to
     float summation order in any engine, and the estimate is one
-    deterministic floor division. With the defaults a 300 km radius
+    deterministic integer division with TRUNCATION-TOWARD-ZERO
+    semantics (Spark DIV == DuckDB integer division; for negative
+    value sums this differs from Python's flooring ``//`` by at most
+    one cent — pinned by test_idw_negative_values). With the defaults
+    a 300 km radius
     keeps d_cm^2 <= 9e14 < scale (weights >= 1, never all-zero) and
     w * v_cents <= ~5e13 per pair — 1e5 overflow headroom on the sum.
 

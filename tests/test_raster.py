@@ -227,3 +227,38 @@ def test_idw_lone_sample_returns_value(spark):
     rows = idw_interpolate(pts, centers, 5000.0).collect()
     assert len(rows) == 1
     assert rows[0]["est_cents"] == 12345  # floor(123.45*100)
+
+
+def test_idw_negative_values(spark):
+    """est_cents uses truncation-toward-zero integer division (Spark
+    DIV == DuckDB // — both verified trunc, -7 DIV 2 = -3), and value
+    quantization floors (so -20.005 -> -2001 cents, asymmetric with
+    +20.005 -> 2000): pinned on an all-negative fixture computed from
+    the same integer formulas."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geospark.functions import kernels as K
+    from geospark.raster import idw_interpolate
+
+    samples = [(1, 0.01, 0.0, -10.0), (2, 0.02, 0.0, -20.005)]
+    pts = spark.createDataFrame(
+        samples, "point_id long, lat double, lng double, value double")
+    centers = spark.createDataFrame(
+        [(7, 0.0, 0.0)], "query_id long, q_lat double, q_lng double")
+    row = idw_interpolate(pts, centers, 10_000.0).collect()[0]
+    d = [r[0] for r in spark.createDataFrame(
+        [(la,) for _, la, _, _ in samples], "lat double"
+    ).select(K.distance(F.lit(0.0), F.lit(0.0),
+                        F.col("lat"), F.lit(0.0))).collect()]
+    ws = [10 ** 15 // max(int(x * 100), 100) ** 2 for x in d]
+    vs = [math.floor(v * 100.0) for _, _, _, v in samples]  # -1000, -2001
+    assert vs == [-1000, -2001]
+    num = sum(w * v for w, v in zip(ws, vs))
+    den = sum(ws)
+    trunc = -((-num) // den) if num < 0 else num // den
+    assert row["n_samples"] == 2 and row["den_w"] == den
+    assert row["est_cents"] == trunc
+    # and the two division flavors genuinely differ on this fixture
+    assert num % den != 0 and trunc == num // den + 1
