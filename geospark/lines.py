@@ -148,22 +148,34 @@ def apply_simplify_mask_udf(level: int):
 
 def simplify_udf(max_distance_deg: float):
     """L2 one-shot Douglas-Peucker with a degree tolerance
-    (src/polyline.cc:16-20, boost::geometry::simplify semantics)."""
+    (src/polyline.cc:16-20, boost::geometry::simplify semantics).
+    Same numeric-arrays-only Arrow boundary as the mask family: the
+    UDF takes (lats, lngs) double arrays and returns KEEP INDICES;
+    the line is re-assembled JVM-side with transform/element_at, so
+    no struct ever crosses the Python boundary."""
 
-    @pandas_udf(LINE_TYPE)
-    def _simplify(lines: pd.Series) -> pd.Series:
+    @pandas_udf("array<int>")
+    def _keep_idx(lats_s: pd.Series, lngs_s: pd.Series) -> pd.Series:
         out = []
-        for line in lines:
-            if line is None or len(line) < 2:
-                out.append(line)
-                continue
-            lats = np.array([p["lat"] for p in line])
-            lngs = np.array([p["lng"] for p in line])
-            keep = NK.simplify_dp_latlng(lats, lngs, max_distance_deg)
-            out.append([p for i, p in enumerate(line) if keep[i]])
+        for lats, lngs in zip(lats_s, lngs_s):
+            if lats is None:
+                out.append(None)
+            elif len(lats) < 2:
+                out.append(np.arange(len(lats), dtype=np.int32))
+            else:
+                keep = NK.simplify_dp_latlng(
+                    np.asarray(lats, np.float64),
+                    np.asarray(lngs, np.float64), max_distance_deg)
+                out.append(np.flatnonzero(keep).astype(np.int32))
         return pd.Series(out)
 
-    return _simplify
+    def _call(line):
+        c = F.col(line) if isinstance(line, str) else line
+        idx = _keep_idx(_line_field(c, "lat"), _line_field(c, "lng"))
+        return F.when(c.isNotNull(),
+                      F.transform(idx, lambda i: F.element_at(c, i + 1)))
+
+    return _call
 
 
 # ---------------------------------------------------------------------------

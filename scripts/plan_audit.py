@@ -873,11 +873,38 @@ def main() -> None:
         must_not=["BatchEvalPython", "CartesianProduct"],
         notes="candidates come from the corridor join (multi-zoom "
               "cover + partial min-struct per (point, line)) and a "
-              "per-point top-k window; the only Python is the ONE "
-              "Arrow-batched per-trajectory Viterbi kernel "
-              "(FlatMapGroupsInPandas on user_id) — O(len * k^2) "
-              "integer ops per group, trajectories are the "
-              "parallelism axis.",
+              "per-(user, point) top-k window that reuses the "
+              "metadata join's point_id clustering (no extra "
+              "exchange); the only Python is the ONE Arrow-batched "
+              "Viterbi kernel (FlatMapGroupsInPandas on user-hash "
+              "BUCKETS, ~one per core, many trajectories per batch "
+              "sliced at user boundaries) — O(len * k^2) integer ops "
+              "per trajectory, buckets are the parallelism axis.",
+    )
+
+    audit(
+        "polyline_utils (L4 extract + L5 serde + M7 one-shot DP)",
+        q["polyline_utils"](spark, sf_dir),
+        must=["ArrowEvalPython"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+        notes="extract/serde/roundtrip-bits are pure JVM array exprs "
+              "(slice/flatten/transform) over the one per-user "
+              "trajectory aggregation; the only Python is the "
+              "Arrow-batched one-shot DP UDF, fanned across cores by "
+              "an explicit repartition of the tiny per-user relation.",
+    )
+
+    audit(
+        "poly_file_pip (Q11 .poly sources -> PIP join)",
+        q["poly_file_pip"](spark, sf_dir),
+        must=["BroadcastHashJoin", "partial_count"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "CartesianProduct", "SortMergeJoin"],
+        notes="the parsed fixture polygons build the same broadcast "
+              "cover-cell layer as pip_join (small-layer codegen "
+              "refine path); per-area aggregation partial-aggregates "
+              "before one exchange, and the 2-row n_ring relation "
+              "broadcasts.",
     )
 
     out = ["# PLANS — physical-plan audit (generated by "

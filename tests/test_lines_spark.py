@@ -283,3 +283,30 @@ def test_apply_mask_null_line_stays_null(spark):
     row = out.collect()[0]
     assert row["s"] is None
     assert row["n"] is None  # size(NULL), not a count of null structs
+
+
+def test_simplify_udf_one_shot(spark):
+    """M7/L2 one-shot degree-tolerance DP via the numeric-array UDF
+    boundary: keep-mask parity with the kernel, NULL stays NULL,
+    degenerate 0/1/2-point lines pass through unchanged."""
+    import numpy as np
+
+    from geospark import lines as L
+    from geospark.functions import numpy_kernels as NK
+
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(-60, 60, 40)
+    lngs = rng.uniform(-170, 170, 40)
+    line = [(float(a), float(b)) for a, b in zip(lats, lngs)]
+    rows = [(1, line), (2, None), (3, []), (4, line[:1]), (5, line[:2])]
+    df = spark.createDataFrame(
+        rows, "id long, line array<struct<lat:double,lng:double>>")
+    got = {r["id"]: r["s"] for r in df.select(
+        "id", L.simplify_udf(5.0)("line").alias("s")).collect()}
+    keep = NK.simplify_dp_latlng(lats, lngs, 5.0)
+    want = [p for k, p in zip(keep, line) if k]
+    assert [(p["lat"], p["lng"]) for p in got[1]] == want
+    assert got[2] is None
+    assert got[3] == []
+    assert [(p["lat"], p["lng"]) for p in got[4]] == line[:1]
+    assert [(p["lat"], p["lng"]) for p in got[5]] == line[:2]
