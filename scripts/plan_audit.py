@@ -782,18 +782,19 @@ def main() -> None:
     )
 
     audit(
-        "emb_kmeans (integer-exact Lloyd training)",
+        "emb_kmeans (integer-exact Lloyd training, Arrow path)",
         q["emb_kmeans"](spark, sf_dir),
-        must=["BroadcastHashJoin", "partial_count"],
-        must_not=["BatchEvalPython", "ArrowEvalPython",
-                  "SortMergeJoin"],
-        notes="the final-assignment pass is a map-side literal-array "
-              "argmin projection (no join against a centroid relation "
-              "anywhere); the per-centroid rollup partial-aggregates "
-              "before its exchange and the model-sized centroid-stats "
-              "relation joins back as a broadcast. Training "
-              "iterations have the same shape: assignment projection "
-              "+ ONE (centroid_id, pos) partial-agg shuffle.",
+        must=["BroadcastHashJoin", "partial_count", "ArrowEvalPython"],
+        must_not=["BatchEvalPython", "SortMergeJoin"],
+        notes="round 5 defaults the driver query to the Arrow "
+              "assignment kernel (bit-identical to the literal-array "
+              "argmin by test, 4.7-10.6x at 5M vectors): the "
+              "final-assignment pass is ONE numpy-matmul Arrow batch "
+              "per partition — still map-side, still no centroid "
+              "relation join; the per-centroid rollup "
+              "partial-aggregates before its exchange and the "
+              "model-sized centroid-stats relation joins back as a "
+              "broadcast.",
     )
 
     audit(
@@ -895,16 +896,19 @@ def main() -> None:
     )
 
     audit(
-        "poly_file_pip (Q11 .poly sources -> PIP join)",
+        "poly_file_pip (Q11 .poly sources -> PIP join, big-layer path)",
         q["poly_file_pip"](spark, sf_dir),
-        must=["BroadcastHashJoin", "partial_count"],
-        must_not=["BatchEvalPython", "ArrowEvalPython",
-                  "CartesianProduct", "SortMergeJoin"],
-        notes="the parsed fixture polygons build the same broadcast "
-              "cover-cell layer as pip_join (small-layer codegen "
-              "refine path); per-area aggregation partial-aggregates "
-              "before one exchange, and the 2-row n_ring relation "
-              "broadcasts.",
+        must=["BroadcastHashJoin", "partial_count", "ArrowEvalPython"],
+        must_not=["BatchEvalPython", "CartesianProduct",
+                  "SortMergeJoin"],
+        notes="the parsed fixtures densify to ~1800 ring edges — "
+              "ABOVE the 512-edge codegen-refine threshold — so this "
+              "query exercises pip_join's BIG-LAYER path: broadcast "
+              "cover-cell join + vectorized numpy ray-cast in one "
+              "Arrow batch (the demo pip_join audit covers the "
+              "small-layer all-codegen path); per-area aggregation "
+              "partial-aggregates before one exchange, and the 2-row "
+              "n_ring relation broadcasts.",
     )
 
     out = ["# PLANS — physical-plan audit (generated by "
