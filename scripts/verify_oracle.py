@@ -74,7 +74,7 @@ def main() -> int:
         # ~query 60); the per-query connection + an explicit cap keeps
         # the harness memory flat. Views are cheap to re-create.
         c = duckdb.connect()
-        c.execute("SET memory_limit='8GB'")
+        c.execute("SET memory_limit='24GB'")
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             if Path(p).exists():
@@ -96,7 +96,16 @@ def main() -> int:
                   f"spark={t1 - t0:.1f}s")
             continue
         con = fresh_con()
-        duck_pd = con.execute(oracles[name]).fetchdf()
+        try:
+            duck_pd = con.execute(oracles[name]).fetchdf()
+        except duckdb.OutOfMemoryException:
+            # big embedded-VALUES oracles (geofence_stream: ~374KB of
+            # SQL) can exceed the cap mid-sweep when the process is
+            # warm; one retry on a brand-new connection is reliable
+            con.close()
+            gc.collect()
+            con = fresh_con()
+            duck_pd = con.execute(oracles[name]).fetchdf()
         con.close()
         problems = compare(name, spark_pd, duck_pd)
         status = "OK" if not problems else "FAIL"
