@@ -3059,7 +3059,9 @@ def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> watermarked windowed tile aggregation (availableNow trigger) —
     returned as the materialized batch result. Equality with the batch
     plan is asserted in tests/test_runtime.py."""
+    import shutil
     import tempfile
+    import uuid
 
     from geospark.pages import synth_pages
     from geospark.streaming import (
@@ -3068,6 +3070,7 @@ def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_tile_counts,
     )
 
+    sink = f"geospark_stream_tiles_{uuid.uuid4().hex[:12]}"
     tmp = tempfile.mkdtemp(prefix="geospark_stream_")
     ckpt = f"{tmp}/ckpt"
     # the spool content is a pure function of (n, partitions) — cache it
@@ -3084,7 +3087,7 @@ def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q = run_to_memory(agg, "geospark_stream_tiles", ckpt)
+        q = run_to_memory(agg, sink, ckpt)
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("streaming_tiles: stream did not "
@@ -3092,9 +3095,10 @@ def _q_streaming_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "return a partial aggregate")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.sql(
         "SELECT tile_x, tile_y, sum(n_points) AS n_points "
-        "FROM geospark_stream_tiles GROUP BY 1, 2"
+        f"FROM {sink} GROUP BY 1, 2"
     )
 
 
@@ -3153,10 +3157,13 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-id union). The 45-day horizon exceeds the generator's
     30-day warc_ts span so nothing is dropped as LATE — horizon
     semantics themselves are pinned in tests/test_incremental_tiles."""
+    import shutil
     import tempfile
+    import uuid
 
     from geospark.streaming import dedup_pages_stream, read_pages_stream
 
+    sink = f"geospark_stream_dedup_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="geospark_dedup_ckpt_")
     stream = read_pages_stream(spark, _overlap_spool(spark),
                                max_files_per_trigger=1)
@@ -3166,7 +3173,7 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = (
             out.writeStream.format("memory")
-            .queryName("geospark_stream_dedup")
+            .queryName(sink)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -3179,11 +3186,12 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "return a partial result")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(
         "SELECT lang, count(*) AS n_pages, "
         "count(DISTINCT lower(regexp_extract(url, '^https?://([^/]+)', 1)))"
         " AS n_hosts "
-        "FROM geospark_stream_dedup GROUP BY lang"
+        f"FROM {sink} GROUP BY lang"
     )
 
 
@@ -3263,10 +3271,13 @@ def _q_geofence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ms-floored global max, Spark's watermark arithmetic) — so green
     certifies the stateful stream emits exactly the batch-semantics
     transition set, not a plan echo."""
+    import shutil
     import tempfile
+    import uuid
 
     from geospark.streaming import geofence_stream
 
+    sink = f"geospark_geofence_stream_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="geospark_geofence_ckpt_")
     stream = (
         spark.readStream
@@ -3280,7 +3291,7 @@ def _q_geofence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = (
             out.writeStream.format("memory")
-            .queryName("geospark_geofence_stream")
+            .queryName(sink)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -3293,9 +3304,10 @@ def _q_geofence_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "return a partial result")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(
         "SELECT user AS user_id, ts_us, fence_id, transition "
-        "FROM geospark_geofence_stream"
+        f"FROM {sink}"
     )
 
 

@@ -94,13 +94,25 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).count()
 
+    # TWO full passes over the registry, report the per-query MIN:
+    # a query's wall depends strongly on its POSITION in a fresh
+    # session (JVM JIT + janino codegen + page cache warm over the
+    # first ~50 queries: the same query measures 0.8s deep in a warm
+    # 127-query session and 8s first — reproduced on two code
+    # versions, BENCH.md round 5), so a single pass benchmarks the
+    # registry ORDER, not the plans. Pass 2 is the steady state a
+    # long-running job sees; min-of-2 also shields single-query host
+    # jitter (the round-4 doc_* false regressions).
     timings: dict[str, float] = {}
-    for name, fn in E.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"  bench {name}: {timings[name]}s", file=sys.stderr)
+    n_passes = int(os.environ.get("GEOSPARK_BENCH_PASSES", "2"))
+    for p in range(n_passes):
+        for name, fn in E.queries().items():
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            sec = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, sec), sec)
+            print(f"  bench[{p}] {name}: {sec}s", file=sys.stderr)
 
     pipe_sec, _ = run_pipeline(spark, N_PIPELINE_PAGES)
     timings["pages_pipeline"] = round(pipe_sec, 3)
