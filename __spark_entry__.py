@@ -820,6 +820,22 @@ def _q_doc_sample_stratified(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir), 60)
 
 
+DSIR_K = 40
+
+
+def _q_doc_importance_resample(spark, sf_dir):
+    """DSIR importance resampling (textops.importance_resample, Xie
+    et al. 2023): score every doc by the integer-quantized
+    log-likelihood ratio of its hashed token buckets under the
+    lang='en' target vs the raw corpus, keep the top-40. Two
+    partial-agg shuffles (bucket model, per-doc score) + a broadcast
+    B-row delta relation + a TakeOrdered heap; each ln floors to its
+    own milli-grid so BIGINT weights replay exactly in DuckDB."""
+    from geospark.textops import importance_resample
+
+    return importance_resample(_docs(spark, sf_dir), DSIR_K)
+
+
 def _q_doc_weighted_sample(spark, sf_dir):
     """Quality-weighted corpus downsampling: Efraimidis–Spirakis order
     sampling with deterministic hash-derived randomness (textops.
@@ -3469,9 +3485,11 @@ _ROUND4_WINDOW = frozenset((
 # queries whose implementation changed this round (Arrow-path
 # embeddings) — these MUST be re-checked ahead of rotation.
 _ROUND5_PRIORITY = (
-    "polyline_utils", "poly_file_pip", "doc_bm25", "pages_url_normalize",
+    "polyline_utils", "poly_file_pip", "doc_importance_resample",
+    "doc_bm25", "pages_url_normalize",
     "emb_pq", "emb_kmeans", "emb_pq_rerank", "emb_ivfpq",
     "emb_ivf_trained", "hmm_map_match", "trending_tiles",
+    "streaming_tiles", "streaming_dedup", "geofence_stream",
 )
 
 
@@ -3512,6 +3530,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": _q_doc_pii_scrub,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "doc_weighted_sample": _q_doc_weighted_sample,
+        "doc_importance_resample": _q_doc_importance_resample,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "doc_mix_epochs": _q_doc_mix_epochs,
         "doc_chunk": _q_doc_chunk,
@@ -5809,6 +5828,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_weighted_sample": TX.weighted_sample_sql(
             "documents", 60, cols="doc_id, lang, n_chars"
+        ),
+        "doc_importance_resample": TX.importance_resample_sql(
+            "documents", DSIR_K
         ),
         "doc_len_quantiles": """
             SELECT lang, count(*) AS n_docs,

@@ -1116,6 +1116,140 @@ def weighted_sample_sql(table: str, k: int, id_col: str = "doc_id",
             f"ORDER BY (ln({u}) / {w}) DESC, {id_col} LIMIT {k}")
 
 
+DSIR_BUCKETS = 4096   # hashed-feature dimensionality
+DSIR_ALPHA = 0.5      # add-alpha smoothing mass per bucket
+
+
+def importance_resample(docs: DataFrame, k: int,
+                        target_langs: tuple[str, ...] = ("en",),
+                        n_buckets: int = DSIR_BUCKETS,
+                        alpha: float = DSIR_ALPHA,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        lang_col: str = "lang",
+                        hash_fn: str = "md5") -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the log-likelihood ratio of its hashed token
+    features under a TARGET distribution (here: the docs whose
+    ``lang_col`` is in ``target_langs``) vs the RAW corpus
+    distribution, and keep the top-k — the principled "make the
+    corpus look like the target domain" selection primitive.
+
+    Model: bucket b = md5_60(token) mod n_buckets; add-alpha
+    multinomials p_t(b) = (c_t(b)+a)/(T_t+a*B) and p_r likewise.
+    Per-doc log weight = sum over tokens of
+        floor(1000*ln p_t(b)) - floor(1000*ln p_r(b))
+    — each ln floor-quantized to integer MILLI-units SEPARATELY (the
+    BM25 lesson: a joint floor puts the libm call next to 1000x more
+    boundaries), so document weights are exact BIGINT sums and the
+    ranking replays bit-identically in DuckDB.
+
+    Plan shape at 100 TB: ONE corpus token pass feeds a
+    (bucket)-keyed partial-agg shuffle capped at B rows/task (the
+    model); totals are a second aggregate OF THE MODEL (B rows, no
+    corpus re-scan); the B-row delta relation broadcasts back into
+    the scoring pass, which partial-aggregates per doc — so the
+    corpus shuffles once on doc_id (map-side combine carries
+    per-(doc, map-partition) partial sums) and the final top-k is a
+    TakeOrderedAndProject heap merge, never a global sort. Docs with
+    zero tokens don't participate (no features = no evidence).
+
+    Returns (rn, doc_id, n_tokens, weight_milli) with rn = 1..k by
+    (weight DESC, doc_id). Reference analogue: none (the geo
+    reference has no corpus ops) — this is part of the
+    training-data-pipeline family the engine adds."""
+    from pyspark.sql import Window
+
+    B, a = int(n_buckets), float(alpha)
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).isin(*[str(x) for x in target_langs])
+        .alias("_is_t"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_t"),
+    ).filter(F.col("_t") != "").withColumn(
+        "_b", F.expr(f"pmod({hash60_sql('_t', hash_fn)}, {B})")
+    ).drop("_t")
+    model = tok.groupBy("_b").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("n_t"),
+    )
+    totals = model.agg(
+        F.sum("n_raw").alias("tot_raw"), F.sum("n_t").alias("tot_t"))
+    lp = (
+        f"CAST(floor(1000.0 * ln((CAST({{c}} AS DOUBLE) + {a!r}) "
+        f"/ (CAST({{tot}} AS DOUBLE) + {a * B!r}))) AS BIGINT)"
+    )
+    delta = model.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (F.expr(lp.format(c="n_t", tot="tot_t"))
+         - F.expr(lp.format(c="n_raw", tot="tot_raw"))).alias("_d"),
+    )
+    scored = (
+        tok.join(F.broadcast(delta), "_b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum("_d").alias("weight_milli"))
+    )
+    w = Window.orderBy(F.col("weight_milli").desc(), F.col("doc_id"))
+    return (
+        scored.orderBy(F.desc("weight_milli"), F.col("doc_id")).limit(k)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .select("rn", "doc_id", "n_tokens", "weight_milli")
+    )
+
+
+def importance_resample_sql(table: str = "documents", k: int = 40,
+                            target_langs: tuple[str, ...] = ("en",),
+                            n_buckets: int = DSIR_BUCKETS,
+                            alpha: float = DSIR_ALPHA,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            lang_col: str = "lang") -> str:
+    """DuckDB twin of :func:`importance_resample` — identical
+    expression tree (md5-60 bucket hash, separate milli-floors around
+    each ln, integer weight sums)."""
+    B, a = int(n_buckets), float(alpha)
+    langs = ", ".join(f"'{x}'" for x in target_langs)
+    h = "('0x' || substr(md5(t), 1, 15))::BIGINT"
+    lp = ("CAST(floor(1000.0 * ln((CAST({c} AS DOUBLE) + {a!r}) "
+          "/ (CAST({tot} AS DOUBLE) + {aB!r}))) AS BIGINT)")
+    lp_t = lp.format(c="n_t", tot="tot_t", a=a, aB=a * B)
+    lp_r = lp.format(c="n_raw", tot="tot_raw", a=a, aB=a * B)
+    return f"""
+        WITH tok0 AS (
+            SELECT {id_col} AS doc_id, {lang_col} IN ({langs}) AS is_t,
+                   unnest(string_split_regex(trim({text_col}), '\\s+')) AS t
+            FROM {table}
+        ),
+        tok AS (
+            SELECT doc_id, is_t, {h} % {B} AS b FROM tok0 WHERE t <> ''
+        ),
+        model AS (
+            SELECT b, count(*) AS n_raw,
+                   CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_t
+            FROM tok GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n_raw) AS BIGINT) AS tot_raw,
+                   CAST(sum(n_t) AS BIGINT) AS tot_t
+            FROM model
+        ),
+        delta AS (
+            SELECT b, {lp_t} - {lp_r} AS d FROM model CROSS JOIN tot
+        ),
+        scored AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(d) AS BIGINT) AS weight_milli
+            FROM tok JOIN delta USING (b) GROUP BY 1
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY weight_milli DESC, doc_id) AS BIGINT) AS rn,
+               doc_id, n_tokens, weight_milli
+        FROM scored ORDER BY weight_milli DESC, doc_id LIMIT {int(k)}
+    """
+
+
 def stratified_sample(docs: DataFrame, quota: int,
                       stratum_col: str = "lang",
                       id_col: str = "doc_id") -> DataFrame:

@@ -913,6 +913,21 @@ def main() -> None:
               "n_ring relation broadcasts.",
     )
 
+    audit(
+        "doc_importance_resample (DSIR target-vs-raw reweighting)",
+        q["doc_importance_resample"](spark, sf_dir),
+        must=["TakeOrderedAndProject", "BroadcastHashJoin",
+              "partial_count"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "CartesianProduct", "SortMergeJoin"],
+        notes="one corpus token pass -> bucket-keyed partial-agg "
+              "model (B rows/task cap via map-side combine); totals "
+              "aggregate the MODEL, not the corpus; the B-row delta "
+              "relation broadcasts into the scoring pass whose "
+              "per-doc sum partial-aggregates before its single "
+              "exchange; top-k is a heap merge, never a global sort.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:

@@ -869,3 +869,58 @@ def test_pack_sequences_shard_invariance_and_conservation(spark):
         assert per_doc[doc_id] == len(text.split(" "))
     full = sorted(per_seq)[:-1]
     assert all(per_seq[s] == 16 for s in full)   # zero padding
+
+
+def test_importance_resample_matches_scalar_twin(spark):
+    """DSIR importance resampling vs an independent scalar twin: exact
+    BIGINT milli-weights and ranking on a corpus where 'en' docs share
+    vocabulary (positive weights) and 'de' docs don't (negative), with
+    a doc mixing both and one empty doc (excluded: no features)."""
+    import hashlib
+    import math
+
+    corpus = [
+        (0, "en", "data model spark data"),
+        (1, "en", "spark table data"),
+        (2, "de", "der die das der"),
+        (3, "de", "und oder das"),
+        (4, "en", "data der spark das"),   # mixed vocabulary
+        (5, "en", "   "),                  # no tokens -> excluded
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, lang string, text string")
+    got = [tuple(r) for r in T.importance_resample(
+        docs, k=5, n_buckets=64).collect()]
+
+    B, a = 64, 0.5
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    counts_raw, counts_t = {}, {}
+    for _, lang, text in corpus:
+        for tok in text.split():
+            b = bucket(tok)
+            counts_raw[b] = counts_raw.get(b, 0) + 1
+            if lang == "en":
+                counts_t[b] = counts_t.get(b, 0) + 1
+    tot_raw = sum(counts_raw.values())
+    tot_t = sum(counts_t.values())
+
+    def lp(c, tot):
+        return math.floor(1000.0 * math.log((c + a) / (tot + a * B)))
+
+    want = []
+    for did, lang, text in corpus:
+        toks = text.split()
+        if not toks:
+            continue
+        wgt = sum(
+            lp(counts_t.get(bucket(t), 0), tot_t)
+            - lp(counts_raw[bucket(t)], tot_raw) for t in toks)
+        want.append((did, len(toks), wgt))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    want = [(i + 1, *r) for i, r in enumerate(want[:5])]
+    assert got == want
+    # the en-only docs must outrank the de-only docs
+    rank = {d: rn for rn, d, _, _ in got}
+    assert max(rank[0], rank[1]) < min(rank[2], rank[3])
