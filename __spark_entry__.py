@@ -2613,6 +2613,21 @@ IVFPQ_PROBE = 3
 PQ_RERANK = 40
 
 
+def _q_emb_semdedup(spark, sf_dir):
+    """SemDeDup (embeddings.semdedup, Abbas et al. 2023): k-means
+    clusters bound the pairwise cosine comparison (the paper's n^2 ->
+    sum(|cluster|^2) trick), duplicates close transitively via
+    large/small-star CC, canonical = min vec_id. Integer-exact (the
+    trained 1e6 quantization floor-divided to 1e3, integer cosine
+    predicate 400*dot^2 > 49*|a|^2*|b|^2), so the independent twin
+    goldens.semdedup_py (union-find, brute pairs) replays it
+    bit-identically."""
+    from geospark.embeddings import semdedup
+
+    return semdedup(_emb(spark, sf_dir), n_centroids=KM_K,
+                    iters=KM_ITERS, arrow=True)
+
+
 def _q_emb_pq_rerank(spark, sf_dir):
     """PQ-ADC shortlist + exact rerank (embeddings.pq_topk_rerank) —
     the production two-stage ANN read path: codes-only ADC prunes to
@@ -3486,7 +3501,7 @@ _ROUND4_WINDOW = frozenset((
 # embeddings) — these MUST be re-checked ahead of rotation.
 _ROUND5_PRIORITY = (
     "polyline_utils", "poly_file_pip", "doc_importance_resample",
-    "doc_bm25", "pages_url_normalize",
+    "emb_semdedup", "doc_bm25", "pages_url_normalize",
     "emb_pq", "emb_kmeans", "emb_pq_rerank", "emb_ivfpq",
     "emb_ivf_trained", "hmm_map_match", "trending_tiles",
     "streaming_tiles", "streaming_dedup", "geofence_stream",
@@ -3517,6 +3532,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_url_normalize": _q_pages_url_normalize,
         "emb_pq": _q_emb_pq,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_semdedup": _q_emb_semdedup,
         "emb_pq_rerank": _q_emb_pq_rerank,
         "emb_ivfpq": _q_emb_ivfpq,
         "emb_ivf_trained": _q_emb_ivf_trained,
@@ -5057,6 +5073,7 @@ def oracle_sql() -> dict[str, str]:
     ]
     pq_rows = GO.pq_topk_py(_oracle_vecs(), EMB_QUERY_IDS, 10, PQ_M, PQ_CODES)
     km_rows = GO.kmeans_py(_oracle_vecs(), KM_K, KM_ITERS)
+    sdd_rows = GO.semdedup_py(_oracle_vecs(), KM_K, KM_ITERS)
     ivft_rows = GO.ivf_trained_py(
         _oracle_vecs(), EMB_QUERY_IDS, 10, KM_K, KM_ITERS, IVF_T_PROBE)
     ivfpq_rows = GO.ivfpq_py(
@@ -6026,6 +6043,14 @@ def oracle_sql() -> dict[str, str]:
             [("centroid_id", "INTEGER"), ("n", "BIGINT"),
              ("inertia", "BIGINT"), ("c_sum", "BIGINT"),
              ("c_min", "BIGINT"), ("c_max", "BIGINT")],
+        ),
+        # independent-ALGORITHM oracle: plain-Python Lloyd + brute
+        # within-cluster integer cosine + union-find
+        # (goldens.semdedup_py) vs the engine's large/small-star CC
+        "emb_semdedup": _values_sql(
+            sdd_rows,
+            [("vec_id", "BIGINT"), ("centroid_id", "INTEGER"),
+             ("canonical_id", "BIGINT"), ("is_dup", "INTEGER")],
         ),
         # independent-ALGORITHM oracle: plain-Python Lloyd + IVF probe
         # + exact-L2 re-rank (goldens.ivf_trained_py)

@@ -1184,3 +1184,84 @@ def ivf_topk_trained(emb: DataFrame, query_ids: list[int], k: int = 10,
         .select("query_id", F.col("rn").cast("long").alias("rn"),
                 "vec_id", "d2_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-pairwise semantic deduplication
+# ---------------------------------------------------------------------------
+SEMDEDUP_TAU = (49, 400)  # cos > 0.35  (0.35^2 = 49/400 exactly)
+
+
+def semdedup(emb: DataFrame, n_centroids: int = 8, iters: int = 3,
+             tau_num: int = SEMDEDUP_TAU[0],
+             tau_den: int = SEMDEDUP_TAU[1],
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             arrow: bool = False) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic keep-one deduplication —
+    k-means-cluster the embeddings, compare pairs ONLY within a
+    cluster, mark every vector whose cosine similarity to a
+    lower-id cluster-mate exceeds sqrt(tau_num/tau_den) as a
+    duplicate. The clustering is the scale trick: pairwise cost drops
+    from n^2 to sum(|cluster|^2), with cross-cluster duplicates
+    missed BY DESIGN (the paper's approximation).
+
+    Integer-exact end to end, so the result replays in plain Python:
+    the trained quantized vectors coarsen to floor-div-1000 ints
+    (dot <= dim*1e6 per pair keeps every product in int64 at
+    dim<=~2000), and ``cos > tau`` evaluates as the integer predicate
+    ``dot > 0 AND tau_den * dot^2 > tau_num * |a|^2 * |b|^2`` — no
+    sqrt, no float division. Duplicate groups close transitively via
+    large/small-star connected components (min-id canonical), exactly
+    like the text near-dup family.
+
+    Plan shape: kmeans_fit's map-side training; ONE self-join
+    shuffled on centroid_id (AQE skew-join splits hot clusters); the
+    pair predicate is a codegen zip_with/aggregate fold; CC runs
+    O(log n) all-Catalyst rounds on the (tiny) duplicate-pair
+    relation; survivors left-join the pair components back.
+
+    Returns one row per vector: (vec_id, centroid_id, canonical_id,
+    is_dup) with canonical_id = min vec_id of its semantic-duplicate
+    group (itself when unique)."""
+    from geospark.graph import connected_components
+
+    a, _cents = kmeans_fit(emb, k=n_centroids, iters=iters,
+                           id_col=id_col, vec_col=vec_col,
+                           with_vec=True, arrow=arrow)
+    # coarsen the spooled 1e6 quantization by exact floor division —
+    # floor(floor(x*1e6)/1000) == floor(x*1000) identically
+    v3 = F.expr(
+        "transform(v_q, v -> (v - pmod(v, 1000)) DIV 1000)")
+    norm = ("aggregate({v}, 0L, (acc, x) -> acc + x * x)")
+    side = a.select(
+        "centroid_id", F.col("vec_id").alias("_id"), v3.alias("_v"),
+    ).withColumn("_n", F.expr(norm.format(v="_v")))
+    pa = side.select("centroid_id", F.col("_id").alias("id_a"),
+                     F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    pb = side.select("centroid_id", F.col("_id").alias("id_b"),
+                     F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    dot = F.expr(
+        "aggregate(zip_with(_va, _vb, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v)")
+    edges = (
+        pa.join(pb, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_dot", dot)
+        .filter((F.col("_dot") > 0)
+                & (F.lit(int(tau_den)) * F.col("_dot") * F.col("_dot")
+                   > F.lit(int(tau_num)) * F.col("_na") * F.col("_nb")))
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(edges, "id_a", "id_b")
+    return (
+        a.select("vec_id", "centroid_id")
+        .join(cc, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id", "centroid_id",
+            F.coalesce(F.col("component"), F.col("vec_id"))
+            .alias("canonical_id"),
+        )
+        .withColumn(
+            "is_dup",
+            (F.col("canonical_id") != F.col("vec_id")).cast("int"))
+    )

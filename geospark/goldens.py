@@ -1378,3 +1378,44 @@ def url_normalize_stats(n_pages: int) -> list[tuple[str, int, int]]:
     return sorted(
         (k, len(v), len(set(v))) for k, v in groups.items()
     )
+
+
+def semdedup_py(vecs: list[tuple[int, list[float]]], k: int, iters: int,
+                tau_num: int = 49, tau_den: int = 400,
+                ) -> list[tuple[int, int, int, int]]:
+    """Independent twin of embeddings.semdedup: _lloyd_py training +
+    lowest-id assignment, floor-div-1000 coarsened components, the
+    integer cosine predicate, and a plain union-find (vs the engine's
+    large/small-star CC). Returns sorted (vec_id, centroid_id,
+    canonical_id, is_dup) rows."""
+    qv = _quantize_vecs(vecs)
+    cents = _lloyd_py(qv, k, iters)
+    assign = {
+        vid: min((_d2_int(qv[vid], c), i) for i, c in enumerate(cents))[1]
+        for vid in qv
+    }
+    v3 = {vid: [x // 1000 for x in qv[vid]] for vid in qv}
+    norms = {vid: sum(x * x for x in v3[vid]) for vid in qv}
+    parent = {vid: vid for vid in qv}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(qv)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if assign[a] != assign[b]:
+                continue
+            d = sum(x * y for x, y in zip(v3[a], v3[b]))
+            if d > 0 and tau_den * d * d > tau_num * norms[a] * norms[b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    return [
+        (vid, assign[vid], find(vid), int(find(vid) != vid))
+        for vid in ids
+    ]

@@ -928,6 +928,20 @@ def main() -> None:
               "exchange; top-k is a heap merge, never a global sort.",
     )
 
+    audit(
+        "emb_semdedup (cluster-bounded semantic dedup)",
+        q["emb_semdedup"](spark, sf_dir),
+        must=["SortMergeJoin"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+        notes="the pairwise cosine comparison is a centroid_id-keyed "
+              "self-join (SortMergeJoin on the cluster key — the "
+              "SemDeDup n^2 -> sum(|cluster|^2) bound; AQE skew-join "
+              "splits hot clusters at scale) with the integer "
+              "predicate as a codegen zip_with fold; CC rounds are "
+              "all-Catalyst; the only Python is the kmeans Arrow "
+              "assignment kernel.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:

@@ -727,3 +727,36 @@ def test_extract_features_real_decode_spark(spark):
     got = np.array(row["features"], dtype=np.float64)
     assert row["n_bytes"] == len(payload)
     assert np.allclose(got, want / px.size, atol=1e-7)
+
+
+def test_semdedup_matches_twin_and_plants(spark):
+    """SemDeDup vs the independent union-find twin on a corpus with
+    PLANTED duplicate groups: three near-identical copies of one
+    vector (transitive group, canonical = min id), a scaled copy
+    (cosine 1.0 at different magnitude — still a dup), an
+    antipodal vector (cos = -1, never a dup), and unrelated
+    vectors."""
+    import numpy as np
+
+    from geospark import goldens as GO
+
+    rng = np.random.default_rng(99)
+    base = rng.uniform(-1, 1, 8)
+    rows = [
+        (0, list(base)),
+        (1, list(base + 1e-5)),            # near-identical
+        (2, list(base * 0.5 + 1e-5)),      # scaled copy -> cosine ~1
+        (3, list(-base)),                  # antipodal: cos -1
+    ] + [(i, list(rng.uniform(-1, 1, 8))) for i in range(4, 16)]
+    rows = [(i, [float(x) for x in v]) for i, v in rows]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(tuple(r) for r in E.semdedup(
+        df, n_centroids=3, iters=2, tau_num=9801, tau_den=10000).collect())
+    want = GO.semdedup_py(rows, 3, 2, tau_num=9801, tau_den=10000)
+    assert got == [tuple(r) for r in want]
+    by_id = {r[0]: r for r in got}
+    # planted copies that share a cluster must collapse to id 0's group
+    same_cluster = [i for i in (1, 2) if by_id[i][1] == by_id[0][1]]
+    for i in same_cluster:
+        assert by_id[i][2] == by_id[0][2] and by_id[i][3] == 1, by_id[i]
+    assert by_id[3][3] == 0  # antipodal is never a duplicate
