@@ -397,6 +397,44 @@ def main() -> None:
 
     run("bpe_encode_5m", n_docs, _bpe_encode)
 
+    def _dsir():
+        # DSIR importance resampling at corpus scale: 5% 'en' target
+        # slice, B=4096 hashed-token model; ONE token pass feeds the
+        # bucket model (B rows/task after map-side combine), the B-row
+        # delta broadcasts into the per-doc partial-agg scoring pass,
+        # top-k is a heap merge.
+        from geospark.textops import importance_resample
+
+        d = docs.withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 20 == 0, "en").otherwise("xx"),
+        )
+        rows = importance_resample(d, k=100).collect()
+        return {"rows_out": len(rows),
+                "top_weight_milli": int(rows[0]["weight_milli"])}
+
+    run("dsir_5m", n_docs, _dsir)
+
+    def _semdedup():
+        # SemDeDup at 1M vectors with k = n/500 clusters — the
+        # paper's scaling knob: pair cost is sum(|cluster|^2), so k
+        # grows with n to hold the per-cluster quadratic bounded; the
+        # synthetic corpus plants 15% near-duplicates at cos >= 0.90,
+        # found here at tau = sqrt(9801/10000) = 0.99^... (0.35 grid
+        # default would merge the whole corpus at this density, so
+        # the stress uses the paper-typical high threshold).
+        from geospark.embeddings import semdedup
+
+        sub = emb.filter(F.col("vec_id") < 1_000_000)
+        out = semdedup(sub, n_centroids=2000, iters=2,
+                       tau_num=9801, tau_den=10000, arrow=True)
+        agg = out.agg(
+            F.count("*").alias("n"), F.sum("is_dup").alias("dups"),
+        ).collect()[0]
+        return {"rows": int(agg["n"]), "n_dups": int(agg["dups"])}
+
+    run("semdedup_1m", 1_000_000, _semdedup)
+
     out = {"ops": results, "cpus": 32,
            "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
     print(json.dumps(out))
