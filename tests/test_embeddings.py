@@ -760,3 +760,24 @@ def test_semdedup_matches_twin_and_plants(spark):
     for i in same_cluster:
         assert by_id[i][2] == by_id[0][2] and by_id[i][3] == 1, by_id[i]
     assert by_id[3][3] == 0  # antipodal is never a duplicate
+
+
+def test_semdedup_group_invariants(spark):
+    """Structural invariants on real testdata: canonical ids are group
+    minima and fixed points (a canonical row is never itself a dup),
+    groups never span clusters (edges exist only within a cluster),
+    and is_dup == (canonical != self)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = E.semdedup(emb).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert len(rows) == len(by_id)
+    groups: dict[int, list] = {}
+    for r in rows:
+        assert r["canonical_id"] <= r["vec_id"]
+        assert r["is_dup"] == int(r["canonical_id"] != r["vec_id"])
+        groups.setdefault(r["canonical_id"], []).append(r)
+    for canon, members in groups.items():
+        c = by_id[canon]
+        assert c["is_dup"] == 0 and c["canonical_id"] == canon
+        assert canon == min(m["vec_id"] for m in members)
+        assert len({m["centroid_id"] for m in members}) == 1, canon
