@@ -1014,6 +1014,89 @@ def _q_doc_lm_ppl(spark, sf_dir):
     return lm_score(_docs(spark, sf_dir), LM_REF_LANG)
 
 
+def _q_doc_lm_kn(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (textops.lm_score_kn):
+    the KenLM-family smoothing CCNet actually ships — continuation
+    probability counts DISTINCT left contexts, absolute discount D
+    reserves mass per seen bigram, add-beta floors the continuation
+    distribution so every probability is positive before the single
+    ln. Same vocab-sized-model plan shape as doc_lm_ppl."""
+    from geospark.textops import lm_score_kn
+
+    return lm_score_kn(_docs(spark, sf_dir), LM_REF_LANG)
+
+
+def _lm_kn_oracle() -> str:
+    """DuckDB twin of textops.lm_score_kn — term-identical KN
+    expression tree (left-assoc float ops, pc inlined in both the
+    unseen-context branch and the interpolation term, one ln inside
+    the 1e6 floor)."""
+    from geospark.textops import KN_BETA, KN_DISCOUNT
+
+    D, b = repr(float(KN_DISCOUNT)), repr(float(KN_BETA))
+    pc = (f"((CAST(COALESCE(co.n1bw, 0) AS DOUBLE) + {b}) "
+          f"/ (CAST(na.n_all AS DOUBLE) + {b} * (vo.v + 1.0)))")
+    seen = (
+        f"(CASE WHEN bi.c12 IS NULL THEN 0.0 "
+        f"ELSE (CAST(bi.c12 AS DOUBLE) - {D}) / CAST(cx.c1b AS DOUBLE) "
+        f"END + {D} * CAST(cx.n1fw AS DOUBLE) "
+        f"/ CAST(cx.c1b AS DOUBLE) * {pc})"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        vo AS (
+            SELECT count(DISTINCT w) AS v FROM (
+                SELECT unnest(t) AS w FROM toks
+                WHERE lang = '{LM_REF_LANG}'
+            )
+        ),
+        bi AS (
+            SELECT w1, w2, count(*) AS c12 FROM (
+                SELECT unnest(t[1:len(t)-1]) AS w1,
+                       unnest(t[2:]) AS w2
+                FROM toks WHERE lang = '{LM_REF_LANG}'
+            ) GROUP BY 1, 2
+        ),
+        cx AS (
+            SELECT w1, CAST(sum(c12) AS BIGINT) AS c1b,
+                   count(*) AS n1fw
+            FROM bi GROUP BY 1
+        ),
+        co AS (SELECT w2, count(*) AS n1bw FROM bi GROUP BY 1),
+        na AS (SELECT count(*) AS n_all FROM bi),
+        stream AS (
+            SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+                   unnest(t[2:]) AS w2
+            FROM toks
+        ),
+        terms AS (
+            SELECT s.doc_id,
+                   CAST(floor((0.0 - ln(
+                       CASE WHEN cx.c1b IS NULL THEN {pc}
+                       ELSE {seen} END
+                   )) * 1000000.0) AS BIGINT) AS nll
+            FROM stream s
+            LEFT JOIN bi ON s.w1 = bi.w1 AND s.w2 = bi.w2
+            LEFT JOIN cx ON s.w1 = cx.w1
+            LEFT JOIN co ON s.w2 = co.w2
+            CROSS JOIN na CROSS JOIN vo
+        ),
+        rolled AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(nll) AS BIGINT) AS nll_micro
+            FROM terms GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(r.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(r.nll_micro, 0) AS BIGINT) AS nll_micro
+        FROM documents d LEFT JOIN rolled r USING (doc_id)
+    """
+
+
 def _lm_ppl_oracle() -> str:
     """DuckDB twin of textops.lm_score: same token split, same
     add-0.5 smoothing, term-identical floor((0-ln(p))*1e6)
@@ -3501,7 +3584,7 @@ _ROUND4_WINDOW = frozenset((
 # embeddings) — these MUST be re-checked ahead of rotation.
 _ROUND5_PRIORITY = (
     "polyline_utils", "poly_file_pip", "doc_importance_resample",
-    "emb_semdedup", "doc_bm25", "pages_url_normalize",
+    "emb_semdedup", "doc_lm_kn", "doc_bm25", "pages_url_normalize",
     "emb_pq", "emb_kmeans", "emb_pq_rerank", "emb_ivfpq",
     "emb_ivf_trained", "hmm_map_match", "trending_tiles",
     "streaming_tiles", "streaming_dedup", "geofence_stream",
@@ -3554,6 +3637,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf": _q_doc_tfidf,
         "doc_bm25": _q_doc_bm25,
         "doc_lm_ppl": _q_doc_lm_ppl,
+        "doc_lm_kn": _q_doc_lm_kn,
         "doc_bpe": _q_doc_bpe,
         "doc_repetition": _q_doc_repetition,
         "doc_line_dedup": _q_doc_line_dedup,
@@ -5427,6 +5511,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_bm25": _bm25_oracle(),
         "doc_lm_ppl": _lm_ppl_oracle(),
+        "doc_lm_kn": _lm_kn_oracle(),
         "doc_repetition": """
             WITH base AS (
                 SELECT doc_id,

@@ -1525,6 +1525,111 @@ def lm_score(docs: DataFrame, ref_lang: str, alpha: float = LM_ALPHA,
     )
 
 
+KN_DISCOUNT = 0.75  # absolute discount D (Kneser-Ney standard)
+KN_BETA = 0.5       # add-beta smoothing on the continuation distribution
+
+
+def lm_score_kn(docs: DataFrame, ref_lang: str,
+                discount: float = KN_DISCOUNT, beta: float = KN_BETA,
+                id_col: str = "doc_id", text_col: str = "text",
+                lang_col: str = "lang") -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the modeling upgrade
+    CCNet actually ships (KenLM's modified-KN rather than add-alpha;
+    Kneser & Ney 1995, Chen & Goodman 1999): continuation probability
+    counts DISTINCT left contexts, so "Francisco" (frequent but only
+    ever after "San") stops inflating unseen-context scores the way
+    raw unigram backoff does.
+
+        pc(w2)    = (N1+(*w2) + b) / (N1+(**) + b * (V + 1))
+        p(w2|w1)  = max(c(w1 w2) - D, 0) / c(w1 *)
+                    + D * N1+(w1 *) / c(w1 *) * pc(w2)   if c(w1 *) > 0
+                  = pc(w2)                               otherwise
+
+    with c(w1 *) the bigram-table context total (NOT the unigram
+    count — a word seen only document-final has no continuations, and
+    conditioning on the unigram count would zero its lambda), N1+ the
+    distinct-neighbor counts, and the add-beta floor keeping pc > 0
+    for OOV continuations so every probability is a positive rational
+    BEFORE the single ln. Each bigram contributes
+    ``floor(-ln(p) * 1e6)`` integer micro-nats summed per doc into a
+    BIGINT (the lm_score precedent: one isolated libm call inside the
+    quantization, left-assoc float ops mirrored term-identically in
+    the DuckDB oracle).
+
+    100-TB plan shape identical to :func:`lm_score`: every model
+    relation (bigrams, per-context totals, continuation counts, the
+    two scalars) is VOCAB-sized from one reference-slice partial-agg
+    pass; scoring joins the corpus bigram stream against them (AQE
+    broadcasts vocab-sized sides) and rolls up per doc. Documents
+    with < 2 tokens survive with n_bigrams = 0.
+
+    Returns (doc_id, n_bigrams, nll_micro)."""
+    D, b = float(discount), float(beta)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("_lang"),
+        F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_t"),
+    )
+    ref = toks.filter(F.col("_lang") == ref_lang)
+    vocab = (
+        ref.select(F.explode("_t").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    pairs_expr = (
+        "CASE WHEN size(_t) >= 2 THEN "
+        "transform(sequence(1, size(_t) - 1), "
+        "i -> struct(_t[i - 1] AS w1, _t[i] AS w2)) "
+        "ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"
+    )
+    bi = (
+        ref.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    )
+    bi = spool(bi, "kn_bi")
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1b"), F.count("*").alias("n1fw"))
+    cont = bi.groupBy("w2").agg(F.count("*").alias("n1bw"))
+    n_all = bi.agg(F.count("*").alias("n_all"))
+    stream = toks.select(
+        "doc_id", F.explode_outer(F.expr(pairs_expr)).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+    pc = (
+        (F.coalesce(F.col("n1bw"), F.lit(0)).cast("double") + F.lit(b))
+        / (F.col("n_all").cast("double") + F.lit(b) * (F.col("v") + F.lit(1.0)))
+    )
+    seen = (
+        F.when(F.col("c12").isNull(), F.lit(0.0))
+        .otherwise((F.col("c12").cast("double") - F.lit(D))
+                   / F.col("c1b").cast("double"))
+        + F.lit(D) * F.col("n1fw").cast("double")
+        / F.col("c1b").cast("double") * pc
+    )
+    p = F.when(F.col("c1b").isNull(), pc).otherwise(seen)
+    term = F.floor((F.lit(0.0) - F.log(p)) * F.lit(1000000.0)).cast("long")
+    scored = (
+        stream.join(bi, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.col("w1").alias("_hit"),
+            F.when(F.col("w1").isNull(), F.lit(None).cast("long"))
+            .otherwise(term).alias("_nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("_hit").alias("n_bigrams"),
+            F.coalesce(F.sum("_nll"), F.lit(0)).cast("long")
+            .alias("nll_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE merge training (distributed, word-frequency based)
 # ---------------------------------------------------------------------------

@@ -924,3 +924,43 @@ def test_importance_resample_matches_scalar_twin(spark):
     # the en-only docs must outrank the de-only docs
     rank = {d: rn for rn, d, _, _ in got}
     assert max(rank[0], rank[1]) < min(rank[2], rank[3])
+
+
+def test_lm_score_kn_hand_computed(spark):
+    """Interpolated KN on a hand-derivable 'en' reference:
+    bi = {(a,b):1, (b,a):2, (a,c):1}, ctx a:(2,2) b:(2,1),
+    cont a/b/c: 1 each, N1+(**)=3, V=3 -> pc(seen)=1.5/5,
+    pc(unseen)=0.5/5. Covers: seen bigram, unseen bigram under a
+    seen context, and an unseen context backing off to pc."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "a b a c"),
+            (1, "en", "b a"),
+            (2, "de", "a b x"),     # (a,b) seen; (b,x) unseen cont.
+            (3, "de", "x a"),       # unseen context -> pc(a)
+            (4, "de", "solo"),      # <2 tokens -> 0 bigrams
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll_micro"])
+           for r in T.lm_score_kn(docs, "en").collect()}
+
+    def q(p):
+        return math.floor((0.0 - math.log(p)) * 1000000.0)
+
+    pc_seen = (1 + 0.5) / (3 + 0.5 * (3 + 1.0))
+    pc_unseen = (0 + 0.5) / (3 + 0.5 * (3 + 1.0))
+    p_ab = (1 - 0.75) / 2 + 0.75 * 2 / 2 * pc_seen
+    p_bx = 0.0 + 0.75 * 1 / 2 * pc_unseen
+    p_ba = (2 - 0.75) / 2 + 0.75 * 1 / 2 * pc_seen
+    p_ac = (1 - 0.75) / 2 + 0.75 * 2 / 2 * pc_seen
+    assert got[2] == (2, q(p_ab) + q(p_bx))
+    assert got[3] == (1, q(pc_seen))           # x unseen context -> pc(a)
+    assert got[4] == (0, 0)
+    assert got[0] == (3, q(p_ab) + q(p_ba) + q(p_ac))
+    assert got[1] == (1, q(p_ba))
+    # KN ordering sanity: a seen bigram scores far better than an
+    # unseen continuation under the same context
+    assert q(p_ab) < q(p_bx)
