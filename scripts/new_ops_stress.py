@@ -415,6 +415,27 @@ def main() -> None:
 
     run("dsir_5m", n_docs, _dsir)
 
+    def _kn():
+        # interpolated Kneser-Ney scoring at corpus scale, same 5%
+        # 'en' reference slice as lm_ppl_en5pct: model relations stay
+        # vocab-sized (bigram types + per-context totals + distinct-
+        # continuation counts), scoring is three hash joins + one
+        # per-doc rollup.
+        from geospark.textops import lm_score_kn
+
+        d = docs.withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 20 == 0, "en").otherwise("xx"),
+        )
+        agg = lm_score_kn(d, "en").agg(
+            F.count("*").alias("n"),
+            F.sum("n_bigrams").alias("bigrams"),
+        ).collect()[0]
+        return {"docs_scored": int(agg["n"]),
+                "bigrams_scored": int(agg["bigrams"])}
+
+    run("kn_ppl_en5pct", n_docs, _kn)
+
     def _semdedup():
         # SemDeDup at 1M vectors with k = n/500 clusters — the
         # paper's scaling knob: pair cost is sum(|cluster|^2), so k
