@@ -942,6 +942,22 @@ def main() -> None:
               "assignment kernel.",
     )
 
+    audit(
+        "doc_lm_kn (interpolated Kneser-Ney scoring)",
+        q["doc_lm_kn"](spark, sf_dir),
+        must=["partial_count"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "CartesianProduct"],
+        notes="model relations (bigram types, per-context totals, "
+              "distinct-continuation counts, two scalars) are all "
+              "VOCAB-sized partial aggregations of the reference "
+              "slice; the corpus bigram stream hash-joins them (AQE "
+              "broadcasts vocab-sized sides at runtime) and the "
+              "per-doc rollup partial-aggregates before its "
+              "exchange; the KN formula is one codegen expression — "
+              "no Python anywhere.",
+    )
+
     out = ["# PLANS — physical-plan audit (generated by "
            "scripts/plan_audit.py; AQE off)", ""]
     for name, notes, checks in sections:
