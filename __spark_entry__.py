@@ -836,6 +836,19 @@ def _q_doc_importance_resample(spark, sf_dir):
     return importance_resample(_docs(spark, sf_dir), DSIR_K)
 
 
+def _q_doc_importance_sample(spark, sf_dir):
+    """DSIR's actual SAMPLING step (textops.importance_resample with
+    sample=True): Gumbel-top-k over the integer log-ratio weights —
+    Gumbel-max draws k docs ~ softmax(w) without replacement, with
+    the deterministic md5-derived uniforms the weighted_sample family
+    uses, so the draw is re-shard/append-stable and engine-neutral
+    (the float Gumbel key only ORDERS; returned columns stay
+    integer)."""
+    from geospark.textops import importance_resample
+
+    return importance_resample(_docs(spark, sf_dir), DSIR_K, sample=True)
+
+
 def _q_doc_weighted_sample(spark, sf_dir):
     """Quality-weighted corpus downsampling: Efraimidis–Spirakis order
     sampling with deterministic hash-derived randomness (textops.
@@ -3584,7 +3597,8 @@ _ROUND4_WINDOW = frozenset((
 # embeddings) — these MUST be re-checked ahead of rotation.
 _ROUND5_PRIORITY = (
     "polyline_utils", "poly_file_pip", "doc_importance_resample",
-    "emb_semdedup", "doc_lm_kn", "doc_bm25", "pages_url_normalize",
+    "emb_semdedup", "doc_lm_kn", "doc_importance_sample",
+    "doc_bm25", "pages_url_normalize",
     "emb_pq", "emb_kmeans", "emb_pq_rerank", "emb_ivfpq",
     "emb_ivf_trained", "hmm_map_match", "trending_tiles",
     "streaming_tiles", "streaming_dedup", "geofence_stream",
@@ -3630,6 +3644,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_stratified": _q_doc_sample_stratified,
         "doc_weighted_sample": _q_doc_weighted_sample,
         "doc_importance_resample": _q_doc_importance_resample,
+        "doc_importance_sample": _q_doc_importance_sample,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "doc_mix_epochs": _q_doc_mix_epochs,
         "doc_chunk": _q_doc_chunk,
@@ -5933,6 +5948,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_importance_resample": TX.importance_resample_sql(
             "documents", DSIR_K
+        ),
+        "doc_importance_sample": TX.importance_resample_sql(
+            "documents", DSIR_K, sample=True
         ),
         "doc_len_quantiles": """
             SELECT lang, count(*) AS n_docs,

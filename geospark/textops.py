@@ -1126,7 +1126,8 @@ def importance_resample(docs: DataFrame, k: int,
                         alpha: float = DSIR_ALPHA,
                         id_col: str = "doc_id", text_col: str = "text",
                         lang_col: str = "lang",
-                        hash_fn: str = "md5") -> DataFrame:
+                        hash_fn: str = "md5",
+                        sample: bool = False) -> DataFrame:
     """DSIR-style importance resampling (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): score
     every document by the log-likelihood ratio of its hashed token
@@ -1154,10 +1155,18 @@ def importance_resample(docs: DataFrame, k: int,
     TakeOrderedAndProject heap merge, never a global sort. Docs with
     zero tokens don't participate (no features = no evidence).
 
+    ``sample=True`` switches from arg-top-k to the paper's actual
+    SAMPLING step via Gumbel-top-k (Gumbel-max over log-weights draws
+    k docs ~ softmax(w) without replacement): key = w_nats + g with
+    g = -ln(-ln(u)) and u the same deterministic md5-derived uniform
+    weighted_sample uses — re-shard/append-stable, engine-neutral
+    (the returned columns stay integer; the float key only orders).
+
     Returns (rn, doc_id, n_tokens, weight_milli) with rn = 1..k by
-    (weight DESC, doc_id). Reference analogue: none (the geo
-    reference has no corpus ops) — this is part of the
-    training-data-pipeline family the engine adds."""
+    (weight DESC, doc_id) — or by (gumbel key DESC, doc_id) when
+    sampling. Reference analogue: none (the geo reference has no
+    corpus ops) — this is part of the training-data-pipeline family
+    the engine adds."""
     from pyspark.sql import Window
 
     B, a = int(n_buckets), float(alpha)
@@ -1190,6 +1199,18 @@ def importance_resample(docs: DataFrame, k: int,
         .agg(F.count("*").alias("n_tokens"),
              F.sum("_d").alias("weight_milli"))
     )
+    if sample:
+        h = F.expr(md5_60_sql("CAST(doc_id AS STRING)"))
+        u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+        key = (F.col("weight_milli").cast("double") / F.lit(1000.0)
+               - F.log(F.lit(0.0) - F.log(u)))
+        w = Window.orderBy(F.col("_gk").desc(), F.col("doc_id"))
+        return (
+            scored.withColumn("_gk", key)
+            .orderBy(F.desc("_gk"), F.col("doc_id")).limit(k)
+            .withColumn("rn", F.row_number().over(w).cast("long"))
+            .select("rn", "doc_id", "n_tokens", "weight_milli")
+        )
     w = Window.orderBy(F.col("weight_milli").desc(), F.col("doc_id"))
     return (
         scored.orderBy(F.desc("weight_milli"), F.col("doc_id")).limit(k)
@@ -1204,7 +1225,8 @@ def importance_resample_sql(table: str = "documents", k: int = 40,
                             alpha: float = DSIR_ALPHA,
                             id_col: str = "doc_id",
                             text_col: str = "text",
-                            lang_col: str = "lang") -> str:
+                            lang_col: str = "lang",
+                            sample: bool = False) -> str:
     """DuckDB twin of :func:`importance_resample` — identical
     expression tree (md5-60 bucket hash, separate milli-floors around
     each ln, integer weight sums)."""
@@ -1244,10 +1266,20 @@ def importance_resample_sql(table: str = "documents", k: int = 40,
             FROM tok JOIN delta USING (b) GROUP BY 1
         )
         SELECT CAST(row_number() OVER (
-                   ORDER BY weight_milli DESC, doc_id) AS BIGINT) AS rn,
+                   ORDER BY {{ord}}) AS BIGINT) AS rn,
                doc_id, n_tokens, weight_milli
-        FROM scored ORDER BY weight_milli DESC, doc_id LIMIT {int(k)}
-    """
+        FROM {{src}} ORDER BY {{ord}} LIMIT {int(k)}
+    """.format(
+        ord=("_gk DESC, doc_id" if sample
+             else "weight_milli DESC, doc_id"),
+        src=(
+            "(SELECT *, CAST(weight_milli AS DOUBLE) / 1000.0 "
+            "- ln(0.0 - ln((CAST(('0x' || substr(md5("
+            "CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)"
+            f" + 0.5) / {float(1 << 60)!r})) AS _gk FROM scored)"
+            if sample else "scored"
+        ),
+    )
 
 
 def stratified_sample(docs: DataFrame, quota: int,

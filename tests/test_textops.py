@@ -964,3 +964,29 @@ def test_lm_score_kn_hand_computed(spark):
     # KN ordering sanity: a seen bigram scores far better than an
     # unseen continuation under the same context
     assert q(p_ab) < q(p_bx)
+
+
+def test_importance_sample_gumbel_properties(spark):
+    """sample=True draws a DIFFERENT set than arg-top-k (the Gumbel
+    noise matters), is deterministic across invocations, prefers
+    high-weight docs in aggregate, and returns dense ranks."""
+    corpus = [
+        (i, "en" if i % 2 == 0 else "de",
+         ("data spark model " if i % 2 == 0 else "der das und ") * 4)
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, lang string, text string")
+    top = T.importance_resample(docs, k=20, n_buckets=64)
+    smp = T.importance_resample(docs, k=20, n_buckets=64, sample=True)
+    t1 = [tuple(r) for r in top.collect()]
+    s1 = [tuple(r) for r in smp.collect()]
+    s2 = [tuple(r) for r in T.importance_resample(
+        docs, k=20, n_buckets=64, sample=True).collect()]
+    assert s1 == s2                       # deterministic draw
+    assert [r[0] for r in s1] == list(range(1, 21))  # dense ranks
+    # with en-vocab weights >> de-vocab weights, the softmax draw
+    # keeps a clear en majority, but the exact set differs from the
+    # deterministic arg-top-k (all-en) because Gumbel noise reorders
+    en = sum(1 for r in s1 if r[1] % 2 == 0)
+    assert en >= 14
+    assert {r[1] for r in s1} != {r[1] for r in t1}
