@@ -943,6 +943,19 @@ def main() -> None:
     )
 
     audit(
+        "doc_importance_sample (DSIR Gumbel-top-k draw)",
+        q["doc_importance_sample"](spark, sf_dir),
+        must=["TakeOrderedAndProject", "BroadcastHashJoin",
+              "partial_count"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "CartesianProduct", "SortMergeJoin"],
+        notes="identical model/scoring plan to doc_importance_"
+              "resample; the Gumbel key is one extra codegen "
+              "projection and the draw stays a TakeOrdered heap "
+              "merge — sampling adds zero shuffles.",
+    )
+
+    audit(
         "doc_lm_kn (interpolated Kneser-Ney scoring)",
         q["doc_lm_kn"](spark, sf_dir),
         must=["partial_count"],
