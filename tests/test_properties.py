@@ -150,3 +150,62 @@ def test_closest_on_segment_is_on_segment_and_closer(qa, qb, fa, fb, ta, tb):
     # worse than an endpoint on long high-latitude segments (reference
     # behavior, src/latlng.cc:111-146)
     assert d_c <= min(d_f, d_t) * 1.05 + 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(2, 40), st.floats(0.05, 40.0, allow_nan=False),
+       st.integers(0, 2**31 - 1))
+def test_simplify_dp_twin_parity_property(n, tol, seed):
+    """M7 one-shot DP: the vectorized stack kernel and the recursive
+    golden twin agree on arbitrary polylines and tolerances
+    (first-max tie rule included)."""
+    from geospark import goldens as GO
+
+    rng = np.random.default_rng(seed)
+    lats = rng.uniform(-80, 80, n)
+    lngs = rng.uniform(-179, 179, n)
+    got = NK.simplify_dp_latlng(lats, lngs, tol).tolist()
+    want = GO.simplify_dp_deg_py(list(zip(lats, lngs)), tol)
+    assert got == want
+    assert got[0] and got[-1]  # endpoints always kept
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(4, 24), st.integers(1, 4), st.integers(0, 2**31 - 1))
+def test_semdedup_py_structural_property(n, k, seed):
+    """The semdedup golden twin's output is always a valid keep-one
+    labeling: canonical ids are group minima and fixed points, dup
+    flags are consistent, groups never span clusters."""
+    from geospark import goldens as GO
+
+    rng = np.random.default_rng(seed)
+    vecs = [(i, [float(x) for x in rng.uniform(-1, 1, 6)])
+            for i in range(n)]
+    # plant one duplicate pair so groups exist sometimes
+    vecs[n - 1] = (n - 1, [v + 1e-6 for v in vecs[0][1]])
+    rows = GO.semdedup_py(vecs, min(k, n), 2,
+                          tau_num=9801, tau_den=10000)
+    by_id = {r[0]: r for r in rows}
+    assert sorted(by_id) == list(range(n))
+    for vid, cid, canon, is_dup in rows:
+        assert canon <= vid
+        assert is_dup == int(canon != vid)
+        assert by_id[canon][3] == 0 and by_id[canon][2] == canon
+        assert by_id[canon][1] == cid  # same cluster as canonical
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 9), st.integers(1, 7), st.integers(0, 2**31 - 1),
+       st.booleans())
+def test_bmp_decode_roundtrip_property(w, h, seed, top_down):
+    """Built-in BMP decode recovers arbitrary pixel arrays exactly —
+    every width exercises a different row-stride padding."""
+    from geospark import multimodal as M
+    from tests.test_embeddings import _bmp24_bytes
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(
+        M.decode_image(_bmp24_bytes(px, top_down=top_down)), px)
+    p6 = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+    assert np.array_equal(M.decode_image(p6), px)
