@@ -1224,10 +1224,16 @@ def semdedup(emb: DataFrame, n_centroids: int = 8, iters: int = 3,
     is_dup) with canonical_id = min vec_id of its semantic-duplicate
     group (itself when unique)."""
     from geospark.graph import connected_components
+    from geospark.spool import spool
 
     a, _cents = kmeans_fit(emb, k=n_centroids, iters=iters,
                            id_col=id_col, vec_col=vec_col,
                            with_vec=True, arrow=arrow)
+    # the assignment feeds BOTH self-join sides and the final
+    # labeling join — spool it once or the corpus-sized assignment
+    # pass (an Arrow kernel on the arrow path) recomputes three times
+    a = spool(a.select("vec_id", "centroid_id", "v_q"),
+              "semdedup_assign")
     # coarsen the spooled 1e6 quantization by exact floor division —
     # floor(floor(x*1e6)/1000) == floor(x*1000) identically
     v3 = F.expr(
