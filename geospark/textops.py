@@ -1145,15 +1145,18 @@ def importance_resample(docs: DataFrame, k: int,
     boundaries), so document weights are exact BIGINT sums and the
     ranking replays bit-identically in DuckDB.
 
-    Plan shape at 100 TB: ONE corpus token pass feeds a
-    (bucket)-keyed partial-agg shuffle capped at B rows/task (the
-    model); totals are a second aggregate OF THE MODEL (B rows, no
-    corpus re-scan); the B-row delta relation broadcasts back into
-    the scoring pass, which partial-aggregates per doc — so the
-    corpus shuffles once on doc_id (map-side combine carries
-    per-(doc, map-partition) partial sums) and the final top-k is a
-    TakeOrderedAndProject heap merge, never a global sort. Docs with
-    zero tokens don't participate (no features = no evidence).
+    Plan shape at 100 TB: the corpus token-explodes TWICE — once into
+    the (bucket)-keyed partial-agg model shuffle (capped at B
+    rows/task by map-side combine), once into the scoring pass —
+    deliberately unspooled: materializing the ~200x token explosion
+    costs far more I/O than re-reading the pruned text column, and
+    both passes are narrow until their aggregates. Totals are an
+    aggregate OF THE MODEL (B rows, no corpus re-scan); the B-row
+    delta relation broadcasts into the scoring pass, which
+    partial-aggregates per doc — so the corpus shuffles once on
+    doc_id and the final top-k is a TakeOrderedAndProject heap merge,
+    never a global sort. Docs with zero tokens don't participate (no
+    features = no evidence).
 
     ``sample=True`` switches from arg-top-k to the paper's actual
     SAMPLING step via Gumbel-top-k (Gumbel-max over log-weights draws
